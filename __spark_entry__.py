@@ -1,38 +1,379 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+(reference-derived O-ops and north_star N-ops) or a training-data op; each
+``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs on the same
+parquet. Column names/aliases match pairwise (the driver hashes values under
+sorted column names). Queries without an oracle entry are approximate /
+non-SQL-expressible ops (LSH, SRP-ANN, suffix-array containment, CC) — the
+pytest suite gates those against the pure-Python oracle instead
+(tests/test_pipeline_oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_pipeline_spark.config import PipelineConfig  # noqa: E402
+from go_pipeline_spark.functions import textstats  # noqa: E402
+from go_pipeline_spark.operators import similarity, windows  # noqa: E402
+from go_pipeline_spark.operators.dedup import with_content_sha  # noqa: E402
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline  # noqa: E402
+from go_pipeline_spark.sources.tables import documents_as_docs, load_table  # noqa: E402
+
+CFG = PipelineConfig()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# SQL-checkable queries
+# --------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2/N15: sha256 exact-duplicate groups over documents."""
+    d = with_content_sha(_docs(spark, sf_dir), "text")
+    return (
+        d.groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("rep_id"))
+        .where(F.col("group_size") >= 2)
+        .select("content_sha", "group_size", "rep_id")
+    )
+
+
+def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row invariant column itself (input_hint): doc_id -> sha256."""
+    return with_content_sha(_docs(spark, sf_dir), "text").select(
+        "doc_id", "content_sha"
+    )
+
+
+def q_lastwins_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/N15: keyed last-wins dedup over the events stream."""
+    return windows.latest_event_per_user(load_table(spark, sf_dir, "events"))
+
+
+def q_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/N16: FlushInterval ≙ tumbling 5-minute windows."""
+    return windows.tumbling_window_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_size_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: FlushSize ≙ size-window batch ids (batch of 100 by event_id)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    return windows.size_window_batches(ev, 100).select("event_id", "batch_id")
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(textstats.bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        )
+        .select("lang", "n_docs", "total_tokens", "total_bpe_tokens")
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(textstats.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(textstats.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(textstats.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(textstats.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(textstats.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("fp16")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-shingle Jaccard for doc pairs (restricted pair set, exact)."""
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 120)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
+    pairs = a.crossJoin(b).where(F.col("src") < F.col("dst"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return pairs.select(
+        "src",
+        "dst",
+        F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    )
+
+
+def q_embedding_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-aggregation sanity (TPC-H Q1 shape) over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join sanity: orders x customer x nation rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-free (approximate / iterative) queries — rows-only driver check;
+# rigorously gated against the pure-Python oracle in pytest instead.
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full near-dup pipeline over documents -> cluster sizes."""
+    docs = documents_as_docs(_docs(spark, sf_dir))
+    res = DedupPipeline(CFG).run(spark, docs)
+    return (
+        res.clusters.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents_as_docs(_docs(spark, sf_dir))
+    res = DedupPipeline(CFG).run(spark, docs)
+    return res.dup_edges.select("src", "dst", "kind")
+
+
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.srp_ann_topk(emb, queries, dim=64, k=5)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, dim=64, threshold=0.9)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_dedup_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "content_sha": q_content_sha,
+        "lastwins_latest_event": q_lastwins_latest_event,
+        "window_counts": q_window_counts,
+        "size_batches": q_size_batches,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "doc_quality": q_doc_quality,
+        "lang_id_counts": q_lang_id_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk_brute": q_embedding_topk_brute,
+        "tpch_q1": q_tpch_q1,
+        "join_orders_nation": q_join_orders_nation,
+        "dedup_clusters": q_dedup_clusters,
+        "dup_pairs": q_dup_pairs,
+        "srp_ann_topk": q_srp_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    en_rx = r"\b(the|and|of|to|in|is|that|for|with|was)\b"
+    de_rx = r"\b(der|die|das|und|ist|nicht|ein|mit|von|auf)\b"
+    fr_rx = r"\b(le|la|les|et|est|une|pour|dans|que|pas)\b"
+    es_rx = r"\b(el|los|las|es|una|para|con|por|del|como)\b"
+    marker_cols = f"""
+      len(regexp_extract_all(lower(text), '{en_rx}')) AS c_en,
+      len(regexp_extract_all(lower(text), '{de_rx}')) AS c_de,
+      len(regexp_extract_all(lower(text), '{fr_rx}')) AS c_fr,
+      len(regexp_extract_all(lower(text), '{es_rx}')) AS c_es
     """
-    return {}
+    tokcnt = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    bpecnt = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    alpha = (
+        "CASE WHEN length(text) = 0 THEN 0.0 "
+        "ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+        "     / CAST(length(text) AS DOUBLE) END"
+    )
+    punct = (
+        "CASE WHEN length(text) = 0 THEN 0.0 "
+        "ELSE length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}]', '', 'g')) "
+        "     / CAST(length(text) AS DOUBLE) END"
+    )
+    stopr = (
+        f"CASE WHEN {tokcnt} = 0 THEN 0.0 "
+        f"ELSE len(regexp_extract_all(lower(text), '{en_rx}')) "
+        f"     / CAST({tokcnt} AS DOUBLE) END"
+    )
+    quality = (
+        f"0.25 * least(length(text) / 500.0, 1.0) "
+        f"+ 0.35 * ({alpha}) "
+        f"+ 0.25 * (1.0 - least(({punct}) * 5, 1.0)) "
+        f"+ 0.15 * least(({stopr}) * 4, 1.0)"
+    )
+    return {
+        "exact_dup_groups": """
+            SELECT sha256(text) AS content_sha,
+                   count(*) AS group_size,
+                   min(doc_id) AS rep_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+        "lastwins_latest_event": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "window_counts": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "size_batches": """
+            SELECT event_id,
+                   CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 100.0)
+                        AS BIGINT) AS batch_id
+            FROM events
+        """,
+        "token_stats_by_lang": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum({tokcnt}) AS total_tokens,
+                   sum({bpecnt}) AS total_bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   round({alpha}, 6) AS alpha_ratio,
+                   round({punct}, 6) AS punct_ratio,
+                   round({stopr}, 6) AS stopword_ratio,
+                   round({quality}, 6) AS quality
+            FROM documents
+        """,
+        "lang_id_counts": f"""
+            WITH m AS (SELECT {marker_cols} FROM documents)
+            SELECT CASE
+                     WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+                     WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                     WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                     WHEN c_fr >= c_es THEN 'fr'
+                     ELSE 'es'
+                   END AS pred_lang,
+                   count(*) AS n_docs
+            FROM m GROUP BY 1
+        """,
+        "doc_fingerprint": (
+            "SELECT doc_id, left(sha256(text), 16) AS fp16 FROM documents"
+        ),
+        "ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+              FROM documents WHERE doc_id < 120
+            )
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   round(len(list_intersect(a.toks, b.toks))
+                         / CAST(len(a.toks) + len(b.toks)
+                                - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
+                         6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+        """,
+        "embedding_topk_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qvec, e.embedding) AS sim
+              FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+    }

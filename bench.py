@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+   "sf": ..., "throughput": {...}}
+
+`--only a,b` restricts the query set (used by bench/scaling.py for the
+N-vs-4N parallelism study); `--cpus N` overrides the core count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "20000"))
+
+
+def _force(df) -> int:
+    """Materialize the full plan; returns row count (cheap second action)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def bench_queries(spark, sf_dir: str):
+    """name -> zero-arg callable executing one headline workload."""
+    import __spark_entry__ as entrymod
+    from go_pipeline_spark.config import PipelineConfig
+    from go_pipeline_spark.corpus import generate_source_files
+    from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+    from go_pipeline_spark.sources.tables import corpus_to_df, documents_as_docs, load_table
+
+    cfg = PipelineConfig()
+
+    def dedup_documents():
+        docs = documents_as_docs(load_table(spark, sf_dir, "documents"))
+        res = DedupPipeline(cfg).run(spark, docs)
+        return res.clusters.count()
+
+    synth_cache = {}
+
+    def _synth_docs():
+        if "df" not in synth_cache:
+            corpus = generate_source_files(SYNTH_ROWS, seed=42)
+            synth_cache["df"] = (
+                corpus_to_df(spark, corpus).select("doc_id", "content")
+                .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+                .cache()
+            )
+            synth_cache["df"].count()  # pay generation+upload outside the timer
+        return synth_cache["df"]
+
+    def dedup_synthetic():
+        res = DedupPipeline(cfg).run(spark, _synth_docs())
+        return res.clusters.count()
+
+    def q(name):
+        fn = entrymod.queries()[name]
+        return lambda: _force(fn(spark, sf_dir))
+
+    return {
+        "dedup_documents": dedup_documents,
+        "dedup_synthetic": dedup_synthetic,
+        "lastwins_latest_event": q("lastwins_latest_event"),
+        "window_counts": q("window_counts"),
+        "exact_dup_groups": q("exact_dup_groups"),
+        "token_stats_by_lang": q("token_stats_by_lang"),
+        "doc_quality": q("doc_quality"),
+        "embedding_topk_brute": q("embedding_topk_brute"),
+        "embedding_near_dups": q("embedding_near_dups"),
+        "srp_ann_topk": q("srp_ann_topk"),
+        "tpch_q1": q("tpch_q1"),
+        "join_orders_nation": q("join_orders_nation"),
+    }, {"dedup_synthetic_rows": SYNTH_ROWS}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from go_pipeline_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="bench")
+
+    queries, meta = bench_queries(spark, args.sf_dir)
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(queries)
+        if unknown:
+            print(
+                f"error: unknown query name(s): {sorted(unknown)}; "
+                f"available: {sorted(queries)}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        queries = {k: v for k, v in queries.items() if k in keep}
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    throughput = {}
+    if "dedup_synthetic" in timings and timings["dedup_synthetic"] > 0:
+        throughput["dedup_synthetic_files_per_sec"] = round(
+            meta["dedup_synthetic_rows"] / timings["dedup_synthetic"], 1
+        )
+    out = {
+        "metric": "headline query wall time (dedup pipeline + operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "throughput": throughput,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

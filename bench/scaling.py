@@ -1,0 +1,102 @@
+"""Scaling-efficiency evidence: same job + same input at local[8] vs local[32].
+
+Sandbox proxy for the north_rule's N-vs-4N-executor criterion (per driver
+instructions): runs the synthetic dedup pipeline in two fresh subprocesses
+(clean JVM per parallelism level), reports files/sec at both and
+efficiency = (T_8 / T_32) / 4, and rewrites the measured section of
+BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [--rows 20000] [--repeat 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_once(cpus: int, rows: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SYNTH_ROWS"] = str(rows)
+    cmd = [
+        sys.executable, str(REPO / "bench.py"),
+        "--only", "dedup_synthetic", "--cpus", str(cpus),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=str(REPO), timeout=3600
+    )
+    last = out.stdout.strip().splitlines()[-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    results = {}
+    for cpus in (8, 32):
+        best = None
+        for _ in range(args.repeat):
+            r = run_once(cpus, args.rows)
+            t = r["queries"]["dedup_synthetic"]
+            best = t if best is None else min(best, t)
+        results[cpus] = best
+        print(f"local[{cpus}]: {best:.2f}s  "
+              f"({args.rows / best:.0f} files/sec)", file=sys.stderr)
+
+    t8, t32 = results[8], results[32]
+    eff = (t8 / t32) / 4
+    summary = {
+        "rows": args.rows,
+        "t_local8_sec": round(t8, 3),
+        "t_local32_sec": round(t32, 3),
+        "files_per_sec_local8": round(args.rows / t8, 1),
+        "files_per_sec_local32": round(args.rows / t32, 1),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(summary))
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = f"""# BENCH/BASELINE.md — measured scaling + throughput
+
+Sandbox proxy for the north_rule two-cluster-size criterion: the SAME job
+(full near-dup pipeline: normalize -> sha/exact-dedup -> MinHash ->
+LSH(b=16,r=8) -> verify -> SimHash -> containment -> connected components)
+over the SAME deterministic synthetic corpus ({args.rows} source files,
+seed 42), at two parallelism levels in fresh JVMs.
+
+| parallelism | wall time (s) | throughput (files/sec) |
+|---|---|---|
+| local[8]  (N)  | {t8:.2f} | {args.rows / t8:,.0f} |
+| local[32] (4N) | {t32:.2f} | {args.rows / t32:,.0f} |
+
+**Scaling efficiency (N -> 4N) = (T_N / T_4N) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json; values near/above are gated by the fixed
+per-job driver overhead at this corpus size — see bench.py for the knobs).
+
+Reference baseline (go-pipeline, single Go process, Apple M4): ~4-6.8M
+items/sec at 146-250 ns/item (BASELINE.md). That workload is a raw
+buffer append+flush; the comparable stage here is the normalize+sha scan,
+while the full pipeline additionally computes 128-perm MinHash signatures,
+LSH joins, verification, winnowing containment, and clustering per file.
+
+Measured {summary['measured_at']} on local mode ({os.cpu_count()} host cores).
+Raw JSON: `{json.dumps(summary)}`
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(f"wrote {bench_dir / 'BASELINE.md'}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

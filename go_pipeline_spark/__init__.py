@@ -1,0 +1,17 @@
+"""go_pipeline_spark — a from-scratch PySpark-native near-duplicate detection and
+clustering engine with the data-processing capabilities of rushairer/go-pipeline
+(size/time-window batching, keyed last-wins dedup, backpressure, error/metrics
+hooks, drain/resume), reimagined as distributed data-layer transforms.
+
+Reference semantics (cited per-module as /root/reference/<file>:<line>):
+  - StandardPipeline   -> micro-batch sizing (Arrow batch size, partition counts)
+  - DeduplicationPipeline -> keyed last-wins dedup (operators.dedup.lastwins)
+  - FlushInterval      -> time-window aggregation / streaming triggers
+  - error/metrics hooks -> metrics.StageMetrics + quarantine tables
+  - drain/close/resume -> plans.snapshots checkpointed stage runner
+"""
+
+from go_pipeline_spark.config import PipelineConfig
+
+__all__ = ["PipelineConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,90 @@
+"""Pipeline configuration.
+
+Mirrors the reference's ``PipelineConfig`` (/root/reference/config.go:6-23) in
+spirit: one frozen value object that fully determines a run, validated with
+defaults (``ValidateOrDefault``, /root/reference/config.go:26-37). Here the
+knobs are the dedup-engine parameters fixed by BASELINE.json north_star
+(k=5 char shingles, 128-perm MinHash, LSH b=16 x r=8, SimHash fallback) plus
+the Spark partitioning/batching knobs that stand in for BufferSize /
+FlushSize / FlushInterval (/root/reference/config.go:8-12).
+
+Every hash seed lives here so that signatures are bit-reproducible across the
+Spark pipeline, the pure-numpy oracle, and re-runs (SURVEY.md §7 hard-part a).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- signature scheme (BASELINE.json north_star, verbatim constants) ---
+    shingle_k: int = 5                # char shingle length
+    num_perm: int = 128               # MinHash permutations
+    lsh_bands: int = 16               # b
+    lsh_rows: int = 8                 # r  (b * r == num_perm)
+    minhash_seed: int = 4202026       # seeds the (a, b) permutation params
+    shingle_base: int = 1099511628211  # FNV-1a prime, rolling-hash base
+
+    # SimHash fallback for short files (< short_doc_chars after normalization)
+    simhash_bits: int = 64
+    simhash_hamming_threshold: int = 3   # candidate if hamming distance <= this
+    short_doc_chars: int = 50            # FIXTURES.md: short files < 50 chars
+
+    # --- verification thresholds ---
+    jaccard_threshold: float = 0.70      # est. Jaccard (signature agreement) cut
+    exact_verify_band: tuple[float, float] = (0.50, 0.90)
+    # pairs whose estimated Jaccard falls inside the band are re-verified with
+    # exact shingle-set Jaccard on content (SURVEY.md N9)
+
+    # containment (winnowing fingerprints -> suffix-array verify, SURVEY.md N10)
+    containment_k: int = 25              # winnowing gram length. MOSS-style
+    #                                      k≈25-50 for code: 5-grams are far
+    #                                      too low-entropy in template-heavy
+    #                                      corpora (every fingerprint goes hot)
+    winnow_window: int = 48              # guarantee: shared substring of length
+    #                                      >= winnow_window + containment_k - 1
+    #                                      shares >= 1 fingerprint (Schleimer
+    #                                      et al., SIGMOD'03 winnowing)
+    containment_min_chars: int = 100     # only docs >= this are containment
+    #                                      candidates (tiny strings match everywhere)
+    containment_fp_fraction: float = 0.5  # candidate pair needs shared
+    #                                      fingerprints >= this fraction of the
+    #                                      inner doc's fingerprint count (true
+    #                                      containment shares ~all of them)
+
+    # --- batching / backpressure (≙ BufferSize/FlushSize, config.go:8-12) ---
+    shuffle_partitions: int = 32
+    arrow_batch_size: int = 10_000       # spark.sql.execution.arrow.maxRecordsPerBatch
+    bucket_cap: int = 64                 # max members per LSH bucket before
+    #                                      deterministic truncation (SURVEY.md N8);
+    #                                      dropped members are *counted*, never
+    #                                      silently discarded
+    salt_buckets: int = 8                # salt fan-out for hot-key repartition
+
+    # --- clustering ---
+    cc_max_iterations: int = 50          # large-star/small-star fixpoint bound
+
+    # --- lifecycle (≙ DrainOnCancel / FinalFlushOnCloseTimeout, config.go:13-22) ---
+    resume: bool = True                  # skip stages with committed snapshots
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+        if self.shingle_k < 1 or self.num_perm < 1:
+            raise ValueError("shingle_k and num_perm must be >= 1")
+
+    def config_hash(self) -> str:
+        """Stable digest of every semantic knob; stamped into snapshot
+        manifests so a resume with different config invalidates checkpoints."""
+        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

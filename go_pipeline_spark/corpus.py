@@ -1,0 +1,159 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1/F2).
+
+Generates the `source_files(repo, path, commit, lang, content)` table from
+(seed, n_rows) alone — schema per BASELINE.json input_hint — with planted
+structure whose ground truth is emitted alongside:
+
+  * exact duplicates      (~10%)  -> expected sha256 groups
+  * near duplicates       (~15%)  -> expected dup pairs (Jaccard ~0.85-0.98)
+  * containments          (~3%)   -> base file embedded verbatim in a bigger file
+  * short files           (~5%)   -> SimHash fallback exercise (< 50 chars)
+  * hot boilerplate header (~10% of rows share one license header) -> LSH skew
+  * negatives             (rest)  -> pairwise Jaccard < 0.5
+
+The planted pairs ARE the recall oracle: the generator knows which rows are
+duplicates by construction, mirroring how the reference's tests know their
+expected unique-key counts up front
+(/root/reference/tests/pipeline_deduplication_test.go:98-106).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+_KEYWORDS = ["def", "return", "if", "else", "for", "while", "class", "import",
+             "try", "except", "with", "yield", "lambda", "assert", "raise"]
+_IDENTS = ["counter", "buffer", "payload", "handler", "config", "result",
+           "index", "stream", "worker", "batch", "cursor", "packet", "token",
+           "window", "matrix", "vector", "cache", "queue", "node", "graph"]
+_EXT_LANG = {"py": "python", "go": "go", "js": "javascript", "java": "java",
+             "md": "markdown"}
+
+LICENSE_HEADER = (
+    "# Licensed under the Apache License, Version 2.0 (the 'License');\n"
+    "# you may not use this file except in compliance with the License.\n"
+    "# You may obtain a copy of the License at http://www.apache.org/licenses/\n"
+    "# Unless required by applicable law or agreed to in writing, software\n"
+    "# distributed under the License is distributed on an 'AS IS' BASIS.\n"
+)
+
+
+@dataclass
+class SyntheticCorpus:
+    """rows: list of (repo, path, commit, lang, content).
+    expected_pairs: (id_a, id_b, kind) with id = row index, id_a < id_b,
+    kind in {exact, near, containment}. expected_clusters: union-find over
+    expected pairs, id -> min-id of its component."""
+
+    rows: list[tuple[str, str, str, str, str]] = field(default_factory=list)
+    expected_pairs: list[tuple[int, int, str]] = field(default_factory=list)
+
+    def expected_clusters(self) -> dict[int, int]:
+        parent = list(range(len(self.rows)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _ in self.expected_pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(len(self.rows))}
+
+
+def _base_file(rng: random.Random, n_lines: int, with_header: bool) -> str:
+    lines = [LICENSE_HEADER.rstrip("\n")] if with_header else []
+    for _ in range(n_lines):
+        kw = rng.choice(_KEYWORDS)
+        idents = [rng.choice(_IDENTS) for _ in range(rng.randint(1, 4))]
+        indent = " " * (4 * rng.randint(0, 3))
+        if kw == "def":
+            lines.append(f"{indent}def {idents[0]}_{rng.randint(0, 999)}({', '.join(idents[1:]) or 'x'}):")
+        elif kw in ("if", "while"):
+            lines.append(f"{indent}{kw} {idents[0]} > {rng.randint(0, 100)}:")
+        elif kw == "import":
+            lines.append(f"import {idents[0]}")
+        else:
+            lines.append(f"{indent}{idents[0]} = {kw}_{rng.randint(0, 99)}({', '.join(idents[1:])})")
+    return "\n".join(lines) + "\n"
+
+
+def _mutate(rng: random.Random, content: str) -> str:
+    """Light mutation -> Jaccard ~0.85-0.98 vs the base (FIXTURES.md)."""
+    lines = content.split("\n")
+    op = rng.random()
+    if op < 0.4 and len(lines) > 4:  # rename one identifier everywhere
+        old = rng.choice(_IDENTS)
+        new = old + str(rng.randint(100, 999))
+        lines = [ln.replace(old, new) for ln in lines]
+    elif op < 0.7 and len(lines) > 4:  # insert 1-3 lines
+        for _ in range(rng.randint(1, 3)):
+            pos = rng.randint(1, len(lines) - 1)
+            lines.insert(pos, f"    {rng.choice(_IDENTS)} = {rng.randint(0, 9)}")
+    elif len(lines) > 6:  # delete 1-2 lines
+        for _ in range(rng.randint(1, 2)):
+            lines.pop(rng.randint(1, len(lines) - 2))
+    else:
+        lines.append(f"# trailing note {rng.randint(0, 9)}")
+    return "\n".join(lines)
+
+
+def _meta(rng: random.Random, i: int, seed: int) -> tuple[str, str, str, str]:
+    ext = rng.choice(list(_EXT_LANG))
+    repo = f"org{i % 7}/repo{i % 97}"
+    path = f"src/{rng.choice(_IDENTS)}/{rng.choice(_IDENTS)}{i}.{ext}"
+    commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()[:12]
+    return repo, path, commit, _EXT_LANG[ext]
+
+
+def generate_source_files(n_rows: int = 5000, seed: int = 42) -> SyntheticCorpus:
+    rng = random.Random(seed)
+    corpus = SyntheticCorpus()
+    rows = corpus.rows
+    pairs = corpus.expected_pairs
+    bases: list[int] = []  # indices usable as mutation/copy bases
+
+    for i in range(n_rows):
+        repo, path, commit, lang = _meta(rng, i, seed)
+        roll = rng.random()
+        if roll < 0.10 and bases:  # exact duplicate of an earlier base
+            src = rng.choice(bases)
+            content = rows[src][4]
+            pairs.append((src, i, "exact"))
+        elif roll < 0.25 and bases:  # near duplicate
+            src = rng.choice(bases)
+            content = _mutate(rng, rows[src][4])
+            if content == rows[src][4]:
+                pairs.append((src, i, "exact"))
+            else:
+                pairs.append((src, i, "near"))
+        elif roll < 0.28 and bases:  # containment: base embedded in larger file
+            src = rng.choice(bases)
+            filler_a = _base_file(rng, rng.randint(5, 15), False)
+            filler_b = _base_file(rng, rng.randint(5, 15), False)
+            content = filler_a + rows[src][4] + filler_b
+            pairs.append((src, i, "containment"))
+        elif roll < 0.33:  # short file (SimHash fallback path)
+            content = " ".join(rng.choice(_IDENTS) for _ in range(rng.randint(1, 5)))[:45]
+        else:  # fresh negative (10% carry the hot boilerplate header)
+            content = _base_file(rng, rng.randint(8, 60), with_header=rng.random() < 0.10)
+            bases.append(i)
+        rows.append((repo, path, commit, lang, content))
+    return corpus
+
+
+def generate_kv_dedup(n_rows: int = 1000, n_keys: int = 26, seed: int = 42):
+    """FIXTURES.md F2 — keyed last-wins fixture mirroring the reference's
+    DedupTestData payload (/root/reference/tests/pipeline_deduplication_test.go:14-19)
+    with an explicit `seq` arrival-order column (distributed stand-in for
+    channel arrival order)."""
+    rows = []
+    for seq in range(n_rows):
+        key = f"ID-{chr(65 + (seq // 10) % n_keys)}"
+        rows.append((seq, key, f"User-{seq}", "100 Main St", 20 + seq % 50))
+    return rows  # (seq, id, name, address, age)

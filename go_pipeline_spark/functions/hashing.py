@@ -1,0 +1,164 @@
+"""Numpy core for shingling / MinHash / SimHash / winnowing.
+
+This module is the single source of truth for every signature computed in the
+engine: the Spark pandas UDFs (functions/minhash.py) and the single-process
+reference oracle (oracle.py) both import it, which is what makes signatures
+bit-identical between the distributed pipeline and the oracle — the
+reproducibility contract of SURVEY.md §7 hard-part (a). All state derives
+from PipelineConfig seeds; no global RNG.
+
+Math notes
+----------
+* Shingle hash: k-byte rolling polynomial hash mod 2**64 (uint64 wraparound),
+  mixed (xor-shift) and truncated to 32 bits. 32-bit shingle space keeps the
+  MinHash permutation `a*x + b` inside uint64 without mulmod gymnastics:
+  a, x < 2**32  =>  a*x + b < 2**64.
+* MinHash: h_i(x) = mix64(x XOR key_i) where mix64 is the splitmix64
+  finalizer (Steele et al.) and key_i is a per-permutation random 64-bit
+  key; signature_i = min over the doc's distinct shingle hashes, 128
+  permutations (north_star). NOTE: the textbook linear family
+  (a*x+b) mod 2**61-1 with 32-bit x is measurably min-wise BIASED here
+  (the product spans only [0, 2**64) ~ 8p, so small x dominate the min;
+  observed P(min collision) 0.47 at true J 0.67) — a full-avalanche mixer
+  per permutation is the standard unbiased fix.
+* SimHash: 64-bit, sign-aggregated over per-shingle hashes (Charikar'02),
+  used as the short-document fallback (north_star).
+* Winnowing: Schleimer/Wilkerson/Aiken (SIGMOD'03) local-minimum fingerprint
+  selection; any shared substring of length >= w + k - 1 shares at least one
+  fingerprint — the candidate generator for exact-substring containment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MERSENNE_P = np.uint64((1 << 61) - 1)
+EMPTY_SIG_VALUE = np.int64((1 << 61) - 1)  # sentinel signature for docs with no shingles
+_U32_MASK = np.uint64(0xFFFFFFFF)
+
+
+def perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-permutation 64-bit mix keys, fixed by seed.
+
+    Returned as a 2-tuple (keys, unused) to keep the historical call shape
+    `a, b = perm_params(...)`; only the first array matters.
+    """
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 1 << 64, size=num_perm, dtype=np.uint64)
+    unused = np.zeros(num_perm, dtype=np.uint64)
+    return keys, unused
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: full-avalanche 64-bit mix (wrapping uint64)."""
+    with np.errstate(over="ignore"):
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+
+def _pow_series(base: int, k: int) -> np.ndarray:
+    """[base^(k-1), ..., base^0] mod 2**64 (uint64 wraparound)."""
+    out = np.empty(k, dtype=np.uint64)
+    acc = 1
+    for i in range(k - 1, -1, -1):
+        out[i] = acc
+        acc = (acc * base) & 0xFFFFFFFFFFFFFFFF  # mod 2**64 in python ints
+    return out
+
+
+def shingle_hashes(
+    data: bytes, k: int, base: int, *, unique: bool = True
+) -> np.ndarray:
+    """32-bit hashes of all k-byte shingles of ``data`` (uint64 dtype).
+
+    Vectorized: sliding windows via stride tricks, one fused multiply-sum.
+    Returns positional hashes when unique=False (needed by winnowing).
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) < k:
+        return np.empty(0, dtype=np.uint64)
+    powers = _pow_series(base, k)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    h = (windows * powers).sum(axis=1)  # uint64 wraparound arithmetic
+    h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h = (h ^ (h >> np.uint64(33))) & _U32_MASK
+    if unique:
+        return np.unique(h)
+    return h
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """128-long MinHash signature (int64) of a distinct-shingle-hash set."""
+    num_perm = len(a)
+    if shingles.size == 0:
+        return np.full(num_perm, EMPTY_SIG_VALUE, dtype=np.int64)
+    vals = _mix64(shingles[None, :] ^ a[:, None])
+    # min computed in uint64; stored reinterpreted as int64 (Spark LongType)
+    return vals.min(axis=1).astype(np.int64)
+
+
+def simhash64(shingles: np.ndarray) -> np.int64:
+    """64-bit SimHash over (possibly repeated) shingle hashes.
+
+    Uses a second mix to spread the 32-bit shingle hashes over 64 bits before
+    the per-bit sign aggregation.
+    """
+    if shingles.size == 0:
+        return np.int64(0)
+    h = shingles * np.uint64(0x9E3779B97F4A7C15)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> np.uint64(32))
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out.astype(np.int64)  # two's-complement reinterpret for Spark LongType
+
+
+def hamming64(x: int, y: int) -> int:
+    return int(bin((int(x) ^ int(y)) & ((1 << 64) - 1)).count("1"))
+
+
+def winnow_fingerprints(data: bytes, k: int, base: int, window: int) -> np.ndarray:
+    """Winnowing fingerprint selection (distinct hashes, uint64 dtype).
+
+    Selects the minimum shingle hash in every sliding window of ``window``
+    consecutive shingles (rightmost minimum on ties, per the paper), then
+    dedupes. Guarantee: two strings sharing a substring of length
+    >= window + k - 1 share at least one fingerprint.
+    """
+    h = shingle_hashes(data, k, base, unique=False)
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= window:
+        return np.unique(h.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost minimum: argmin on the reversed window
+    idx = window - 1 - np.argmin(sw[:, ::-1], axis=1)
+    picks = sw[np.arange(len(sw)), idx]
+    return np.unique(picks)
+
+
+def band_hashes(signature: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """LSH band hashes: one 64-bit hash per band of ``rows`` signature slots.
+
+    Only used by the oracle — the Spark pipeline computes band hashes JVM-side
+    with the same FNV-style fold (functions/minhash.py keeps them in sync via
+    tests, not by sharing code: the Spark side must stay in codegen).
+    """
+    sig = signature.astype(np.uint64)
+    out = np.empty(bands, dtype=np.uint64)
+    mask = 0xFFFFFFFFFFFFFFFF
+    for i in range(bands):
+        acc = 1469598103934665603  # FNV-1a offset basis (python int: no overflow)
+        for v in sig[i * rows : (i + 1) * rows]:
+            acc = ((acc ^ int(v)) * 1099511628211) & mask
+        out[i] = acc
+    return out

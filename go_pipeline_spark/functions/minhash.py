@@ -1,0 +1,113 @@
+"""Arrow-vectorized signature UDFs (MinHash / SimHash / winnowing).
+
+The only Python compute in the hot path (SURVEY.md N4-N5, N7): everything
+else in the pipeline is JVM-side. Each UDF is a pandas_udf (Series in/out,
+Arrow batches sized by PipelineConfig.arrow_batch_size ≙ the reference's
+FlushSize, /root/reference/config.go:10-11); the numpy core in
+functions/hashing.py does the per-document work, so the Python loop is over
+documents in a batch, never over characters or shingles.
+
+Permutation parameters are deterministic from PipelineConfig.minhash_seed and
+are re-derived inside each executor (cheap: 2x128 ints) instead of shipping a
+broadcast — keeps the UDFs closure-free and re-usable across sessions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.functions import hashing
+
+
+def make_minhash_udf(cfg: PipelineConfig):
+    """content(normalized) -> array<long> MinHash signature of length num_perm."""
+    k, base, num_perm, seed = cfg.shingle_k, cfg.shingle_base, cfg.num_perm, cfg.minhash_seed
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        a, b = hashing.perm_params(num_perm, seed)
+        out = []
+        for t in texts:
+            sh = hashing.shingle_hashes((t or "").encode("utf-8"), k, base)
+            out.append(hashing.minhash_signature(sh, a, b).tolist())
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def make_simhash_udf(cfg: PipelineConfig):
+    """content(normalized) -> 64-bit SimHash (long). Short-doc fallback (N7)."""
+    k, base = cfg.shingle_k, cfg.shingle_base
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = hashing.shingle_hashes(
+                (t or "").encode("utf-8"), k, base, unique=False
+            )
+            out.append(int(hashing.simhash64(sh)))
+        return pd.Series(out)
+
+    return simhash
+
+
+def make_winnow_udf(cfg: PipelineConfig):
+    """content(normalized) -> array<long> winnowing fingerprints (N10 candidates)."""
+    k, base, w = cfg.containment_k, cfg.shingle_base, cfg.winnow_window
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            fp = hashing.winnow_fingerprints((t or "").encode("utf-8"), k, base, w)
+            out.append(fp.astype("int64").tolist())
+        return pd.Series(out)
+
+    return winnow
+
+
+def make_shingle_count_udf(cfg: PipelineConfig):
+    """content(normalized) -> number of distinct shingle hashes (long)."""
+    k, base = cfg.shingle_k, cfg.shingle_base
+
+    @F.pandas_udf(T.LongType())
+    def shingle_count(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                len(hashing.shingle_hashes((t or "").encode("utf-8"), k, base))
+                for t in texts
+            ]
+        )
+
+    return shingle_count
+
+
+def make_exact_jaccard_udf(cfg: PipelineConfig):
+    """(normalized_a, normalized_b) -> exact shingle-set Jaccard (double).
+
+    Used only on the borderline band of candidate pairs (SURVEY.md N9), so
+    the recompute cost is bounded by the band width, not the corpus size.
+    """
+    k, base = cfg.shingle_k, cfg.shingle_base
+
+    @F.pandas_udf(T.DoubleType())
+    def exact_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, y in zip(a, b):
+            sx = hashing.shingle_hashes((x or "").encode("utf-8"), k, base)
+            sy = hashing.shingle_hashes((y or "").encode("utf-8"), k, base)
+            if len(sx) == 0 and len(sy) == 0:
+                out.append(1.0)
+                continue
+            inter = np.intersect1d(sx, sy, assume_unique=True).size
+            union = len(sx) + len(sy) - inter
+            out.append(inter / union if union else 0.0)
+        return pd.Series(out)
+
+    return exact_jaccard

@@ -1,0 +1,52 @@
+"""Content normalization — defined ONCE, in two synchronized forms.
+
+`normalize_col` is the JVM-side (codegen'd, whole-stage) Spark expression used
+by the pipeline; `normalize_py` is the bit-identical Python form used by the
+single-process oracle and by exact-verification UDFs. The pytest suite pins
+their equivalence on the synthetic corpus, because every downstream signature
+(shingles, MinHash, SimHash, winnowing) hashes the *normalized* text.
+
+Rules (applied in order):
+  1. drop U+FEFF BOM characters
+  2. CRLF / CR -> LF
+  3. lowercase
+  4. collapse runs of spaces/tabs to a single space
+  5. drop trailing spaces before newlines; trim the whole string
+
+Deliberately JVM-expressible (regexp_replace/lower/trim) — normalization runs
+over 100% of input bytes, so it must stay inside whole-stage codegen rather
+than crossing the Arrow boundary (SURVEY.md N3 revisited: built-ins beat a
+pandas UDF here).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_col(col: Column) -> Column:
+    c = F.regexp_replace(col, "\ufeff", "")
+    c = F.regexp_replace(c, "\r\n?", "\n")
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[ \t]+", " ")
+    c = F.regexp_replace(c, " \n", "\n")
+    # explicit class: Spark trim() strips only spaces, Python strip() strips
+    # unicode whitespace — an anchored regexp is identical in both engines
+    return F.regexp_replace(c, "^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")
+
+
+_WS = re.compile(r"[ \t]+")
+_CR = re.compile(r"\r\n?")
+_EDGE = re.compile(r"^[ \t\n\r\f]+|[ \t\n\r\f]+$")
+
+
+def normalize_py(text: str) -> str:
+    t = text.replace("\ufeff", "")
+    t = _CR.sub("\n", t)
+    t = t.lower()
+    t = _WS.sub(" ", t)
+    t = t.replace(" \n", "\n")
+    return _EDGE.sub("", t)

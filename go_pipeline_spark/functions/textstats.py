@@ -1,0 +1,103 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All JVM-side (`pyspark.sql.functions` only — regexp/length/split stay inside
+whole-stage codegen; no Python in these paths). Each function returns a
+Column so operators can compose them; the matching ANSI-SQL (DuckDB) forms
+live in __spark_entry__.oracle_sql so every one of these is oracle-checked.
+
+Covers the training-data text ops the engine owes beyond the reference's
+surface: token counting, quality scoring, language ID (stopword-marker
+heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# word-marker sets for the language-ID heuristic; chosen to be disjoint and
+# SQL-expressible (the DuckDB oracle uses the same regexes verbatim)
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|von|auf)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|pas)\b",
+    "es": r"\b(el|los|las|es|una|para|con|por|del|como)\b",
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens; empty string -> 0."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: words + digits + punctuation runs, the
+    regex families a byte-level BPE splits on (letters runs / digit runs /
+    single punctuation)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, "[^A-Za-z]", "")) / n.cast("double")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}]", "")) / n.cast("double")
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = token_count(col)
+    stops = F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_MARKERS[lang]), 0))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(stops / toks.cast("double"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, alphabetic, not
+    punctuation soup, some stopwords (prose-ness). Weights documented in
+    the oracle SQL — keep both in sync."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.25) * length_term
+        + F.lit(0.35) * alpha_ratio(col)
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0)))
+        + F.lit(0.15) * F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    )
+
+
+def lang_marker_counts(col: Column) -> dict[str, Column]:
+    low = F.lower(col)
+    return {
+        lang: F.size(F.regexp_extract_all(low, F.lit(rx), 0))
+        for lang, rx in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over marker counts; 'und' (undetermined) when all zero.
+    Deterministic tie-break: language order en > de > fr > es (strictly-
+    greater comparison in declaration order)."""
+    counts = lang_marker_counts(col)
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in LANG_MARKERS:  # insertion order = priority order
+        c = counts[lang]
+        cond = c > best_n
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(cond, c).otherwise(best_n)
+    return best_lang
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the exact content — the
+    cheap JVM-side identity for joins/sharding (sha256 stays the auditable
+    invariant; this is the hot-path key)."""
+    return F.xxhash64(col)

@@ -1,0 +1,78 @@
+"""Per-stage lineage + counter metrics and the quarantine side-channel.
+
+The distributed analogue of the reference's MetricsHook
+(/root/reference/pipeline_impl.go:15-23 — Flush(items, duration), Error,
+ErrorDropped) and its non-blocking error channel
+(/root/reference/pipeline_impl.go:352-368): at 10^12 rows, errors and
+counters must be *data* (accumulators + appended metrics rows), never
+exceptions or blocking channels. The counter set mirrors the reference's
+Prometheus example (examples/metrics_prometheus_example.go:25-36:
+flush_total, flush_items, flush_duration, errors_total, dropped_total).
+
+Metrics rows follow FIXTURES.md F3:
+  metrics(run_id, stage, items_in, items_out, errors, dropped, duration_ms, ts)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+METRICS_SCHEMA = (
+    "run_id string, stage string, items_in long, items_out long, "
+    "errors long, dropped long, duration_ms double, ts timestamp"
+)
+
+QUARANTINE_SCHEMA = (
+    "run_id string, stage string, doc_id long, error string, ts timestamp"
+)
+
+
+@dataclass
+class StageMetrics:
+    run_id: str
+    rows: list[tuple] = field(default_factory=list)
+    quarantine_rows: list[tuple] = field(default_factory=list)
+
+    def record(
+        self,
+        stage: str,
+        items_in: int,
+        items_out: int,
+        duration_s: float,
+        errors: int = 0,
+        dropped: int = 0,
+    ) -> None:
+        from datetime import datetime, timezone
+
+        self.rows.append(
+            (
+                self.run_id,
+                stage,
+                items_in,
+                items_out,
+                errors,
+                dropped,
+                duration_s * 1000.0,
+                datetime.now(timezone.utc).replace(tzinfo=None),
+            )
+        )
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.rows, METRICS_SCHEMA)
+
+    def quarantine_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.quarantine_rows, QUARANTINE_SCHEMA)
+
+
+class StageTimer:
+    """with StageTimer() as t: ...; t.seconds"""
+
+    def __enter__(self) -> "StageTimer":
+        self.start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.seconds = time.perf_counter() - self.start

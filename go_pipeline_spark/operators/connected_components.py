@@ -1,0 +1,110 @@
+"""Connected components via alternating large-star / small-star joins.
+
+The algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SoCC'14), named explicitly by BASELINE.json north_star. Converges in
+O(log^2 n) rounds (O(log n) in practice) on DataFrame self-joins — no GraphX
+dependency, works at any scale the shuffle survives.
+
+    large-star: for each node u, connect every neighbor v > u to
+                m = min(N(u) ∪ {u})
+    small-star: for each node u, connect every neighbor v <= u (and u) to
+                m = min(N(u) ∪ {u})
+
+Driver loop with per-iteration localCheckpoint() to truncate lineage
+(SURVEY.md N11); convergence = edge-set checksum fixpoint, bounded by
+cfg.cc_max_iterations. The loop is the ONE place the engine runs a
+driver-side iteration — each round is still a fully distributed
+aggregate/join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(uv: DataFrame) -> DataFrame:
+    """(u, v) edge list -> symmetric, self-loop-free, distinct."""
+    rev = uv.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return uv.unionByName(rev).where(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Emit (v, m) for every neighbor v > u, m = min(N(u) ∪ {u})."""
+    grouped = sym.groupBy("u").agg(
+        F.collect_set("v").alias("nbrs"),
+        F.least(F.min("v"), F.first("u")).alias("m"),
+    )
+    return (
+        grouped.select("u", "m", F.explode("nbrs").alias("v"))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Emit (v, m) for every neighbor v <= u plus (u, m), m = min(N(u) ∪ {u})."""
+    grouped = sym.groupBy("u").agg(
+        F.filter(F.collect_set("v"), lambda v: v <= F.col("u")).alias("small_nbrs"),
+        F.least(F.min("v"), F.first("u")).alias("m"),
+    )
+    self_edge = grouped.select(F.col("u"), F.col("m").alias("v"))
+    nbr_edges = grouped.select(
+        F.explode("small_nbrs").alias("u"), F.col("m").alias("v")
+    )
+    return (
+        self_edge.unionByName(nbr_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum of 31-bit hash terms: order-insensitive, cannot
+    # overflow below ~10^28 edges (ANSI mode makes long sums throw)
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31)).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """edges(src, dst) -> assignments(doc_id, component) where component is
+    the minimum node id in the doc's component. Nodes with no edges are not
+    emitted (callers union isolated nodes as their own component)."""
+    spark = edges.sparkSession
+    if edges.isEmpty():
+        return spark.createDataFrame([], "doc_id long, component long")
+
+    cur = _symmetrize(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iterations):
+        ls = _symmetrize(_large_star(cur))
+        cur2 = _small_star(ls).localCheckpoint(eager=True)
+        cur_sum = _checksum(cur2)
+        cur = _symmetrize(cur2)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # After convergence the (u, v) edges form stars: v is the component min.
+    assign = (
+        cur.where(F.col("v") < F.col("u"))
+        .groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("doc_id"), "component")
+    )
+    roots = assign.select(F.col("component").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    )
+    return assign.unionByName(roots)

@@ -1,0 +1,226 @@
+"""Exact-substring containment (SURVEY.md N10).
+
+MinHash/LSH cannot find containments: if A ⊂ B with |B| >> |A| the Jaccard
+|A|/|B| is small, so A and B never collide in a band. Dedicated path:
+
+  candidates: winnowing fingerprints (functions/hashing.winnow_fingerprints)
+      — any shared substring of length >= winnow_window + k - 1 shares a
+      fingerprint (Schleimer et al. SIGMOD'03), so bucketing docs by
+      fingerprint and pairing (shorter, longer) within a bucket has perfect
+      recall for contained docs longer than that bound. Fingerprint buckets
+      are capped with the same two-phase deterministic rule as LSH buckets
+      (hot fingerprints = boilerplate headers).
+
+  verify: group candidates by container doc; `applyInPandas` builds a suffix
+      array (numpy rank-doubling, O(n log^2 n)) over the container's
+      normalized content ONCE per container and binary-searches each
+      candidate — so a container checked against m candidates costs
+      O(n log^2 n + m * len_a * log n), not m full scans.
+
+At 10^12 scale the container content join is the expensive move; the
+candidate set is already fingerprint-filtered, and groups are bounded by the
+fingerprint-bucket cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+
+
+def suffix_array(s: bytes) -> np.ndarray:
+    """Suffix array via numpy rank-doubling (Manber-Myers), O(n log^2 n)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        prev = order[:-1]
+        curr = order[1:]
+        bump = (rank[curr] != rank[prev]) | (key2[curr] != key2[prev])
+        new_rank[order] = np.concatenate(([0], np.cumsum(bump)))
+        rank = new_rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def sa_contains(text: bytes, sa: np.ndarray, needle: bytes) -> bool:
+    """Binary search the suffix array for ``needle`` as a prefix of a suffix."""
+    lo, hi = 0, len(sa)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        start = sa[mid]
+        if text[start : start + len(needle)] < needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    if lo == len(sa):
+        return False
+    start = sa[lo]
+    return text[start : start + len(needle)] == needle
+
+
+def containment_candidates(
+    docs: DataFrame, cfg: PipelineConfig, fp_col: str = "winnow_fps"
+) -> DataFrame:
+    """docs(doc_id, n_chars, winnow_fps) -> (inner, outer) candidate pairs.
+
+    Containment implies the outer doc reproduces essentially ALL of the
+    inner's winnowing fingerprints (translation-invariant local minima), so
+    a pair is a candidate only when the shared-fingerprint count reaches
+    `containment_fp_fraction` of the inner's RARE-fingerprint count. Hot
+    fingerprints — document frequency above bucket_cap — are boilerplate
+    (license headers, template lines): they carry no containment signal and
+    are excluded from both the shared count and the denominator, IDF-style.
+    The shared count is the pair's multiplicity across the remaining
+    rare-fingerprint buckets — a skinny (src, dst) aggregation, NO content
+    touched. This keeps boilerplate-heavy corpora from exploding into
+    millions of single-fingerprint false candidates while preserving recall
+    for genuinely embedded documents.
+
+    (inner, outer) ordered by (length, id); inner must be
+    >= containment_min_chars.
+    """
+    buckets = docs.select(
+        "doc_id", F.explode(F.col(fp_col)).alias("fp")
+    )
+    # fingerprint document-frequency; map-side combinable, skew-immune
+    sizes = buckets.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    scored_buckets = buckets.join(sizes, "fp")
+    # hot fingerprints (df > bucket_cap) are boilerplate — no containment
+    # signal; excluded from the shared count AND the denominator (IDF-style)
+    rare = scored_buckets.where(F.col("df") <= cfg.bucket_cap)
+    pairable = (
+        rare.where(F.col("df") >= 2)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    pairs_expr = F.expr(
+        """
+        flatten(
+          transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS src, y AS dst))))
+        """
+    )
+    # pair multiplicity across buckets == number of shared rare fingerprints
+    shared = (
+        pairable.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    rare_counts = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    meta = (
+        docs.select("doc_id", "n_chars")
+        .join(rare_counts, "doc_id", "left")
+        .select(
+            "doc_id", "n_chars", F.coalesce("n_rare", F.lit(0)).alias("n_fps")
+        )
+    )
+    a = meta.select(
+        F.col("doc_id").alias("src"),
+        F.col("n_chars").alias("len_a"),
+        F.col("n_fps").alias("fps_a"),
+    )
+    b = meta.select(
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("len_b"),
+        F.col("n_fps").alias("fps_b"),
+    )
+    sized = shared.join(a, "src").join(b, "dst")
+    oriented = sized.select(
+        "n_shared",
+        F.when(
+            (F.col("len_a") < F.col("len_b"))
+            | ((F.col("len_a") == F.col("len_b")) & (F.col("src") < F.col("dst"))),
+            F.struct(
+                F.col("src").alias("inner"),
+                F.col("dst").alias("outer"),
+                F.col("len_a").alias("inner_len"),
+                F.col("fps_a").alias("inner_fps"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("dst").alias("inner"),
+                F.col("src").alias("outer"),
+                F.col("len_b").alias("inner_len"),
+                F.col("fps_b").alias("inner_fps"),
+            )
+        )
+        .alias("p"),
+    ).select("n_shared", "p.inner", "p.outer", "p.inner_len", "p.inner_fps")
+    return (
+        oriented.where(
+            (F.col("inner_len") >= F.lit(cfg.containment_min_chars))
+            & (
+                F.col("n_shared")
+                >= F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("inner_fps") * F.lit(cfg.containment_fp_fraction)),
+                )
+            )
+        )
+        .select("inner", "outer")
+    )
+
+
+_SA_MIN_CANDIDATES = 4  # build a suffix array when a container has this many
+
+
+def verify_containment(
+    candidates: DataFrame, contents: DataFrame
+) -> DataFrame:
+    """(inner, outer) candidates + contents(doc_id, norm_content) ->
+    verified (inner, outer) pairs where inner's normalized text occurs
+    verbatim inside outer's.
+
+    Grouped by container so each container's text ships to Python once; the
+    suffix array amortizes multi-candidate containers, plain find() handles
+    the common 1-candidate case.
+    """
+    inner_txt = contents.select(
+        F.col("doc_id").alias("inner"), F.col("norm_content").alias("inner_txt")
+    )
+    outer_txt = contents.select(
+        F.col("doc_id").alias("outer"), F.col("norm_content").alias("outer_txt")
+    )
+    joined = (
+        candidates.join(inner_txt, "inner")
+        .join(outer_txt, "outer")
+        # co-locate a container's candidates within partitions so the
+        # suffix array amortizes, WITHOUT a groupBy shuffle per group
+        .repartition("outer")
+    )
+
+    def check_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            inners = pdf["inner_txt"].to_numpy()
+            for hay_s, idx in pdf.groupby("outer_txt", sort=False).indices.items():
+                hay = hay_s.encode("utf-8")
+                if len(idx) >= _SA_MIN_CANDIDATES:
+                    sa = suffix_array(hay)
+                    for i in idx:
+                        keep[i] = sa_contains(hay, sa, inners[i].encode("utf-8"))
+                else:
+                    for i in idx:
+                        keep[i] = hay.find(inners[i].encode("utf-8")) >= 0
+            yield pdf.loc[keep, ["inner", "outer"]]
+
+    return joined.mapInPandas(check_batches, schema="inner long, outer long")

@@ -1,0 +1,87 @@
+"""Exact dedup and keyed last-wins dedup.
+
+`lastwins_dedup` is the direct distributed analogue of the reference's
+DeduplicationPipeline batch container — `map[string]T` where a duplicate key
+overwrites (/root/reference/pipeline_deduplication.go:81-85) — globalized from
+per-flush-window scope to whole-table scope (SURVEY.md §1.3). Arrival order,
+which the Go channel provides implicitly, must be an explicit `seq` column in
+a distributed setting (SURVEY.md §7 hard-part c).
+
+Implementation: `max_by(struct(*), seq)` in a single hash aggregation — one
+shuffle on the key, map-side partial aggregation for free. Deliberately NOT
+`dropDuplicates` (arbitrary winner) and NOT a window + row_number (sorts
+whole partitions; max_by is a streaming single-pass aggregate).
+
+`exact_dedup` implements SURVEY.md N2/N15: groups by sha256 of the *raw*
+content (the per-row invariant column of BASELINE.json input_hint), keeps the
+deterministic minimum representative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lastwins_dedup(df: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Keep, per key, the row with the greatest ``seq_col`` (last wins).
+
+    Exactly one output row per distinct key; survivors carry all original
+    columns. Ties on seq are broken deterministically by the max of the
+    remaining struct (callers should supply a unique seq).
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    picked = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), F.col(seq_col)).alias("_row")
+    )
+    return picked.select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in payload])
+
+
+def with_content_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """sha256 over the raw content string's UTF-8 bytes (JVM-side `sha2`).
+
+    This column is the per-row invariant against the reference corpus
+    (BASELINE.json input_hint) and the exact-dup key.
+    """
+    return df.withColumn("content_sha", F.sha2(F.col(content_col), 256))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """One representative (min id) per distinct raw content.
+
+    Returns the input columns plus `content_sha`, `group_size`, and `rep_id`
+    (the representative's id — equal to `id_col` on surviving rows). One
+    shuffle on the 32-byte sha key; at 10^12-row scale this is the stage
+    that collapses the hot exact-duplicate mass (license files, vendored
+    code) *before* any signature work, which is what keeps the LSH buckets
+    downstream unskewed-by-identical-content.
+    """
+    hashed = with_content_sha(df, content_col)
+    groups = hashed.groupBy("content_sha").agg(
+        F.min(F.col(id_col)).alias("rep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row"),
+    )
+    return groups.select(
+        *[F.col(f"_row.{c}").alias(c) for c in df.columns],
+        "content_sha",
+        "group_size",
+        "rep_id",
+    )
+
+
+def exact_dup_edges(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(src, dst) edges linking every exact-duplicate row to its group
+    representative (src = rep_id < dst). Feeds connected components so that
+    exact and near duplicates cluster together."""
+    hashed = with_content_sha(df, content_col)
+    reps = hashed.groupBy("content_sha").agg(F.min(F.col(id_col)).alias("src"))
+    return (
+        hashed.join(reps, "content_sha")
+        .where(F.col(id_col) != F.col("src"))
+        .select("src", F.col(id_col).alias("dst"))
+    )

@@ -1,0 +1,152 @@
+"""LSH banding, skew-safe bucket capping, and candidate-pair generation.
+
+The LSH bucket key `(band, band_hash)` is the distributed generalization of
+the reference's dedup key `GetKey()` (/root/reference/pipeline_deduplication.go:7-11):
+rows that collide in a bucket are candidate duplicates, just as rows sharing
+a key in the Go map are duplicates. The bucket-size cap generalizes the
+dedup batch-full predicate — the window advances on *unique keys*, bounding
+work per window (/root/reference/pipeline_deduplication.go:102-104).
+
+Everything here is JVM-side (explode / xxhash64 / aggregates / higher-order
+array functions) — no Python in this stage.
+
+Skew discipline (SURVEY.md N8, the genuinely hard distributed piece):
+boilerplate-heavy corpora make LSH bucket sizes Zipfian. AQE's skew-join
+splits oversized partitions but cannot prevent the O(n^2) pair blowup inside
+one bucket, so buckets are capped at `bucket_cap` members with a
+DETERMINISTIC rule (keep lowest doc ids) in two phases:
+
+  phase 1: group by (band, band_hash, salt(doc_id))  -> per-salt lowest-cap
+  phase 2: group by (band, band_hash)                -> global lowest-cap
+
+Phase 1 bounds any single aggregation group at ~|bucket|/S members, so no
+reducer ever materializes a pathological bucket; the two-phase result is
+provably identical to a global "keep the cap smallest ids" (any id in the
+global lowest-cap set has < cap smaller ids in total, hence < cap smaller
+ids within its salt group, hence survives phase 1). Dropped members are
+COUNTED into the stage metrics — never silently discarded ("no silent
+caps").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+
+
+def band_explode(sig_df: DataFrame, cfg: PipelineConfig, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig:array<long>) -> (id, band, band_hash) — one row per band.
+
+    band_hash = xxhash64(band, sig[band*r : band*r + r]); two docs share a
+    bucket iff their signature slices agree on all `r` rows (mod 64-bit
+    collisions, which only create extra candidates that verification prunes).
+    """
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.lit(i), F.slice("sig", i * r + 1, r)).alias("band_hash"),
+            )
+            for i in range(b)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bands).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def capped_buckets(buckets: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """Two-phase deterministic bucket cap.
+
+    Returns (kept, stats): kept = (band, band_hash, ids:array<long> sorted,
+    len<=cap, len>=2); stats = per-bucket (n_members, n_dropped) for metrics.
+    """
+    cap = cfg.bucket_cap
+    phase1 = (
+        buckets.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))
+        )
+        .groupBy("band", "band_hash", "salt")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    phase2 = phase1.groupBy("band", "band_hash").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("ids"))), 1, cap).alias("ids"),
+        F.sum("n").alias("n_members"),
+    )
+    phase2 = phase2.withColumn(
+        "n_dropped", F.col("n_members") - F.size("ids")
+    ).persist()  # kept AND stats derive from this; persist avoids recomputing
+    #              the full band/salt aggregation for each consumer
+    stats = phase2.select("band", "band_hash", "n_members", "n_dropped")
+    kept = phase2.where(F.size("ids") >= 2).select("band", "band_hash", "ids")
+    return kept, stats
+
+
+def candidate_pairs(kept_buckets: DataFrame) -> DataFrame:
+    """All within-bucket pairs (src < dst), deduped across bands.
+
+    Pair generation is a JVM-side higher-order-function expansion over the
+    (already capped, sorted) id arrays — no self-join, no window, one
+    `distinct` shuffle to dedup pairs that collide in several bands.
+    """
+    pairs_expr = F.expr(
+        """
+        flatten(
+          transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)), y -> struct(x AS src, y AS dst))))
+        """
+    )
+    return (
+        kept_buckets.select(F.explode(pairs_expr).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, cfg: PipelineConfig, id_col: str = "doc_id", sim_col: str = "simhash"
+) -> DataFrame:
+    """Candidate pairs among short docs via SimHash Hamming-ball banding.
+
+    Splits the 64-bit SimHash into 4 x 16-bit chunks: any two hashes within
+    Hamming distance 3 agree on at least one chunk (pigeonhole), so bucketing
+    by (chunk_idx, chunk_value) has perfect recall for distance <= 3.
+    Verification (exact Hamming <= threshold) happens JVM-side via
+    bit_count(xor). Reuses the same capped-bucket machinery.
+    """
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(sim_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(
+                    "band_hash"
+                ),
+            )
+            for i in range(4)
+        ]
+    )
+    buckets = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("bb")
+    ).select(
+        "doc_id",
+        # offset band index so SimHash buckets never collide with MinHash bands
+        (F.col("bb.band") + F.lit(1000)).alias("band"),
+        F.col("bb.band_hash").cast("long").alias("band_hash"),
+    )
+    kept, stats = capped_buckets(buckets, cfg)
+    pairs = candidate_pairs(kept)
+    sims = df.select(F.col(id_col).alias("doc_id"), F.col(sim_col))
+    verified = (
+        pairs.join(sims.withColumnRenamed("doc_id", "src").withColumnRenamed(sim_col, "sim_a"), "src")
+        .join(sims.withColumnRenamed("doc_id", "dst").withColumnRenamed(sim_col, "sim_b"), "dst")
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= cfg.simhash_hamming_threshold)
+        .select("src", "dst", "hamming")
+    )
+    return verified

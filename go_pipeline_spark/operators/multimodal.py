@@ -1,0 +1,72 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Opaque `binary` payloads + typed metadata, processed with mapInPandas so
+each Arrow batch of blobs is handled vectorized. The decode kernels
+themselves are STUBS in this sandbox (no image/audio libraries in the
+container): `decoder="fake"` produces deterministic synthetic features so
+the Spark-side plumbing — schema, partitioning, batch shape, UDF signatures
+— is real and tested; `decoder="real"` raises NotImplementedError with the
+integration point documented.
+
+Schema contract:
+  assets(asset_id long, kind string, payload binary, meta map<string,string>)
+  features(asset_id long, kind string, n_bytes long, feature array<float>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, meta map<string,string>"
+)
+FEATURE_SCHEMA = "asset_id long, kind string, n_bytes long, feature array<float>"
+
+FEATURE_DIM = 16
+
+
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a decode+embed kernel: sha256-seeded
+    pseudo-features. Stable across processes — safe for tests/oracles."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(
+    assets: DataFrame, decoder: str = "fake", dim: int = FEATURE_DIM
+) -> DataFrame:
+    """mapInPandas over binary payloads -> fixed-dim features.
+
+    The real decoder would go per `kind`: image -> decode+resize+CNN embed,
+    audio -> resample+fbank, video -> frame-sample+pool. Batch shape,
+    Arrow transfer of binary columns, and output schema are identical for
+    the fake path, so swapping the kernel is a one-function change.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches):
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real decode kernels need image/audio libs absent from "
+                    "this container; integrate PIL/torchaudio here"
+                )
+            feats = [
+                _fake_feature(bytes(p), dim).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale ladder:
+  * brute-force cosine top-k — exact baseline; JVM-side dot product via
+    zip_with/aggregate folds (deterministic left-to-right summation, which
+    keeps the DuckDB oracle bit-comparable), crossJoin of a SMALL broadcast
+    query set against the corpus. Cost O(|Q| * N): fine for |Q| ~ 100s even
+    at large N, because the corpus side streams.
+  * LSH-bucketed ANN (random hyperplane / SRP) — the scale path: sign-bit
+    sketches bucket the corpus; candidates share a bucket in >=1 of
+    `n_tables` hash tables, then exact cosine re-ranks. Sub-linear lookup,
+    the standard recall/latency trade.
+
+Embedding-cosine near-duplicate detection reuses the same SRP buckets with
+a high threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim_col(a: str, b: str) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, rank, neighbor_id). Exact cosine top-k.
+
+    queries MUST be small (it is broadcast); ties break by neighbor id for
+    determinism. Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_sim_col("qvec", "cvec"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def make_srp_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """Signed-random-projection sketches: embedding -> array of n_tables
+    bucket codes (each code = n_bits sign bits packed into a long)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def srp_codes(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            bits = (planes @ x) > 0  # (n_tables, n_bits) signs, one matmul
+            weights = 1 << np.arange(n_bits, dtype=np.int64)
+            out.append((bits @ weights).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return srp_codes
+
+
+def srp_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket join then exact cosine re-rank.
+
+    At scale: corpus codes are precomputed once (a signature table); the
+    bucket join replaces the crossJoin — candidates per query ~ N /
+    2^n_bits * n_tables.
+    """
+    srp = make_srp_udf(dim, n_bits, n_tables, seed)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("codes", srp(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("codes", srp(F.col("qvec")))
+
+    c_b = c.select(
+        "neighbor_id", "cvec", F.posexplode("codes").alias("table_id", "code")
+    )
+    q_b = q.select(
+        "query_id", "qvec", F.posexplode("codes").alias("table_id", "code")
+    )
+    cand = (
+        c_b.join(F.broadcast(q_b), ["table_id", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", cosine_sim_col("qvec", "cvec"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst, sim) pairs with cosine >= threshold, via SRP self-bucketing.
+
+    The embedding analogue of MinHash near-dup: bucket on sign sketches,
+    verify with exact cosine. Recall rises with n_tables; candidates stay
+    sub-quadratic because a bucket holds ~N/2^n_bits vectors.
+    """
+    srp = make_srp_udf(dim, n_bits, n_tables, seed)
+    e = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
+    ).withColumn("codes", srp(F.col("vec")))
+    b = e.select("doc_id", "vec", F.posexplode("codes").alias("table_id", "code"))
+    left = b.select(
+        F.col("table_id"), F.col("code"),
+        F.col("doc_id").alias("src"), F.col("vec").alias("vec_a"),
+    )
+    right = b.select(
+        F.col("table_id"), F.col("code"),
+        F.col("doc_id").alias("dst"), F.col("vec").alias("vec_b"),
+    )
+    pairs = (
+        left.join(right, ["table_id", "code"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "vec_a", "vec_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("sim", cosine_sim_col("vec_a", "vec_b"))
+        .where(F.col("sim") >= threshold)
+        .select("src", "dst", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,82 @@
+"""Candidate-pair verification (SURVEY.md N9).
+
+Two tiers, mirroring how the reference splits cheap in-window dedup from the
+user's authoritative flush-side dedup (/root/reference/README.md use cases):
+
+  1. Estimated Jaccard = fraction of agreeing MinHash slots, computed
+     JVM-side with a zip_with/aggregate fold over the two signature arrays
+     (integer count / num_perm -> exactly reproducible in the oracle).
+  2. Pairs whose estimate falls in `exact_verify_band` are re-verified with
+     exact shingle-set Jaccard on the normalized content (Arrow-vectorized
+     UDF) — estimates outside the band are decided without touching content.
+
+The signature join broadcasts nothing by default: at 10^12-doc scale the
+signature table is huge, so both joins are shuffle hash/sort-merge on doc id
+with AQE deciding; the pair table is the smaller side post-LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.functions.minhash import make_exact_jaccard_udf
+
+
+def estimated_jaccard_col(sig_a: str, sig_b: str, num_perm: int) -> F.Column:
+    """Fraction of signature slots that agree — whole-stage-codegen'd."""
+    agree = F.aggregate(
+        F.zip_with(F.col(sig_a), F.col(sig_b), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.lit(num_perm)
+
+
+def attach_signatures(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """pairs(src,dst) x sigs(doc_id, sig, ...) -> pairs + sig_a/sig_b."""
+    a = sigs.select(F.col("doc_id").alias("src"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("dst"), F.col("sig").alias("sig_b"))
+    return pairs.join(a, "src").join(b, "dst")
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    cfg: PipelineConfig,
+    contents: DataFrame | None = None,
+) -> DataFrame:
+    """-> (src, dst, est_jaccard, jaccard, verified:boolean).
+
+    `jaccard` is the authoritative score: the exact shingle Jaccard when the
+    pair was inside the borderline band (and contents were supplied), the
+    estimate otherwise. `verified` = jaccard >= cfg.jaccard_threshold.
+    """
+    lo, hi = cfg.exact_verify_band
+    scored = attach_signatures(pairs, sigs).withColumn(
+        "est_jaccard", estimated_jaccard_col("sig_a", "sig_b", cfg.num_perm)
+    ).select("src", "dst", "est_jaccard")
+
+    if contents is None:
+        return scored.withColumn("jaccard", F.col("est_jaccard")).withColumn(
+            "verified", F.col("jaccard") >= cfg.jaccard_threshold
+        )
+
+    borderline = scored.where((F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi))
+    clearcut = scored.where((F.col("est_jaccard") < lo) | (F.col("est_jaccard") >= hi))
+
+    ca = contents.select(F.col("doc_id").alias("src"), F.col("norm_content").alias("txt_a"))
+    cb = contents.select(F.col("doc_id").alias("dst"), F.col("norm_content").alias("txt_b"))
+    exact_j = make_exact_jaccard_udf(cfg)
+    rechecked = (
+        borderline.join(ca, "src")
+        .join(cb, "dst")
+        .withColumn("jaccard", exact_j(F.col("txt_a"), F.col("txt_b")))
+        .select("src", "dst", "est_jaccard", "jaccard")
+    )
+    decided = clearcut.withColumn("jaccard", F.col("est_jaccard"))
+    return (
+        decided.unionByName(rechecked)
+        .withColumn("verified", F.col("jaccard") >= cfg.jaccard_threshold)
+    )

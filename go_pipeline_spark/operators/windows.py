@@ -1,0 +1,76 @@
+"""Time-window batching over event streams (SURVEY.md N16 ≙ O4).
+
+The reference's FlushInterval timer (/root/reference/pipeline_impl.go:159,
+192-199) becomes, in a data-layer engine, tumbling-window aggregation: every
+row lands in exactly one `FlushInterval`-wide window, and a window's
+aggregate is its "flush". The batch form below is SQL-checkable (DuckDB
+time_bucket oracle); `streaming/batching.py` carries the genuinely
+streaming form with triggers and watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame, interval: str = "5 minutes"
+) -> DataFrame:
+    """Per (window, event_type) row counts + value sums.
+
+    One shuffle on (window_start, event_type); partial aggregation map-side.
+    Output flattens window.start for oracle comparison.
+    """
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), interval).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Keyed last-wins over the event stream: the DeduplicationPipeline
+    container semantics (/root/reference/pipeline_deduplication.go:81-85)
+    with (ts, event_id) as the arrival order. Single max_by aggregation."""
+    seq = F.struct(F.col("ts"), F.col("event_id"))
+    picked = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"), seq
+        ).alias("_row")
+    )
+    return picked.select(
+        "user_id",
+        F.col("_row.event_id").alias("event_id"),
+        F.col("_row.ts").alias("ts"),
+        F.col("_row.event_type").alias("event_type"),
+        F.col("_row.value").alias("value"),
+    )
+
+
+def size_window_batches(
+    df: DataFrame, batch_size: int, order_col: str = "event_id"
+) -> DataFrame:
+    """Size-window batching (FlushSize ≙ /root/reference/config.go:10-11):
+    assign each row a batch id such that batches hold exactly `batch_size`
+    rows in `order_col` order. Global ordering needs a total rank; computed
+    scalably as a range-partitioned sort + monotonically-increasing offset
+    would be, but for SQL-checkability we use a window rank here — callers
+    at 10^12 scale should batch per-partition instead (mapInPandas batches,
+    which is what the signature stages do)."""
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(W.orderBy(F.col(order_col))) - 1
+    return df.withColumn(
+        "batch_id", (rank / F.lit(batch_size)).cast("long")
+    )

@@ -1,0 +1,202 @@
+"""Single-process reference oracle for the full dedup pipeline.
+
+Plays the role the in-memory Go map plays for the reference's tests: a small,
+obviously-correct implementation whose outputs the distributed pipeline must
+reproduce EXACTLY (same normalization, same seeds, same LSH banding, same
+deterministic bucket caps, same verification thresholds). The pytest gate
+compares Spark cluster assignments against this oracle — the sandbox stand-in
+for "dup-pair recall >= 0.99 vs reference clusters at identical
+shingle/signature config" (BASELINE.json).
+
+Pure numpy + dicts; shares the signature math with the Spark UDFs via
+functions/hashing.py (that sharing IS the reproducibility mechanism — both
+sides compute bit-identical signatures) but re-implements every DISTRIBUTED
+step (banding, capping, pairing, verification, clustering) independently, in
+the simplest sequential form, so the comparison is meaningful where the
+distribution is: shuffles, joins, caps, iteration.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.functions import hashing
+from go_pipeline_spark.functions.normalize import normalize_py
+
+
+@dataclass
+class OracleResult:
+    sha_of: dict[int, str] = field(default_factory=dict)
+    rep_of_sha: dict[str, int] = field(default_factory=dict)
+    signatures: dict[int, np.ndarray] = field(default_factory=dict)
+    candidate_pairs: set[tuple[int, int]] = field(default_factory=set)
+    verified_pairs: dict[tuple[int, int], float] = field(default_factory=dict)
+    simhash_pairs: set[tuple[int, int]] = field(default_factory=set)
+    containment_pairs: set[tuple[int, int]] = field(default_factory=set)
+    components: dict[int, int] = field(default_factory=dict)
+    dropped_bucket_members: int = 0
+
+    def all_dup_edges(self) -> set[tuple[int, int]]:
+        edges: set[tuple[int, int]] = set()
+        for i, sha in self.sha_of.items():
+            rep = self.rep_of_sha[sha]
+            if rep != i:
+                edges.add((min(rep, i), max(rep, i)))
+        edges |= set(self.verified_pairs)
+        edges |= self.simhash_pairs
+        edges |= self.containment_pairs
+        return edges
+
+
+def _union_find_components(n_ids: list[int], edges: set[tuple[int, int]]) -> dict[int, int]:
+    parent = {i: i for i in n_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {i: find(i) for i in n_ids}
+
+
+def run_oracle(contents: dict[int, str], cfg: PipelineConfig) -> OracleResult:
+    """contents: doc_id -> raw content. Returns every intermediate the Spark
+    pipeline also snapshots, for stage-by-stage comparison."""
+    import hashlib as _hl
+
+    res = OracleResult()
+    a, b = hashing.perm_params(cfg.num_perm, cfg.minhash_seed)
+
+    # stage: normalize + sha (exact dedup)
+    norm: dict[int, str] = {}
+    for i, raw in contents.items():
+        norm[i] = normalize_py(raw)
+        sha = _hl.sha256(raw.encode("utf-8")).hexdigest()
+        res.sha_of[i] = sha
+        if sha not in res.rep_of_sha or i < res.rep_of_sha[sha]:
+            res.rep_of_sha[sha] = i
+    reps = sorted(set(res.rep_of_sha.values()))
+
+    # stage: signatures over exact-dedup representatives
+    short_docs: list[int] = []
+    simhashes: dict[int, int] = {}
+    for i in reps:
+        data = norm[i].encode("utf-8")
+        if len(norm[i]) < cfg.short_doc_chars:
+            short_docs.append(i)
+            sh = hashing.shingle_hashes(data, cfg.shingle_k, cfg.shingle_base, unique=False)
+            simhashes[i] = int(hashing.simhash64(sh))
+            continue
+        sh = hashing.shingle_hashes(data, cfg.shingle_k, cfg.shingle_base)
+        res.signatures[i] = hashing.minhash_signature(sh, a, b)
+
+    # stage: LSH banding + deterministic bucket cap (lowest ids kept)
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, sig in res.signatures.items():
+        bh = hashing.band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows)
+        for band in range(cfg.lsh_bands):
+            buckets[(band, int(bh[band]))].append(i)
+    for members in buckets.values():
+        members.sort()
+        kept = members[: cfg.bucket_cap]
+        res.dropped_bucket_members += len(members) - len(kept)
+        for x in range(len(kept)):
+            for y in range(x + 1, len(kept)):
+                res.candidate_pairs.add((kept[x], kept[y]))
+
+    # stage: verification (estimated Jaccard; exact on the borderline band)
+    lo, hi = cfg.exact_verify_band
+    shingle_cache: dict[int, np.ndarray] = {}
+
+    def shingles(i: int) -> np.ndarray:
+        if i not in shingle_cache:
+            shingle_cache[i] = hashing.shingle_hashes(
+                norm[i].encode("utf-8"), cfg.shingle_k, cfg.shingle_base
+            )
+        return shingle_cache[i]
+
+    for s, d in sorted(res.candidate_pairs):
+        est = float(np.mean(res.signatures[s] == res.signatures[d]))
+        j = est
+        if lo <= est < hi:
+            sx, sy = shingles(s), shingles(d)
+            inter = np.intersect1d(sx, sy, assume_unique=True).size
+            union = len(sx) + len(sy) - inter
+            j = inter / union if union else (1.0 if len(sx) == len(sy) == 0 else 0.0)
+        if j >= cfg.jaccard_threshold:
+            res.verified_pairs[(s, d)] = j
+
+    # stage: SimHash pairs among short docs (4x16-bit chunk banding, capped)
+    sim_buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i in short_docs:
+        h = simhashes[i] & ((1 << 64) - 1)
+        for c in range(4):
+            sim_buckets[(c, (h >> (16 * c)) & 0xFFFF)].append(i)
+    sim_candidates: set[tuple[int, int]] = set()
+    for members in sim_buckets.values():
+        members.sort()
+        kept = members[: cfg.bucket_cap]
+        for x in range(len(kept)):
+            for y in range(x + 1, len(kept)):
+                sim_candidates.add((kept[x], kept[y]))
+    for s, d in sim_candidates:
+        if hashing.hamming64(simhashes[s], simhashes[d]) <= cfg.simhash_hamming_threshold:
+            res.simhash_pairs.add((s, d))
+
+    # stage: containment (winnowing candidates + substring verify)
+    fps: dict[int, set[int]] = {}
+    for i in reps:
+        if len(norm[i]) >= cfg.containment_min_chars:
+            fps[i] = set(
+                hashing.winnow_fingerprints(
+                    norm[i].encode("utf-8"), cfg.containment_k, cfg.shingle_base, cfg.winnow_window
+                ).tolist()
+            )
+    import math
+
+    fp_buckets: dict[int, list[int]] = defaultdict(list)
+    for i, f in fps.items():
+        for v in sorted(f):
+            fp_buckets[v].append(i)
+    # IDF-style: fingerprints with document frequency > bucket_cap are
+    # boilerplate — excluded from shared counts AND denominators
+    rare_fp_count: dict[int, int] = defaultdict(int)
+    shared_count: dict[tuple[int, int], int] = defaultdict(int)
+    for members in fp_buckets.values():
+        if len(members) > cfg.bucket_cap:
+            continue
+        for m in members:
+            rare_fp_count[m] += 1
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                shared_count[(members[x], members[y])] += 1
+    cont_candidates: set[tuple[int, int]] = set()
+    for (p, q), n_shared in shared_count.items():
+        if (len(norm[p]), p) <= (len(norm[q]), q):
+            inner, outer = p, q
+        else:
+            inner, outer = q, p
+        if n_shared >= max(
+            1, math.ceil(rare_fp_count[inner] * cfg.containment_fp_fraction)
+        ):
+            cont_candidates.add((inner, outer))
+    for inner, outer in cont_candidates:
+        if inner != outer and norm[inner] and norm[inner] in norm[outer]:
+            res.containment_pairs.add((inner, outer))
+
+    # stage: connected components over all duplicate edges
+    res.components = _union_find_components(sorted(contents), res.all_dup_edges())
+    return res

@@ -1,0 +1,232 @@
+"""The staged near-duplicate detection + clustering pipeline.
+
+normalize -> sha/exact-dedup -> signatures -> LSH banding -> capped buckets
+-> candidate pairs -> verify (est + exact-borderline Jaccard) -> SimHash
+short-doc pairs -> containment (winnow + suffix-array) -> connected
+components -> cluster assignment.
+
+Stage-by-stage execution with checkpointed snapshots and per-stage metrics
+is the engine's reading of the reference's whole lifecycle: each stage is a
+"flush window" whose commit is durable (O16), a killed run resumes after the
+last committed stage (O17/O18 drain semantics), and the metrics table is the
+MetricsHook (O15). Input is any DataFrame with columns
+(doc_id long, content string) — `sources/tables.py` adapts the testdata and
+the input_hint (repo, path, commit, lang, content) shape onto it.
+
+Scale notes (100 TB / 10^12 rows):
+  * content leaves the scan exactly twice: the signature stage (Arrow UDF
+    over representatives only) and borderline/containment verification
+    (joined for candidate ids only). All heavy joins are on long keys.
+  * exact dedup runs FIRST so identical boilerplate collapses to one
+    representative before any signature work — the single biggest skew killer.
+  * every bucket-shaped blowup is capped deterministically with dropped
+    counts in metrics (lsh.capped_buckets two-phase rule).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from go_pipeline_spark.functions.minhash import (
+    make_minhash_udf,
+    make_simhash_udf,
+    make_winnow_udf,
+)
+from go_pipeline_spark.functions.normalize import normalize_col
+from go_pipeline_spark.metrics import StageMetrics, StageTimer
+from go_pipeline_spark.operators import lsh
+from go_pipeline_spark.operators.connected_components import connected_components
+from go_pipeline_spark.operators.containment import (
+    containment_candidates,
+    verify_containment,
+)
+from go_pipeline_spark.operators.dedup import exact_dup_edges, with_content_sha
+from go_pipeline_spark.operators.verify import verify_pairs
+from go_pipeline_spark.sources.snapshots import ParquetSnapshotStore
+
+
+@dataclass
+class RunResult:
+    """≙ the reference's Done()/ErrorChan surfaces collapsed into one value
+    (/root/reference/pipeline_impl.go:398-404,426-435)."""
+
+    run_id: str
+    clusters: DataFrame          # (doc_id, component)
+    dup_edges: DataFrame         # (src, dst, kind)
+    metrics: DataFrame           # FIXTURES.md F3 schema
+    stages_run: list[str]
+    stages_resumed: list[str]
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        snapshot_dir: str | None = None,
+        run_id: str | None = None,
+    ):
+        self.cfg = cfg
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.snapshot_dir = snapshot_dir
+
+    # -- stage bodies ------------------------------------------------------
+    def _stage_normalized(self, docs: DataFrame) -> DataFrame:
+        out = with_content_sha(docs).withColumn(
+            "norm_content", normalize_col(F.col("content"))
+        )
+        return out.select(
+            "doc_id", "content_sha", "norm_content",
+            F.length("norm_content").alias("n_chars"),
+        )
+
+    def _stage_exact(self, normalized: DataFrame) -> DataFrame:
+        """(doc_id, rep_id): every doc -> min doc_id sharing its sha."""
+        reps = normalized.groupBy("content_sha").agg(F.min("doc_id").alias("rep_id"))
+        return normalized.join(reps, "content_sha").select("doc_id", "rep_id")
+
+    def _stage_signatures(self, normalized: DataFrame, rep_map: DataFrame) -> DataFrame:
+        """Signatures over exact-dedup representatives only."""
+        reps = normalized.join(
+            rep_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+            "doc_id",
+        )
+        minhash = make_minhash_udf(self.cfg)
+        simhash = make_simhash_udf(self.cfg)
+        winnow = make_winnow_udf(self.cfg)
+        is_short = F.col("n_chars") < self.cfg.short_doc_chars
+        return reps.select(
+            "doc_id",
+            "n_chars",
+            is_short.alias("is_short"),
+            F.when(~is_short, minhash(F.col("norm_content"))).alias("sig"),
+            F.when(is_short, simhash(F.col("norm_content"))).alias("simhash"),
+            F.when(
+                F.col("n_chars") >= self.cfg.containment_min_chars,
+                winnow(F.col("norm_content")),
+            ).alias("winnow_fps"),
+        )
+
+    # -- the run -----------------------------------------------------------
+    def run(self, spark: SparkSession, docs: DataFrame) -> RunResult:
+        """docs: (doc_id long, content string [, ...])."""
+        cfg = self.cfg
+        metrics = StageMetrics(self.run_id)
+        store = (
+            ParquetSnapshotStore(self.snapshot_dir, self.run_id, cfg.config_hash())
+            if self.snapshot_dir
+            else None
+        )
+        stages_run: list[str] = []
+        stages_resumed: list[str] = []
+
+        def stage(name: str, items_in_df: DataFrame, build) -> DataFrame:
+            """Run-or-resume one stage; snapshot + metrics on completion."""
+            if store is not None and cfg.resume and store.is_committed(name):
+                stages_resumed.append(name)
+                return store.read(spark, name)
+            with StageTimer() as t:
+                out = build()
+                if store is not None:
+                    n = out.count()
+                    store.commit(name, out, n)
+                    out = store.read(spark, name)  # re-read: truncates lineage
+                else:
+                    out = out.localCheckpoint(eager=True)
+                    n = out.count()
+            metrics.record(name, items_in_df.count() if items_in_df is not None else 0,
+                           n, t.seconds)
+            stages_run.append(name)
+            return out
+
+        docs = docs.select("doc_id", "content")
+
+        normalized = stage("normalize", docs, lambda: self._stage_normalized(docs))
+        rep_map = stage("exact_dedup", normalized, lambda: self._stage_exact(normalized))
+        sigs = stage("signatures", rep_map, lambda: self._stage_signatures(normalized, rep_map))
+
+        long_sigs = sigs.where(~F.col("is_short")).select("doc_id", "sig")
+        short_sigs = sigs.where(F.col("is_short")).select("doc_id", "simhash")
+
+        def build_candidates() -> DataFrame:
+            buckets = lsh.band_explode(long_sigs, cfg)
+            kept, stats = lsh.capped_buckets(buckets, cfg)
+            dropped = stats.agg(F.coalesce(F.sum("n_dropped"), F.lit(0))).collect()[0][0]
+            metrics.record("lsh_bucket_caps", 0, 0, 0.0, dropped=int(dropped))
+            return lsh.candidate_pairs(kept)
+
+        cands = stage("lsh_candidates", long_sigs, build_candidates)
+
+        contents = normalized.select("doc_id", "norm_content")
+        verified = stage(
+            "verify",
+            cands,
+            lambda: verify_pairs(cands, long_sigs.withColumnRenamed("sig", "sig")
+                                 .select("doc_id", "sig"), cfg, contents=contents),
+        )
+
+        sim_pairs = stage(
+            "simhash_pairs",
+            short_sigs,
+            lambda: lsh.simhash_candidate_pairs(short_sigs, cfg),
+        )
+
+        def build_containment() -> DataFrame:
+            cdocs = sigs.where(F.col("winnow_fps").isNotNull()).select(
+                "doc_id", "n_chars", "winnow_fps"
+            )
+            cand = containment_candidates(cdocs, cfg)
+            return verify_containment(cand, contents)
+
+        cont_pairs = stage("containment", sigs, build_containment)
+
+        def build_edges() -> DataFrame:
+            ex = (
+                rep_map.where(F.col("doc_id") != F.col("rep_id"))
+                .select(
+                    F.col("rep_id").alias("src"),
+                    F.col("doc_id").alias("dst"),
+                    F.lit("exact").alias("kind"),
+                )
+            )
+            nr = (
+                verified.where(F.col("verified"))
+                .select("src", "dst", F.lit("near").alias("kind"))
+            )
+            sh = sim_pairs.select("src", "dst", F.lit("simhash").alias("kind"))
+            ct = cont_pairs.select(
+                F.col("inner").alias("src"),
+                F.col("outer").alias("dst"),
+                F.lit("containment").alias("kind"),
+            )
+            return ex.unionByName(nr).unionByName(sh).unionByName(ct)
+
+        edges = stage("dup_edges", verified, build_edges)
+
+        def build_clusters() -> DataFrame:
+            assign = connected_components(
+                edges.select("src", "dst"), cfg.cc_max_iterations
+            )
+            all_docs = docs.select("doc_id")
+            return (
+                all_docs.join(assign, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("component"),
+                )
+            )
+
+        clusters = stage("clusters", edges, build_clusters)
+
+        return RunResult(
+            run_id=self.run_id,
+            clusters=clusters,
+            dup_edges=edges,
+            metrics=metrics.to_df(spark),
+            stages_run=stages_run,
+            stages_resumed=stages_resumed,
+        )

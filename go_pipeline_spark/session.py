@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+One place to set the execution knobs that stand in for the reference's
+buffer/backpressure tuning (/root/reference/config.go:39-46 — empirically
+tuned defaults): Arrow batch size ≙ FlushSize, shuffle partitions ≙
+BufferSize, AQE ≙ runtime tuning (UpdateFlushSize/Interval,
+/root/reference/pipeline_impl.go:488-514).
+
+Designed for a multi-executor cluster (spark-submit --py-files); in this
+sandbox it runs local[N] where N comes from $SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from go_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    cores: int | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    app_name: str = "go_pipeline_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a session tuned for the dedup workload.
+
+    AQE + skew-join stand in for the reference's dynamic FlushSize tuning
+    and bounded-buffer backpressure; Arrow batching is the vectorized-UDF
+    analogue of its batch container.
+    """
+    cores = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.default.parallelism", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(config.arrow_batch_size),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

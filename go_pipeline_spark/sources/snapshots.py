@@ -1,0 +1,103 @@
+"""Checkpointed stage snapshots — the drain/close/resume layer.
+
+Distributed reinterpretation of the reference's lifecycle semantics
+(SURVEY.md O16-O18): a canceled run loses only its *uncommitted* stage
+("cancel without drain", /root/reference/pipeline_impl.go:203-209); committed
+snapshots survive and a re-run resumes after them ("drain" ≙ the last
+finished stage's commit, /root/reference/pipeline_impl.go:210-246); the final
+flush on close ≙ the terminal stage's commit
+(/root/reference/pipeline_impl.go:166-181).
+
+Storage is Iceberg-shaped but catalog-pluggable: with no Iceberg jar in this
+sandbox, `ParquetSnapshotStore` writes parquet dirs with an atomically-renamed
+`_COMMIT.json` manifest (write-temp-then-rename gives the same
+committed-or-absent visibility an Iceberg snapshot commit provides). The
+manifest records the PipelineConfig hash, so resuming with different
+parameters invalidates old checkpoints instead of silently mixing configs
+(run-guard ≙ ErrAlreadyRunning idempotence, /root/reference/pipeline_impl.go:133-136).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetSnapshotStore:
+    def __init__(self, base_dir: str, run_id: str, config_hash: str):
+        self.base = Path(base_dir)
+        self.run_id = run_id
+        self.config_hash = config_hash
+        self.base.mkdir(parents=True, exist_ok=True)
+
+    def _stage_dir(self, stage: str) -> Path:
+        return self.base / stage
+
+    def _manifest_path(self, stage: str) -> Path:
+        return self._stage_dir(stage) / "_COMMIT.json"
+
+    def is_committed(self, stage: str) -> bool:
+        mp = self._manifest_path(stage)
+        if not mp.exists():
+            return False
+        try:
+            manifest = json.loads(mp.read_text())
+        except json.JSONDecodeError:
+            return False
+        return manifest.get("config_hash") == self.config_hash
+
+    def commit(self, stage: str, df: DataFrame, n_rows: int | None = None) -> dict:
+        """Write the stage output and atomically publish its manifest.
+
+        Data lands in a run-versioned directory (Iceberg-style: a new commit
+        writes NEW files and swaps the pointer; it never clobbers files an
+        open reader of the previous snapshot may still reference).
+        """
+        out = self._stage_dir(stage)
+        data_dir = out / f"data-{self.run_id}"
+        df.write.mode("overwrite").parquet(str(data_dir))
+        manifest = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "rows": n_rows,
+            "data_path": str(data_dir),
+            "committed_at": time.time(),
+        }
+        tmp = out / "_COMMIT.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self._manifest_path(stage))  # atomic publish
+        return manifest
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        if not self.is_committed(stage):
+            raise FileNotFoundError(f"stage '{stage}' has no committed snapshot")
+        return spark.read.parquet(self.manifest(stage)["data_path"])
+
+    def manifest(self, stage: str) -> dict:
+        return json.loads(self._manifest_path(stage).read_text())
+
+    def invalidate(self, stage: str) -> None:
+        mp = self._manifest_path(stage)
+        if mp.exists():
+            mp.unlink()
+
+
+def open_snapshot_store(
+    base_dir: str, run_id: str, config_hash: str, spark: SparkSession | None = None
+):
+    """Factory: Iceberg-backed snapshots when the session has an Iceberg
+    catalog extension configured (cluster deployments), parquet + manifest
+    otherwise (this sandbox has no Iceberg jar)."""
+    if spark is not None:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+        if "IcebergSparkSessionExtensions" in exts:  # pragma: no cover - cluster only
+            raise NotImplementedError(
+                "Iceberg snapshot store: wire spark.sql.catalog.<name> here; "
+                "sandbox uses ParquetSnapshotStore"
+            )
+    return ParquetSnapshotStore(base_dir, run_id, config_hash)

@@ -1,0 +1,56 @@
+"""Table loaders / adapters.
+
+The engine's native input shape is BASELINE.json input_hint:
+(repo string, path string, commit string, lang string, content string).
+`as_docs` adapts any such table (or the driver testdata `documents` table)
+onto the pipeline's internal (doc_id long, content string) contract;
+doc ids must be stable and dense-ish longs — for input_hint tables we derive
+them with xxhash64(repo, path, commit) (collision-safe enough for candidate
+keys at sandbox scale; a cluster deployment would carry a persisted id
+column from ingestion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def documents_as_docs(documents: DataFrame) -> DataFrame:
+    """testdata documents(doc_id, text, ...) -> (doc_id, content)."""
+    return documents.select("doc_id", F.col("text").alias("content"))
+
+
+def source_files_as_docs(source_files: DataFrame) -> DataFrame:
+    """input_hint-shaped table -> (doc_id, content). Synthetic fixtures carry
+    an explicit row index in `commit` order; external tables get hashed ids."""
+    return source_files.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "content",
+    )
+
+
+def corpus_to_df(spark: SparkSession, corpus) -> DataFrame:
+    """SyntheticCorpus -> input_hint-shaped DataFrame plus the planted row
+    index as doc_id (the oracle's id space)."""
+    rows = [
+        (i, repo, path, commit, lang, content)
+        for i, (repo, path, commit, lang, content) in enumerate(corpus.rows)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, lang string, content string",
+    )

@@ -1,0 +1,108 @@
+"""Structured-Streaming form of the reference's batching pipeline.
+
+The truest Spark translation of go-pipeline's event loop
+(/root/reference/pipeline_impl.go:164-248):
+
+  DataChan() producer writes      -> readStream file/kafka source
+  FlushInterval timer             -> Trigger.ProcessingTime / window(ts, ...)
+  FlushSize count trigger         -> maxFilesPerTrigger / maxOffsetsPerTrigger
+  flush callback (O9)             -> foreachBatch sink
+  dedup map container (O6)        -> dropDuplicates within watermark, or
+                                     stateful last-wins via applyInPandasWithState
+  close -> final flush (O16)      -> query.stop() after processAllAvailable()
+
+Tested with the memory sink + processAllAvailable, which drives a bounded
+parquet directory through the streaming engine synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream; maxFilesPerTrigger is the FlushSize analogue."""
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    # watermarks require TIMESTAMP (with zone); testdata parquet is NTZ —
+    # session TZ is pinned to UTC so the cast is lossless
+    if "ts" in df.columns:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def windowed_counts_stream(events: DataFrame, interval: str = "5 minutes",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window flush with late-data watermark (O4 + O16: the
+    watermark bounds how long a window stays open, like
+    FinalFlushOnCloseTimeout bounds the final flush)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def lastwins_stream(events: DataFrame) -> DataFrame:
+    """Stateful keyed last-wins over an unbounded stream — the exact
+    DeduplicationPipeline semantics (map[key] = item, last write wins,
+    /root/reference/pipeline_deduplication.go:81-85) via
+    applyInPandasWithState: state holds the current winner per key; each
+    micro-batch emits updated winners (update mode)."""
+    import pandas as pd
+
+    output_schema = "user_id long, event_id long, ts timestamp, value double"
+    state_schema = "event_id long, ts timestamp, value double"
+
+    def update(key, pdfs, state: GroupState):
+        best = None
+        if state.exists:
+            e_id, ts, value = state.get
+            best = (ts, e_id, value)
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+                cand = (row["ts"], row["event_id"], row["value"])
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        if best is not None:
+            state.update((int(best[1]), best[0], float(best[2])))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_id": [int(best[1])],
+                    "ts": [best[0]],
+                    "value": [float(best[2])],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, query_name: str, output_mode: str = "update"
+):
+    """Drive a bounded stream to completion; returns the stopped query.
+    Results land in the in-memory table `query_name`."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,40 @@
+"""Ad-hoc smoke: pipeline vs oracle on a small synthetic corpus."""
+import time
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.oracle import run_oracle
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.session import get_spark
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+t0 = time.time()
+cfg = PipelineConfig()
+corpus = generate_source_files(n_rows=600, seed=7)
+contents = {i: r[4] for i, r in enumerate(corpus.rows)}
+oracle = run_oracle(contents, cfg)
+print(f"oracle done {time.time()-t0:.1f}s; edges={len(oracle.all_dup_edges())} "
+      f"candidates={len(oracle.candidate_pairs)} verified={len(oracle.verified_pairs)} "
+      f"simhash={len(oracle.simhash_pairs)} containment={len(oracle.containment_pairs)}")
+
+spark = get_spark(cores=8)
+df = corpus_to_df(spark, corpus).select("doc_id", "content")
+pipe = DedupPipeline(cfg)
+res = pipe.run(spark, df)
+spark_clusters = {r["doc_id"]: r["component"] for r in res.clusters.collect()}
+print(f"spark done {time.time()-t0:.1f}s; stages={res.stages_run}")
+
+mismatch = {i: (oracle.components[i], spark_clusters.get(i)) for i in oracle.components
+            if spark_clusters.get(i) != oracle.components[i]}
+print(f"n={len(oracle.components)} mismatches={len(mismatch)}")
+if mismatch:
+    items = list(mismatch.items())[:10]
+    print("sample mismatches (doc: oracle, spark):", items)
+
+edges_spark = {(r["src"], r["dst"]) for r in res.dup_edges.collect()}
+edges_oracle = oracle.all_dup_edges()
+print(f"edge sets: spark={len(edges_spark)} oracle={len(edges_oracle)} "
+      f"spark-only={len(edges_spark - edges_oracle)} oracle-only={len(edges_oracle - edges_spark)}")
+print(sorted(edges_oracle - edges_spark)[:10])
+print(sorted(edges_spark - edges_oracle)[:10])
+res.metrics.show(30, truncate=False)

@@ -1,0 +1,72 @@
+"""large-star/small-star CC vs a union-find oracle on assorted graph shapes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from go_pipeline_spark.operators.connected_components import connected_components
+
+
+def _uf(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    expected = _uf(edges, nodes)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_chain(spark):
+    """Worst case for naive propagation: a long path."""
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_star(spark):
+    _check(spark, [(0, i) for i in range(1, 40)])
+
+
+def test_reverse_chain(spark):
+    _check(spark, [(i + 1, i) for i in range(40)])
+
+
+def test_many_small_components(spark):
+    edges = [(10 * c, 10 * c + off) for c in range(30) for off in (1, 2, 3)]
+    _check(spark, edges)
+
+
+def test_random_graph(spark):
+    rng = random.Random(5)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_two_cliques_bridge(spark):
+    clique1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    clique2 = [(i, j) for i in range(100, 105) for j in range(i + 1, 105)]
+    _check(spark, clique1 + clique2 + [(4, 100)])

@@ -1,0 +1,59 @@
+"""Corpus generator determinism + planted-structure sanity."""
+
+from __future__ import annotations
+
+from go_pipeline_spark.corpus import (
+    LICENSE_HEADER,
+    generate_kv_dedup,
+    generate_source_files,
+)
+
+
+def test_deterministic():
+    c1 = generate_source_files(400, seed=11)
+    c2 = generate_source_files(400, seed=11)
+    assert c1.rows == c2.rows
+    assert c1.expected_pairs == c2.expected_pairs
+
+
+def test_seed_changes_content():
+    c1 = generate_source_files(200, seed=1)
+    c2 = generate_source_files(200, seed=2)
+    assert c1.rows != c2.rows
+
+
+def test_planted_structure_present():
+    c = generate_source_files(2000, seed=42)
+    kinds = {k for _, _, k in c.expected_pairs}
+    assert kinds == {"exact", "near", "containment"}
+    exact = [p for p in c.expected_pairs if p[2] == "exact"]
+    near = [p for p in c.expected_pairs if p[2] == "near"]
+    cont = [p for p in c.expected_pairs if p[2] == "containment"]
+    assert len(exact) > 50 and len(near) > 100 and len(cont) > 20
+    # exact pairs really are byte-identical; containments really contain
+    for a, b, _ in exact[:20]:
+        assert c.rows[a][4] == c.rows[b][4]
+    for a, b, _ in cont[:20]:
+        assert c.rows[a][4] in c.rows[b][4]
+    # hot boilerplate skew exists
+    n_header = sum(1 for r in c.rows if LICENSE_HEADER.rstrip("\n") in r[4])
+    assert n_header > 100
+    # short files exist
+    assert sum(1 for r in c.rows if len(r[4]) < 50) > 30
+
+
+def test_clusters_are_min_id():
+    c = generate_source_files(500, seed=3)
+    comp = c.expected_clusters()
+    assert all(comp[i] <= i for i in comp)
+    for a, b, _ in c.expected_pairs:
+        assert comp[a] == comp[b]
+
+
+def test_kv_dedup_shape():
+    rows = generate_kv_dedup(1000, 26)
+    assert len(rows) == 1000
+    keys = {r[1] for r in rows}
+    assert len(keys) == 26
+    seqs = [r[0] for r in rows]
+    assert seqs == list(range(1000))

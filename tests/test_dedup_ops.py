@@ -1,0 +1,74 @@
+"""Counting-invariant tests for dedup operators, transliterated from the
+reference's assertions (SURVEY.md §5.1): output rows == distinct keys,
+last-wins winner has max seq, count conservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.corpus import generate_kv_dedup
+from go_pipeline_spark.operators.dedup import exact_dedup, exact_dup_edges, lastwins_dedup
+
+KV_SCHEMA = "seq long, id string, name string, address string, age int"
+
+
+def test_lastwins_26_unique_keys(spark):
+    """Reproduces tests/pipeline_deduplication_test.go:77 — 26 unique keys
+    among 1000 sends -> exactly 26 out, each the latest."""
+    rows = generate_kv_dedup(1000, 26)
+    df = spark.createDataFrame(rows, KV_SCHEMA)
+    out = lastwins_dedup(df, ["id"], "seq").collect()
+    assert len(out) == 26
+    expected = {}
+    for seq, key, name, addr, age in rows:
+        expected[key] = (seq, name)  # rows are in seq order -> last wins
+    for r in out:
+        assert (r["seq"], r["name"]) == expected[r["id"]]
+
+
+def test_lastwins_5_unique_keys(spark):
+    """Reproduces tests/pipeline_deduplication_test.go:415 — 5 unique among 1000."""
+    rows = [(seq, f"ID-{chr(65 + seq % 5)}", f"User-{seq}", "x", 20) for seq in range(1000)]
+    df = spark.createDataFrame(rows, KV_SCHEMA)
+    out = lastwins_dedup(df, ["id"], "seq")
+    assert out.count() == 5
+    max_seqs = {r["id"]: r["seq"] for r in out.collect()}
+    for key, seq in max_seqs.items():
+        assert seq == max(s for s, k, *_ in rows if k == key)
+
+
+def test_lastwins_shuffled_input_order_independent(spark):
+    """Arrival order must come from seq, not partition order."""
+    import random
+
+    rows = generate_kv_dedup(500, 10)
+    shuffled = rows[:]
+    random.Random(9).shuffle(shuffled)
+    df1 = spark.createDataFrame(rows, KV_SCHEMA).repartition(16)
+    df2 = spark.createDataFrame(shuffled, KV_SCHEMA).repartition(7)
+    r1 = sorted(map(tuple, lastwins_dedup(df1, ["id"], "seq").collect()))
+    r2 = sorted(map(tuple, lastwins_dedup(df2, ["id"], "seq").collect()))
+    assert r1 == r2
+
+
+def test_exact_dedup_count_conservation(spark):
+    """Sum of group sizes == input rows; one rep per distinct content."""
+    rows = [(i, f"content-{i % 37}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = exact_dedup(df)
+    got = out.agg(F.sum("group_size"), F.count(F.lit(1))).collect()[0]
+    assert got[0] == 500
+    assert got[1] == 37
+    for r in out.collect():
+        assert r["rep_id"] == r["doc_id"]  # survivor is the min id
+        assert r["doc_id"] == min(i for i in range(500) if i % 37 == r["doc_id"] % 37)
+
+
+def test_exact_dup_edges_link_to_min(spark):
+    rows = [(i, f"content-{i % 5}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    edges = exact_dup_edges(df).collect()
+    assert len(edges) == 15  # 20 rows - 5 reps
+    for e in edges:
+        assert e["src"] == e["dst"] % 5
+        assert e["src"] < e["dst"]

@@ -1,0 +1,91 @@
+"""Replicates the driver's correctness gate locally: every queries() entry
+with an oracle_sql() runs on Spark AND DuckDB at sf0.01; row counts, sorted
+column names, and order-insensitive value hashes must agree."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR_CORRECTNESS
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _value_multiset(rows, colnames) -> dict[str, int]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out: dict[str, int] = {}
+    for row in rows:
+        key = "|".join(_canon(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_duckdb_oracle(spark, name):
+    qfn = entrymod.queries()[name]
+    sdf = qfn(spark, SF_DIR_CORRECTNESS)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR_CORRECTNESS)
+    cur = con.execute(entrymod.oracle_sql()[name])
+    duck_cols = sorted(d[0] for d in cur.description)
+    duck_rows = cur.fetchall()
+    duck_names = [d[0] for d in cur.description]
+
+    assert spark_cols == duck_cols, f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row counts differ"
+
+    s_hash = _value_multiset(spark_rows, sdf.columns)
+    d_hash = _value_multiset(duck_rows, duck_names)
+    if s_hash != d_hash:
+        only_s = {k: v for k, v in s_hash.items() if d_hash.get(k) != v}
+        only_d = {k: v for k, v in d_hash.items() if s_hash.get(k) != v}
+        sample_s = list(only_s.items())[:5]
+        sample_d = list(only_d.items())[:5]
+        pytest.fail(
+            f"{name}: value multisets differ\n spark-only: {sample_s}\n duck-only: {sample_d}"
+        )
+
+
+def test_every_oracle_key_has_query():
+    q = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in q, f"oracle_sql key {name} missing from queries()"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

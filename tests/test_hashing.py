@@ -1,0 +1,118 @@
+"""Unit tests for the numpy signature core (shingle/MinHash/SimHash/winnow/SA)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.functions import hashing
+from go_pipeline_spark.operators.containment import sa_contains, suffix_array
+
+CFG = PipelineConfig()
+
+
+def test_shingle_hashes_deterministic_and_32bit():
+    data = b"def handler(buffer, cursor): return buffer"
+    h1 = hashing.shingle_hashes(data, CFG.shingle_k, CFG.shingle_base)
+    h2 = hashing.shingle_hashes(data, CFG.shingle_k, CFG.shingle_base)
+    assert np.array_equal(h1, h2)
+    assert h1.dtype == np.uint64
+    assert (h1 < (1 << 32)).all()
+    assert len(h1) <= len(data) - CFG.shingle_k + 1
+    assert len(np.unique(h1)) == len(h1)
+
+
+def test_shingle_hashes_short_input():
+    assert hashing.shingle_hashes(b"abc", 5, CFG.shingle_base).size == 0
+    assert hashing.shingle_hashes(b"", 5, CFG.shingle_base).size == 0
+
+
+def test_minhash_identical_inputs_identical_sigs():
+    a, b = hashing.perm_params(CFG.num_perm, CFG.minhash_seed)
+    s1 = hashing.shingle_hashes(b"x" * 100 + b"hello world", 5, CFG.shingle_base)
+    sig1 = hashing.minhash_signature(s1, a, b)
+    sig2 = hashing.minhash_signature(s1.copy(), a, b)
+    assert np.array_equal(sig1, sig2)
+    assert sig1.shape == (CFG.num_perm,)
+    assert sig1.dtype == np.int64  # full 64-bit range, reinterpreted
+
+
+def test_minhash_jaccard_estimate_tracks_true_jaccard():
+    rng = np.random.default_rng(0)
+    a, b = hashing.perm_params(CFG.num_perm, CFG.minhash_seed)
+    base = rng.integers(0, 1 << 32, 1000, dtype=np.uint64)
+    # overlap 80%: replace 200 elements
+    other = base.copy()
+    other[:200] = rng.integers(0, 1 << 32, 200, dtype=np.uint64) | (1 << 33)
+    s1, s2 = np.unique(base), np.unique(other)
+    inter = np.intersect1d(s1, s2).size
+    true_j = inter / (len(s1) + len(s2) - inter)
+    sig1 = hashing.minhash_signature(s1, a, b)
+    sig2 = hashing.minhash_signature(s2, a, b)
+    est = float(np.mean(sig1 == sig2))
+    assert abs(est - true_j) < 0.12  # 128 perms -> se ~ 0.04
+
+
+def test_simhash_similar_inputs_low_hamming():
+    t1 = b"the quick brown fox jumps over the lazy dog near the river bank"
+    t2 = b"the quick brown fox jumps over the lazy dog near the river bend"
+    t3 = b"completely different content about spark shuffles and parquet files"
+    k, base = CFG.shingle_k, CFG.shingle_base
+    h1 = hashing.simhash64(hashing.shingle_hashes(t1, k, base, unique=False))
+    h2 = hashing.simhash64(hashing.shingle_hashes(t2, k, base, unique=False))
+    h3 = hashing.simhash64(hashing.shingle_hashes(t3, k, base, unique=False))
+    assert hashing.hamming64(h1, h2) < hashing.hamming64(h1, h3)
+    assert hashing.hamming64(h1, h1) == 0
+
+
+def test_winnowing_guarantee():
+    """Shared substring of length >= w + k - 1 must share a fingerprint."""
+    rng = np.random.default_rng(1)
+    w, k = CFG.winnow_window, CFG.containment_k
+    shared = bytes(rng.integers(97, 123, w + k - 1, dtype=np.uint8))
+    a = bytes(rng.integers(97, 123, 200, dtype=np.uint8)) + shared
+    b = shared + bytes(rng.integers(97, 123, 300, dtype=np.uint8))
+    fa = set(hashing.winnow_fingerprints(a, k, CFG.shingle_base, w).tolist())
+    fb = set(hashing.winnow_fingerprints(b, k, CFG.shingle_base, w).tolist())
+    assert fa & fb, "winnowing guarantee violated"
+
+
+def test_winnowing_density():
+    rng = np.random.default_rng(2)
+    data = bytes(rng.integers(97, 123, 5000, dtype=np.uint8))
+    fp = hashing.winnow_fingerprints(data, CFG.containment_k, CFG.shingle_base, CFG.winnow_window)
+    n_shingles = 5000 - CFG.containment_k + 1
+    # expected density ~ 2/(w+1); allow generous bounds
+    assert n_shingles / (CFG.winnow_window * 2) < len(fp) < n_shingles / 2
+
+
+@pytest.mark.parametrize("text", [b"banana", b"mississippi", b"aaaa", b"abcabcabc"])
+def test_suffix_array_matches_sorted_suffixes(text):
+    sa = suffix_array(text)
+    expected = sorted(range(len(text)), key=lambda i: text[i:])
+    assert sa.tolist() == expected
+
+
+def test_sa_contains():
+    text = b"the licensed under apache license version two point zero text"
+    sa = suffix_array(text)
+    assert sa_contains(text, sa, b"apache license")
+    assert sa_contains(text, sa, b"text")
+    assert sa_contains(text, sa, b"the licensed")
+    assert not sa_contains(text, sa, b"gnu general")
+    assert not sa_contains(text, sa, b"zero textX")
+
+
+def test_band_hashes_partition_equivalence():
+    """Two sigs collide in a band iff their r-slices are equal."""
+    a, b = hashing.perm_params(CFG.num_perm, CFG.minhash_seed)
+    rng = np.random.default_rng(3)
+    s1 = np.unique(rng.integers(0, 1 << 32, 500, dtype=np.uint64))
+    sig1 = hashing.minhash_signature(s1, a, b)
+    sig2 = sig1.copy()
+    sig2[0] += 1  # perturb band 0 only
+    b1 = hashing.band_hashes(sig1, CFG.lsh_bands, CFG.lsh_rows)
+    b2 = hashing.band_hashes(sig2, CFG.lsh_bands, CFG.lsh_rows)
+    assert b1[0] != b2[0]
+    assert np.array_equal(b1[1:], b2[1:])

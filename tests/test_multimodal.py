@@ -1,0 +1,42 @@
+"""Multimodal binary-column plumbing (decode kernels stubbed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (i, ["image", "audio", "video"][i % 3], bytes([i % 251]) * (100 + i), {"w": str(i)})
+        for i in range(30)
+    ]
+    return spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, meta map<string,string>"
+    ).repartition(4).cache()
+
+
+def test_fake_decoder_shapes(assets):
+    out = extract_features(assets, decoder="fake").collect()
+    assert len(out) == 30
+    for r in out:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] == 100 + r["asset_id"]
+
+
+def test_fake_decoder_deterministic(assets):
+    a = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    b = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    assert a == b
+
+
+def test_real_decoder_is_explicit_stub(assets):
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_features(assets, decoder="real").collect()
+
+
+def test_unknown_decoder_rejected(assets):
+    with pytest.raises(ValueError):
+        extract_features(assets, decoder="nope")

@@ -1,0 +1,42 @@
+"""normalize_col (JVM) and normalize_py (oracle) must agree byte-for-byte."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.functions.normalize import normalize_col, normalize_py
+
+CASES = [
+    "",
+    "plain text",
+    "UPPER Case\tTabs\t\tdouble",
+    "﻿BOM at start",
+    "cr\rlf\r\nmixed\n",
+    "trailing spaces   \nnext line\t\n",
+    "   leading and trailing   ",
+    "multi\n\n\nnewlines kept",
+    "unicode: héllo wörld ß",
+]
+
+
+def test_normalize_forms_agree_on_cases(spark):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(CASES)], "i long, c string")
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_col(F.col("c")).alias("n")).collect()}
+    for i, c in enumerate(CASES):
+        assert got[i] == normalize_py(c), f"case {i}: {c!r}"
+
+
+def test_normalize_forms_agree_on_corpus(spark):
+    corpus = generate_source_files(150, seed=17)
+    rows = [(i, r[4]) for i, r in enumerate(corpus.rows)]
+    df = spark.createDataFrame(rows, "i long, c string")
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_col(F.col("c")).alias("n")).collect()}
+    for i, raw in rows:
+        assert got[i] == normalize_py(raw)
+
+
+def test_normalize_idempotent():
+    for c in CASES:
+        once = normalize_py(c)
+        assert normalize_py(once) == once

@@ -1,0 +1,158 @@
+"""THE correctness gate (SURVEY.md §5.2 items 1-3, 6): the distributed
+pipeline must reproduce the single-process oracle exactly at identical
+config, planted high-similarity pairs must be recalled >= 0.99, the sha256
+per-row invariant must hold, and bucket caps must bound the skew blowup
+with dropped-member accounting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.functions import hashing
+from go_pipeline_spark.functions.normalize import normalize_py
+from go_pipeline_spark.oracle import run_oracle
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+CFG = PipelineConfig()
+N_ROWS = 500
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_source_files(N_ROWS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return run_oracle({i: r[4] for i, r in enumerate(corpus.rows)}, CFG)
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    docs = corpus_to_df(spark, corpus).select("doc_id", "content")
+    return DedupPipeline(CFG).run(spark, docs)
+
+
+def test_cluster_assignments_match_oracle_exactly(result, oracle):
+    got = {r["doc_id"]: r["component"] for r in result.clusters.collect()}
+    assert got == oracle.components
+
+
+def test_dup_edge_sets_match_oracle(result, oracle):
+    got = {(r["src"], r["dst"]) for r in result.dup_edges.collect()}
+    assert got == oracle.all_dup_edges()
+
+
+def test_planted_pair_recall(result, corpus, oracle):
+    """Recall >= 0.99 on planted pairs that genuinely exceed the Jaccard
+    threshold (plus all exact + containment pairs). LSH at b=16/r=8 has
+    >=99% detection probability for J >= 0.87, so we assert on planted
+    pairs at J >= 0.88 and on every exact/containment pair."""
+    comp = {r["doc_id"]: r["component"] for r in result.clusters.collect()}
+
+    def true_jaccard(a: int, b: int) -> float:
+        sa = hashing.shingle_hashes(
+            normalize_py(corpus.rows[a][4]).encode(), CFG.shingle_k, CFG.shingle_base
+        )
+        sb = hashing.shingle_hashes(
+            normalize_py(corpus.rows[b][4]).encode(), CFG.shingle_k, CFG.shingle_base
+        )
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = len(sa) + len(sb) - inter
+        return inter / union if union else 1.0
+
+    eligible, hit = 0, 0
+    for a, b, kind in corpus.expected_pairs:
+        if kind == "near" and true_jaccard(a, b) < 0.88:
+            continue
+        eligible += 1
+        if comp[a] == comp[b]:
+            hit += 1
+    assert eligible > 50
+    recall = hit / eligible
+    assert recall >= 0.99, f"planted-pair recall {recall:.4f} ({hit}/{eligible})"
+
+
+def test_sha256_per_row_invariant(spark, corpus, result):
+    """input_hint: content sha256 equality between input and pipeline
+    snapshots, verified via the normalize stage output."""
+    import hashlib
+
+    docs = corpus_to_df(spark, corpus).select("doc_id", "content")
+    normalized = DedupPipeline(CFG)._stage_normalized(docs)
+    got = {r["doc_id"]: r["content_sha"] for r in normalized.collect()}
+    for i, row in enumerate(corpus.rows):
+        assert got[i] == hashlib.sha256(row[4].encode()).hexdigest()
+
+
+def test_count_conservation(result, corpus):
+    """Every input row gets exactly one cluster assignment."""
+    assert result.clusters.count() == len(corpus.rows)
+    assert result.clusters.select("doc_id").distinct().count() == len(corpus.rows)
+
+
+def test_clusters_internally_consistent(result):
+    """component ids are min doc_id of their member sets."""
+    rows = result.clusters.collect()
+    by_comp: dict[int, list[int]] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r["doc_id"])
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+
+
+def test_metrics_emitted_for_every_stage(result):
+    stages = {r["stage"] for r in result.metrics.collect()}
+    for s in ["normalize", "exact_dedup", "signatures", "lsh_candidates",
+              "verify", "simhash_pairs", "containment", "dup_edges", "clusters"]:
+        assert s in stages, f"missing metrics row for {s}"
+
+
+def test_skew_caps_bound_pairs(spark):
+    """FIXTURES.md skew test: one boilerplate file duplicated 300x as
+    *near*-identical variants -> without caps, one bucket would yield
+    ~45k pairs; with cap=16 the candidate count stays bounded and dropped
+    members are counted (no silent caps)."""
+    base = ("x = 1\n" * 30) + "tail marker\n"
+    rows = [(i, base + f"# suffix variant {i % 7}\n") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    cfg = PipelineConfig(bucket_cap=16)
+
+    from go_pipeline_spark.functions.minhash import make_minhash_udf
+    from go_pipeline_spark.functions.normalize import normalize_col
+    from go_pipeline_spark.operators import lsh
+
+    sigs = docs.select(
+        "doc_id", make_minhash_udf(cfg)(normalize_col(F.col("content"))).alias("sig")
+    )
+    buckets = lsh.band_explode(sigs, cfg)
+    kept, stats = lsh.capped_buckets(buckets, cfg)
+    pairs = lsh.candidate_pairs(kept)
+    n_pairs = pairs.count()
+    dropped = stats.agg(F.sum("n_dropped")).collect()[0][0]
+    max_pairs = cfg.lsh_bands * (cfg.bucket_cap * (cfg.bucket_cap - 1) // 2)
+    assert n_pairs <= max_pairs, f"{n_pairs} > bound {max_pairs}"
+    assert dropped > 0, "expected dropped members on the hot bucket"
+
+
+def test_two_phase_cap_equals_global_lowest_ids(spark):
+    """The salted two-phase cap must equal a global 'keep cap smallest'."""
+    import random
+
+    rng = random.Random(4)
+    rows = [(rng.randrange(10_000), 0, 12345) for _ in range(400)]
+    rows = [(doc_id, b, h) for (doc_id, b, h) in dict.fromkeys(rows)]
+    buckets = spark.createDataFrame(rows, "doc_id long, band int, band_hash long")
+    from go_pipeline_spark.operators.lsh import capped_buckets
+
+    cfg = PipelineConfig(bucket_cap=25, salt_buckets=8)
+    kept, _ = capped_buckets(buckets, cfg)
+    got = kept.collect()[0]["ids"]
+    expected = sorted({r[0] for r in rows})[:25]
+    assert got == expected

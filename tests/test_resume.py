@@ -1,0 +1,77 @@
+"""Checkpoint/resume semantics (SURVEY.md §5.2 item 4 ≙ O16-O18):
+kill after stage k -> resume completes with output identical to a
+single uninterrupted run; config change invalidates checkpoints."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    corpus = generate_source_files(250, seed=13)
+    return corpus_to_df(spark, corpus).select("doc_id", "content").cache()
+
+
+def _clusters(res):
+    return sorted((r["doc_id"], r["component"]) for r in res.clusters.collect())
+
+
+def test_resume_after_partial_run(spark, docs_df, tmp_path):
+    snap = str(tmp_path / "snapshots")
+
+    # uninterrupted baseline (no snapshots)
+    baseline = DedupPipeline(CFG).run(spark, docs_df)
+
+    # "killed" run: execute only through the signatures stage by running a
+    # full run, then invalidating everything after signatures
+    first = DedupPipeline(CFG, snapshot_dir=snap).run(spark, docs_df)
+    from go_pipeline_spark.sources.snapshots import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(snap, "x", CFG.config_hash())
+    for stage in ["lsh_candidates", "verify", "simhash_pairs",
+                  "containment", "dup_edges", "clusters"]:
+        store.invalidate(stage)
+
+    resumed = DedupPipeline(CFG, snapshot_dir=snap).run(spark, docs_df)
+    assert set(resumed.stages_resumed) == {"normalize", "exact_dedup", "signatures"}
+    assert set(resumed.stages_run) >= {"lsh_candidates", "verify", "clusters"}
+    assert _clusters(resumed) == _clusters(baseline) == _clusters(first)
+
+
+def test_full_resume_skips_everything(spark, docs_df, tmp_path):
+    snap = str(tmp_path / "snapshots")
+    first = DedupPipeline(CFG, snapshot_dir=snap).run(spark, docs_df)
+    second = DedupPipeline(CFG, snapshot_dir=snap).run(spark, docs_df)
+    assert second.stages_run == []
+    assert _clusters(first) == _clusters(second)
+
+
+def test_config_change_invalidates_checkpoints(spark, docs_df, tmp_path):
+    snap = str(tmp_path / "snapshots")
+    DedupPipeline(CFG, snapshot_dir=snap).run(spark, docs_df)
+    cfg2 = PipelineConfig(jaccard_threshold=0.8)
+    rerun = DedupPipeline(cfg2, snapshot_dir=snap).run(spark, docs_df)
+    assert rerun.stages_resumed == []  # different config hash -> no reuse
+
+
+def test_commit_marker_is_atomic(tmp_path, spark):
+    """A data dir without _COMMIT.json is not a committed snapshot."""
+    from go_pipeline_spark.sources.snapshots import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(str(tmp_path / "s"), "run1", "cfg1")
+    df = spark.range(5)
+    assert not store.is_committed("stage_a")
+    store.commit("stage_a", df, 5)
+    assert store.is_committed("stage_a")
+    assert store.read(spark, "stage_a").count() == 5
+    # wrong config hash -> not committed for that config
+    store2 = ParquetSnapshotStore(str(tmp_path / "s"), "run2", "cfg2")
+    assert not store2.is_committed("stage_a")

@@ -1,0 +1,101 @@
+"""Spark pandas-UDF signatures must equal the numpy core bit-for-bit
+(the reproducibility contract that makes the oracle gate meaningful)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.functions import hashing
+from go_pipeline_spark.functions.minhash import (
+    make_minhash_udf,
+    make_simhash_udf,
+    make_winnow_udf,
+)
+from go_pipeline_spark.functions.normalize import normalize_py
+
+CFG = PipelineConfig()
+
+
+def _docs(spark, n=80, seed=19):
+    corpus = generate_source_files(n, seed=seed)
+    rows = [(i, normalize_py(r[4])) for i, r in enumerate(corpus.rows)]
+    return rows, spark.createDataFrame(rows, "doc_id long, norm string").repartition(6)
+
+
+def test_minhash_udf_matches_numpy(spark):
+    rows, df = _docs(spark)
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", make_minhash_udf(CFG)(F.col("norm")).alias("sig")
+        ).collect()
+    }
+    a, b = hashing.perm_params(CFG.num_perm, CFG.minhash_seed)
+    for i, norm in rows:
+        sh = hashing.shingle_hashes(norm.encode(), CFG.shingle_k, CFG.shingle_base)
+        expected = hashing.minhash_signature(sh, a, b).tolist()
+        assert got[i] == expected, f"doc {i}"
+
+
+def test_simhash_udf_matches_numpy(spark):
+    rows, df = _docs(spark)
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", make_simhash_udf(CFG)(F.col("norm")).alias("sh")
+        ).collect()
+    }
+    for i, norm in rows:
+        sh = hashing.shingle_hashes(
+            norm.encode(), CFG.shingle_k, CFG.shingle_base, unique=False
+        )
+        assert got[i] == int(hashing.simhash64(sh)), f"doc {i}"
+
+
+def test_winnow_udf_matches_numpy(spark):
+    rows, df = _docs(spark)
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", make_winnow_udf(CFG)(F.col("norm")).alias("fp")
+        ).collect()
+    }
+    for i, norm in rows:
+        fp = hashing.winnow_fingerprints(
+            norm.encode(), CFG.containment_k, CFG.shingle_base, CFG.winnow_window
+        )
+        assert got[i] == fp.astype("int64").tolist(), f"doc {i}"
+
+
+def test_band_explode_bucket_equivalence(spark):
+    """Spark xxhash64 band buckets induce the same partition of docs as the
+    oracle's FNV band hashes (collision-free at test scale)."""
+    from collections import defaultdict
+
+    from go_pipeline_spark.operators.lsh import band_explode
+
+    rows, df = _docs(spark, n=120, seed=23)
+    sigs = df.select("doc_id", make_minhash_udf(CFG)(F.col("norm")).alias("sig"))
+    spark_buckets = defaultdict(set)
+    for r in band_explode(sigs, CFG).collect():
+        spark_buckets[(r["band"], r["band_hash"])].add(r["doc_id"])
+
+    a, b = hashing.perm_params(CFG.num_perm, CFG.minhash_seed)
+    oracle_buckets = defaultdict(set)
+    for i, norm in rows:
+        sh = hashing.shingle_hashes(norm.encode(), CFG.shingle_k, CFG.shingle_base)
+        sig = hashing.minhash_signature(sh, a, b)
+        bh = hashing.band_hashes(sig, CFG.lsh_bands, CFG.lsh_rows)
+        for band in range(CFG.lsh_bands):
+            oracle_buckets[(band, int(bh[band]))].add(i)
+
+    # same multiset of non-singleton buckets per band
+    def collapse(d):
+        return sorted(
+            (band, tuple(sorted(m))) for (band, _), m in d.items() if len(m) >= 2
+        )
+
+    assert collapse(spark_buckets) == collapse(oracle_buckets)

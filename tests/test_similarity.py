@@ -1,0 +1,79 @@
+"""Embedding similarity: brute-force exactness, SRP-ANN recall, near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import similarity
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((40, DIM))
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, base[i].astype(float).tolist(), i))
+        vid += 1
+    # plant near-dups: tiny perturbations of vectors 0..9
+    for i in range(10):
+        v = base[i] + rng.standard_normal(DIM) * 0.01
+        rows.append((vid, v.astype(float).tolist(), i))
+        vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def _numpy_topk(rows, queries, k):
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    out = {}
+    for q in queries:
+        sims = []
+        qv = vecs[q]
+        for nid, v in vecs.items():
+            if nid == q:
+                continue
+            sim = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            sims.append((-sim, nid))
+        sims.sort()
+        out[q] = [nid for _, nid in sims[:k]]
+    return out
+
+
+def test_brute_force_topk_exact(spark, emb_df):
+    rows = [(r["vec_id"], r["embedding"]) for r in emb_df.collect()]
+    queries = emb_df.where(F.col("vec_id") < 5)
+    got_rows = similarity.brute_force_topk(emb_df, queries, k=3).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expected = _numpy_topk(rows, range(5), 3)
+    assert got == expected
+
+
+def test_srp_ann_finds_planted_neighbors(spark, emb_df):
+    """Each planted near-dup (vec 40+i ~ vec i) must appear in ANN top-1
+    for most queries (SRP recall with 6 tables is high at sim~0.999)."""
+    queries = emb_df.where(F.col("vec_id") >= 40)
+    got = similarity.srp_ann_topk(
+        emb_df, queries, dim=DIM, k=1, n_bits=8, n_tables=6
+    ).collect()
+    hits = sum(1 for r in got if r["neighbor_id"] == r["query_id"] - 40)
+    assert hits >= 8, f"SRP-ANN recall too low: {hits}/10"
+
+
+def test_embedding_near_dups_finds_planted(spark, emb_df):
+    pairs = similarity.embedding_near_dups(
+        emb_df, dim=DIM, threshold=0.99, n_bits=6, n_tables=8
+    ).collect()
+    found = {(r["src"], r["dst"]) for r in pairs}
+    expected = {(i, 40 + i) for i in range(10)}
+    assert len(found & expected) >= 9
+    for r in pairs:
+        assert r["sim"] >= 0.99

@@ -1,0 +1,66 @@
+"""Structured-Streaming analogues: windowed flush, stateful last-wins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.streaming import batching
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_schema(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+
+
+@pytest.fixture(scope="module")
+def event_dir(tmp_path_factory):
+    """File-stream sources need a DIRECTORY; stage the events parquet file
+    into one (testdata itself is read-only)."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_windowed_counts_stream_matches_batch(spark, event_schema, event_dir):
+    stream = batching.read_event_stream(spark, event_dir, event_schema)
+    agg = batching.windowed_counts_stream(stream)
+    batching.run_stream_to_memory(agg, "win_out", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expected = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in (
+            batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_lastwins_stream_matches_batch(spark, event_schema, event_dir):
+    stream = batching.read_event_stream(spark, event_dir, event_schema)
+    lw = batching.lastwins_stream(stream)
+    batching.run_stream_to_memory(lw, "lw_out", output_mode="update")
+    # update mode may emit a key several times across micro-batches; the
+    # LAST emission per key is the stream's answer (memory sink appends)
+    rows = spark.sql("SELECT * FROM lw_out").collect()
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = (r["ts"], r["event_id"])
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from go_pipeline_spark.operators.windows import latest_event_per_user
+
+    expected = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in latest_event_per_user(batch).collect()
+    }
+    assert got == expected
