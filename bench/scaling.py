@@ -38,8 +38,9 @@ def run_once(cpus: int, rows: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=20000)
-    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--rows", type=int, default=600_000)
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="runs per level; min taken (the sandbox VM is noisy)")
     args = ap.parse_args()
 
     results = {}

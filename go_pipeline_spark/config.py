@@ -26,7 +26,10 @@ class PipelineConfig:
     num_perm: int = 128               # MinHash permutations
     lsh_bands: int = 16               # b
     lsh_rows: int = 8                 # r  (b * r == num_perm)
-    minhash_seed: int = 4202026       # seeds the (a, b) permutation params
+    minhash_seed: int = 4202026       # seeds the signature hash keys
+    minhash_scheme: str = "oph"       # "oph" (one-permutation hashing, ~1x
+    #                                    pass — the at-scale default) or
+    #                                    "kperm" (classic 128-pass MinHash)
     shingle_base: int = 1099511628211  # FNV-1a prime, rolling-hash base
 
     # SimHash fallback for short files (< short_doc_chars after normalization)
@@ -36,9 +39,11 @@ class PipelineConfig:
 
     # --- verification thresholds ---
     jaccard_threshold: float = 0.70      # est. Jaccard (signature agreement) cut
-    exact_verify_band: tuple[float, float] = (0.50, 0.90)
+    exact_verify_band: tuple[float, float] = (0.60, 0.80)
     # pairs whose estimated Jaccard falls inside the band are re-verified with
-    # exact shingle-set Jaccard on content (SURVEY.md N9)
+    # exact shingle-set Jaccard on content (SURVEY.md N9). Width is ±2.5σ of
+    # the 128-slot estimator (σ≈0.04 at J=0.7): wider wastes exact-verify
+    # compute on pairs the estimator already decides correctly
 
     # containment (winnowing fingerprints -> suffix-array verify, SURVEY.md N10)
     containment_k: int = 25              # winnowing gram length. MOSS-style

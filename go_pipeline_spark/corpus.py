@@ -147,6 +147,78 @@ def generate_source_files(n_rows: int = 5000, seed: int = 42) -> SyntheticCorpus
     return corpus
 
 
+def distributed_docs(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
+    """Deterministic synthetic corpus generated INSIDE executors (no driver
+    materialization / upload) — the bench corpus for throughput and scaling
+    runs at 10^5-10^7 rows. Content is a pure function of (seed, doc_id).
+
+    Planted structure by slot s = doc_id // 2 (both rows of a slot exist):
+      mix(s) % 10 == 0 -> rows 2s and 2s+1 are byte-identical (exact pair)
+      mix(s) % 10 == 1 -> row 2s+1 is a light mutation of 2s (near pair)
+      otherwise       -> two unrelated docs
+    ~10% of docs carry the hot license header (LSH skew exercise).
+    Returns (doc_id long, content string).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sc_partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        mask = (1 << 64) - 1
+
+        def mix(x: int) -> int:
+            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & mask
+            x = (x ^ (x >> 27)) * 0x94D049BB133111EB & mask
+            return (x ^ (x >> 31)) & mask
+
+        kw = _KEYWORDS
+        ids = _IDENTS
+
+        def make_content(tseed: int, mutated: bool) -> str:
+            rng = np.random.default_rng((seed << 32) ^ tseed)
+            n_lines = int(rng.integers(8, 50))
+            a = rng.integers(0, len(kw), n_lines)
+            b = rng.integers(0, len(ids), n_lines)
+            c = rng.integers(0, 100_000, n_lines)  # high-entropy literals:
+            # real source files share idioms, not most 25-char substrings —
+            # a low-entropy corpus makes every winnow fingerprint collide
+            d = rng.integers(0, 4, n_lines)
+            local = f"{rng.integers(0, 1 << 30):x}"  # doc-local identifier suffix
+            lines = [
+                f"{'    ' * int(d[j])}{ids[int(b[j])]}_{local}_{int(c[j])} = "
+                f"{kw[int(a[j])]}_{int(c[j]) % 977}({ids[(int(b[j]) + 3) % len(ids)]}_{local})"
+                for j in range(n_lines)
+            ]
+            if rng.random() < 0.10:
+                lines.insert(0, LICENSE_HEADER.rstrip("\n"))
+            if mutated:  # rewrite one line (guaranteed-nonempty near-dup delta)
+                mrng = np.random.default_rng((seed << 32) ^ tseed ^ 0xDEAD)
+                j = int(mrng.integers(0, len(lines)))
+                lines[j] = f"{ids[int(mrng.integers(0, len(ids)))]}_{local}_mut = changed_{int(mrng.integers(0, 100000))}({ids[0]}_{local})"
+            return "\n".join(lines) + "\n"
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["id"]:
+                doc_id = int(doc_id)
+                s = doc_id // 2
+                role = mix(s) % 10
+                if role == 0:
+                    content = make_content(2 * s, False)  # both rows identical
+                elif role == 1:
+                    content = make_content(2 * s, mutated=(doc_id % 2 == 1))
+                else:
+                    content = make_content(doc_id, False)
+                out.append(content)
+            yield pd.DataFrame({"doc_id": pdf["id"], "content": out})
+
+    return (
+        spark.range(0, n_rows, 1, sc_partitions)
+        .mapInPandas(gen, schema="doc_id long, content string")
+    )
+
+
 def generate_kv_dedup(n_rows: int = 1000, n_keys: int = 26, seed: int = 42):
     """FIXTURES.md F2 — keyed last-wins fixture mirroring the reference's
     DedupTestData payload (/root/reference/tests/pipeline_deduplication_test.go:14-19)

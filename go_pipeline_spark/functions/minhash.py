@@ -22,17 +22,91 @@ from go_pipeline_spark.config import PipelineConfig
 from go_pipeline_spark.functions import hashing
 
 
+SIGNATURE_STRUCT = (
+    "sig: array<long>, simhash: long, winnow_fps: array<long>, "
+    "is_short: boolean, sig_err: string"
+)
+
+
+def make_signature_kernel(cfg: PipelineConfig):
+    """The plain-Python batch kernel behind make_signature_udf (separated so
+    it is testable without a SparkSession and swappable for profiling)."""
+    k, base = cfg.shingle_k, cfg.shingle_base
+    k2, w = cfg.containment_k, cfg.winnow_window
+    num_perm, seed, scheme = cfg.num_perm, cfg.minhash_seed, cfg.minhash_scheme
+    short_chars, min_cont = cfg.short_doc_chars, cfg.containment_min_chars
+
+    def signature(texts: pd.Series) -> pd.DataFrame:
+        signer = hashing.make_doc_signer(num_perm, seed, scheme)
+        sig_col, sim_col, win_col, short_col, err_col = [], [], [], [], []
+        for t in texts:
+            try:
+                t = t or ""
+                data = t.encode("utf-8")
+                is_short = len(t) < short_chars
+                if is_short:
+                    sh = hashing.shingle_hashes(data, k, base, unique=False)
+                    sig_col.append(None)
+                    sim_col.append(int(hashing.simhash64(sh)))
+                else:
+                    # unique=False: min-based signatures are duplicate-
+                    # insensitive, so skip the per-doc sort np.unique costs
+                    sh = hashing.shingle_hashes(data, k, base, unique=False)
+                    sig_col.append(signer(sh).tolist())
+                    sim_col.append(None)
+                if len(t) >= min_cont:
+                    fp = hashing.winnow_fingerprints(data, k2, base, w)
+                    win_col.append(fp.astype("int64").tolist())
+                else:
+                    win_col.append(None)
+                short_col.append(is_short)
+                err_col.append(None)
+            except Exception as e:  # noqa: BLE001 — quarantine, don't fail the task
+                sig_col.append(None)
+                sim_col.append(None)
+                win_col.append(None)
+                short_col.append(False)
+                err_col.append(f"{type(e).__name__}: {e}")
+        return pd.DataFrame(
+            {
+                "sig": sig_col,
+                "simhash": sim_col,
+                "winnow_fps": win_col,
+                "is_short": short_col,
+                "sig_err": err_col,
+            }
+        )
+
+    return signature
+
+
+def make_signature_udf(cfg: PipelineConfig):
+    """content(normalized) -> struct(sig, simhash, winnow_fps, is_short, sig_err).
+
+    ONE pandas UDF computing every signature the pipeline needs, so content
+    crosses the JVM->Python Arrow boundary exactly once and is UTF-8 encoded
+    once per doc (three separate UDFs = 3x transfer + 3x encode).
+
+    Per-doc failures land in `sig_err` instead of failing the task — the
+    reference's panic isolation + error channel semantics
+    (/root/reference/pipeline_impl.go:291-299,352-368): errors are data,
+    the loop survives, the quarantine table gets the row.
+    """
+    return F.pandas_udf(f"struct<{SIGNATURE_STRUCT}>")(make_signature_kernel(cfg))
+
+
 def make_minhash_udf(cfg: PipelineConfig):
     """content(normalized) -> array<long> MinHash signature of length num_perm."""
-    k, base, num_perm, seed = cfg.shingle_k, cfg.shingle_base, cfg.num_perm, cfg.minhash_seed
+    k, base, num_perm = cfg.shingle_k, cfg.shingle_base, cfg.num_perm
+    seed, scheme = cfg.minhash_seed, cfg.minhash_scheme
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
-        a, b = hashing.perm_params(num_perm, seed)
+        signer = hashing.make_doc_signer(num_perm, seed, scheme)
         out = []
         for t in texts:
             sh = hashing.shingle_hashes((t or "").encode("utf-8"), k, base)
-            out.append(hashing.minhash_signature(sh, a, b).tolist())
+            out.append(signer(sh).tolist())
         return pd.Series(out)
 
     return minhash_sig
@@ -98,10 +172,17 @@ def make_exact_jaccard_udf(cfg: PipelineConfig):
     def exact_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
 
+        cache: dict[str, np.ndarray] = {}  # docs repeat across a batch's pairs
+
+        def sh(t: str) -> np.ndarray:
+            got = cache.get(t)
+            if got is None:
+                got = cache[t] = hashing.shingle_hashes(t.encode("utf-8"), k, base)
+            return got
+
         out = []
         for x, y in zip(a, b):
-            sx = hashing.shingle_hashes((x or "").encode("utf-8"), k, base)
-            sy = hashing.shingle_hashes((y or "").encode("utf-8"), k, base)
+            sx, sy = sh(x or ""), sh(y or "")
             if len(sx) == 0 and len(sy) == 0:
                 out.append(1.0)
                 continue

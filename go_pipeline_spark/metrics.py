@@ -60,6 +60,19 @@ class StageMetrics:
             )
         )
 
+    def record_quarantine(self, stage: str, doc_id: int, error: str) -> None:
+        from datetime import datetime, timezone
+
+        self.quarantine_rows.append(
+            (
+                self.run_id,
+                stage,
+                doc_id,
+                error,
+                datetime.now(timezone.utc).replace(tzinfo=None),
+            )
+        )
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.rows, METRICS_SCHEMA)
 

@@ -94,17 +94,19 @@ def containment_candidates(
     (inner, outer) ordered by (length, id); inner must be
     >= containment_min_chars.
     """
+    cap = cfg.bucket_cap
     buckets = docs.select(
         "doc_id", F.explode(F.col(fp_col)).alias("fp")
     )
-    # fingerprint document-frequency; map-side combinable, skew-immune
-    sizes = buckets.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    scored_buckets = buckets.join(sizes, "fp")
-    # hot fingerprints (df > bucket_cap) are boilerplate — no containment
-    # signal; excluded from the shared count AND the denominator (IDF-style)
-    rare = scored_buckets.where(F.col("df") <= cfg.bucket_cap)
+    # document frequency: count-only hash aggregation — whole-stage codegen,
+    # map-side combined, skew-immune (no posting lists built here; in a
+    # high-entropy corpus the overwhelming majority of fingerprints are
+    # df=1 and never deserve an array allocation)
+    sizes = buckets.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).persist()
+    # posting lists ONLY for pairable fingerprints (2 <= df <= cap): complete
+    # membership, bounded groups
     pairable = (
-        rare.where(F.col("df") >= 2)
+        buckets.join(sizes.where((F.col("df") >= 2) & (F.col("df") <= cap)), "fp")
         .groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
@@ -121,12 +123,21 @@ def containment_candidates(
         .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    rare_counts = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    # denominator: a doc's rare-fp count = total fps - its hot-fp count.
+    # Hot fingerprints (df > cap) are boilerplate (license headers, template
+    # lines) — no containment signal, excluded IDF-style from both sides.
+    hot_counts = (
+        buckets.join(sizes.where(F.col("df") > cap), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
     meta = (
-        docs.select("doc_id", "n_chars")
-        .join(rare_counts, "doc_id", "left")
+        docs.select("doc_id", "n_chars", F.size(fp_col).alias("n_total"))
+        .join(hot_counts, "doc_id", "left")
         .select(
-            "doc_id", "n_chars", F.coalesce("n_rare", F.lit(0)).alias("n_fps")
+            "doc_id",
+            "n_chars",
+            (F.col("n_total") - F.coalesce("n_hot", F.lit(0))).alias("n_fps"),
         )
     )
     a = meta.select(

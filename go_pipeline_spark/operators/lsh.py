@@ -65,19 +65,25 @@ def capped_buckets(buckets: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, 
     len<=cap, len>=2); stats = per-bucket (n_members, n_dropped) for metrics.
     """
     cap = cfg.bucket_cap
+    # phase 0: count-only codegen aggregation; drops singleton buckets (the
+    # overwhelming majority) before ANY posting-list array is built
+    sizes = buckets.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    multi = buckets.join(sizes.where(F.col("n_members") >= 2), ["band", "band_hash"])
     phase1 = (
-        buckets.withColumn(
+        multi.withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))
         )
         .groupBy("band", "band_hash", "salt")
         .agg(
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("ids"),
-            F.count(F.lit(1)).alias("n"),
+            F.first("n_members").alias("n_members"),
         )
     )
     phase2 = phase1.groupBy("band", "band_hash").agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("ids"))), 1, cap).alias("ids"),
-        F.sum("n").alias("n_members"),
+        F.first("n_members").alias("n_members"),
     )
     phase2 = phase2.withColumn(
         "n_dropped", F.col("n_members") - F.size("ids")

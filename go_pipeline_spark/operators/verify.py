@@ -63,6 +63,9 @@ def verify_pairs(
             "verified", F.col("jaccard") >= cfg.jaccard_threshold
         )
 
+    # scored feeds both the borderline and clearcut branches — persist so the
+    # signature joins + fold run once, not twice
+    scored = scored.persist()
     borderline = scored.where((F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi))
     clearcut = scored.where((F.col("est_jaccard") < lo) | (F.col("est_jaccard") >= hi))
 

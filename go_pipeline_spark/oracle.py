@@ -77,7 +77,7 @@ def run_oracle(contents: dict[int, str], cfg: PipelineConfig) -> OracleResult:
     import hashlib as _hl
 
     res = OracleResult()
-    a, b = hashing.perm_params(cfg.num_perm, cfg.minhash_seed)
+    signer = hashing.make_doc_signer(cfg.num_perm, cfg.minhash_seed, cfg.minhash_scheme)
 
     # stage: normalize + sha (exact dedup)
     norm: dict[int, str] = {}
@@ -100,7 +100,7 @@ def run_oracle(contents: dict[int, str], cfg: PipelineConfig) -> OracleResult:
             simhashes[i] = int(hashing.simhash64(sh))
             continue
         sh = hashing.shingle_hashes(data, cfg.shingle_k, cfg.shingle_base)
-        res.signatures[i] = hashing.minhash_signature(sh, a, b)
+        res.signatures[i] = signer(sh)
 
     # stage: LSH banding + deterministic bucket cap (lowest ids kept)
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)

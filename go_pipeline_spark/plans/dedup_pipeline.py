@@ -32,11 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
-from go_pipeline_spark.functions.minhash import (
-    make_minhash_udf,
-    make_simhash_udf,
-    make_winnow_udf,
-)
+from go_pipeline_spark.functions.minhash import make_signature_udf
 from go_pipeline_spark.functions.normalize import normalize_col
 from go_pipeline_spark.metrics import StageMetrics, StageTimer
 from go_pipeline_spark.operators import lsh
@@ -69,10 +65,26 @@ class DedupPipeline:
         cfg: PipelineConfig = DEFAULT_CONFIG,
         snapshot_dir: str | None = None,
         run_id: str | None = None,
+        mode: str = "staged",
     ):
+        """mode:
+          "staged" — every stage materialized (localCheckpoint or snapshot),
+            per-stage row counts + durations in metrics, resumable. The
+            operational default (≙ the reference's full hook surface).
+          "lean" — one fused DAG: multi-consumer stages persist() lazily,
+            no per-stage counts/commits; identical results, fewer jobs.
+            The throughput mode (≙ running the reference without
+            MetricsHook — hooks cost, so they are optional there too,
+            /root/reference/pipeline_impl.go:301-308 nil-check).
+        """
+        if mode not in ("staged", "lean"):
+            raise ValueError(f"unknown mode: {mode}")
         self.cfg = cfg
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.snapshot_dir = snapshot_dir
+        self.mode = mode
+        if mode == "lean" and snapshot_dir is not None:
+            raise ValueError("lean mode does not write snapshots; use staged")
 
     # -- stage bodies ------------------------------------------------------
     def _stage_normalized(self, docs: DataFrame) -> DataFrame:
@@ -90,25 +102,24 @@ class DedupPipeline:
         return normalized.join(reps, "content_sha").select("doc_id", "rep_id")
 
     def _stage_signatures(self, normalized: DataFrame, rep_map: DataFrame) -> DataFrame:
-        """Signatures over exact-dedup representatives only."""
+        """All signatures over exact-dedup representatives, in ONE UDF pass
+        (content crosses the Arrow boundary once; per-doc errors -> sig_err)."""
         reps = normalized.join(
             rep_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
             "doc_id",
         )
-        minhash = make_minhash_udf(self.cfg)
-        simhash = make_simhash_udf(self.cfg)
-        winnow = make_winnow_udf(self.cfg)
-        is_short = F.col("n_chars") < self.cfg.short_doc_chars
-        return reps.select(
+        sigfn = make_signature_udf(self.cfg)
+        out = reps.select(
+            "doc_id", "n_chars", sigfn(F.col("norm_content")).alias("s")
+        )
+        return out.select(
             "doc_id",
             "n_chars",
-            is_short.alias("is_short"),
-            F.when(~is_short, minhash(F.col("norm_content"))).alias("sig"),
-            F.when(is_short, simhash(F.col("norm_content"))).alias("simhash"),
-            F.when(
-                F.col("n_chars") >= self.cfg.containment_min_chars,
-                winnow(F.col("norm_content")),
-            ).alias("winnow_fps"),
+            F.col("s.is_short").alias("is_short"),
+            F.col("s.sig").alias("sig"),
+            F.col("s.simhash").alias("simhash"),
+            F.col("s.winnow_fps").alias("winnow_fps"),
+            F.col("s.sig_err").alias("sig_err"),
         )
 
     # -- the run -----------------------------------------------------------
@@ -124,11 +135,23 @@ class DedupPipeline:
         stages_run: list[str] = []
         stages_resumed: list[str] = []
 
-        def stage(name: str, items_in_df: DataFrame, build) -> DataFrame:
-            """Run-or-resume one stage; snapshot + metrics on completion."""
+        last_out: dict[str, int] = {}
+
+        def stage(name: str, items_in: str | None, build) -> DataFrame:
+            """Run-or-resume one stage; snapshot + metrics on completion.
+            items_in names the upstream stage (count propagated, not
+            recomputed — stage boundaries are the only actions).
+            Lean mode: persist lazily, no counts/commits — stages fuse into
+            one DAG and materialize at the first downstream action."""
+            if self.mode == "lean":
+                out = build().persist()
+                stages_run.append(name)
+                return out
             if store is not None and cfg.resume and store.is_committed(name):
                 stages_resumed.append(name)
-                return store.read(spark, name)
+                out = store.read(spark, name)
+                last_out[name] = store.manifest(name).get("rows") or out.count()
+                return out
             with StageTimer() as t:
                 out = build()
                 if store is not None:
@@ -138,19 +161,30 @@ class DedupPipeline:
                 else:
                     out = out.localCheckpoint(eager=True)
                     n = out.count()
-            metrics.record(name, items_in_df.count() if items_in_df is not None else 0,
-                           n, t.seconds)
+            last_out[name] = n
+            metrics.record(name, last_out.get(items_in, 0), n, t.seconds)
             stages_run.append(name)
             return out
 
         docs = docs.select("doc_id", "content")
 
-        normalized = stage("normalize", docs, lambda: self._stage_normalized(docs))
-        rep_map = stage("exact_dedup", normalized, lambda: self._stage_exact(normalized))
-        sigs = stage("signatures", rep_map, lambda: self._stage_signatures(normalized, rep_map))
+        normalized = stage("normalize", None, lambda: self._stage_normalized(docs))
+        rep_map = stage("exact_dedup", "normalize", lambda: self._stage_exact(normalized))
+        sigs = stage("signatures", "exact_dedup", lambda: self._stage_signatures(normalized, rep_map))
 
-        long_sigs = sigs.where(~F.col("is_short")).select("doc_id", "sig")
-        short_sigs = sigs.where(F.col("is_short")).select("doc_id", "simhash")
+        # quarantine: per-doc signature failures are data, not exceptions
+        # (≙ panic isolation + error channel, pipeline_impl.go:291-299)
+        bad = sigs.where(F.col("sig_err").isNotNull()).select("doc_id", "sig_err")
+        n_quarantined = 0
+        for r in bad.collect():  # tiny by construction; errors are exceptional
+            n_quarantined += 1
+            metrics.record_quarantine("signatures", int(r["doc_id"]), r["sig_err"])
+        if n_quarantined:
+            metrics.record("signatures_errors", 0, 0, 0.0, errors=n_quarantined)
+
+        ok_sigs = sigs.where(F.col("sig_err").isNull())
+        long_sigs = ok_sigs.where(~F.col("is_short")).select("doc_id", "sig")
+        short_sigs = ok_sigs.where(F.col("is_short")).select("doc_id", "simhash")
 
         def build_candidates() -> DataFrame:
             buckets = lsh.band_explode(long_sigs, cfg)
@@ -159,19 +193,19 @@ class DedupPipeline:
             metrics.record("lsh_bucket_caps", 0, 0, 0.0, dropped=int(dropped))
             return lsh.candidate_pairs(kept)
 
-        cands = stage("lsh_candidates", long_sigs, build_candidates)
+        cands = stage("lsh_candidates", "signatures", build_candidates)
 
         contents = normalized.select("doc_id", "norm_content")
         verified = stage(
             "verify",
-            cands,
+            "lsh_candidates",
             lambda: verify_pairs(cands, long_sigs.withColumnRenamed("sig", "sig")
                                  .select("doc_id", "sig"), cfg, contents=contents),
         )
 
         sim_pairs = stage(
             "simhash_pairs",
-            short_sigs,
+            "signatures",
             lambda: lsh.simhash_candidate_pairs(short_sigs, cfg),
         )
 
@@ -182,7 +216,7 @@ class DedupPipeline:
             cand = containment_candidates(cdocs, cfg)
             return verify_containment(cand, contents)
 
-        cont_pairs = stage("containment", sigs, build_containment)
+        cont_pairs = stage("containment", "signatures", build_containment)
 
         def build_edges() -> DataFrame:
             ex = (
@@ -205,7 +239,7 @@ class DedupPipeline:
             )
             return ex.unionByName(nr).unionByName(sh).unionByName(ct)
 
-        edges = stage("dup_edges", verified, build_edges)
+        edges = stage("dup_edges", "verify", build_edges)
 
         def build_clusters() -> DataFrame:
             assign = connected_components(
@@ -220,7 +254,7 @@ class DedupPipeline:
                 )
             )
 
-        clusters = stage("clusters", edges, build_clusters)
+        clusters = stage("clusters", "dup_edges", build_clusters)
 
         return RunResult(
             run_id=self.run_id,

@@ -1,0 +1,56 @@
+"""Lean (fused, persist-only) mode must produce results identical to the
+staged (checkpoint-per-stage) mode — it is an execution strategy, not a
+semantics change."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import distributed_docs, generate_source_files
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+CFG = PipelineConfig()
+
+
+def test_lean_equals_staged(spark):
+    corpus = generate_source_files(300, seed=23)
+    docs = corpus_to_df(spark, corpus).select("doc_id", "content").cache()
+    staged = DedupPipeline(CFG).run(spark, docs)
+    lean = DedupPipeline(CFG, mode="lean").run(spark, docs)
+    s = sorted((r["doc_id"], r["component"]) for r in staged.clusters.collect())
+    ln = sorted((r["doc_id"], r["component"]) for r in lean.clusters.collect())
+    assert s == ln
+    se = {(r["src"], r["dst"]) for r in staged.dup_edges.collect()}
+    le = {(r["src"], r["dst"]) for r in lean.dup_edges.collect()}
+    assert se == le
+
+
+def test_lean_rejects_snapshot_dir():
+    with pytest.raises(ValueError):
+        DedupPipeline(CFG, snapshot_dir="/tmp/x", mode="lean")
+
+
+def test_distributed_corpus_deterministic_and_planted(spark):
+    d1 = distributed_docs(spark, 2000, seed=5).collect()
+    d2 = distributed_docs(spark, 2000, seed=5).collect()
+    assert sorted(map(tuple, d1)) == sorted(map(tuple, d2))
+    by_id = {r["doc_id"]: r["content"] for r in d1}
+    mask = (1 << 64) - 1
+
+    def mix(x):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & mask
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & mask
+        return (x ^ (x >> 31)) & mask
+
+    n_exact = n_near = 0
+    for s in range(1000):
+        role = mix(s) % 10
+        if role == 0:
+            assert by_id[2 * s] == by_id[2 * s + 1]
+            n_exact += 1
+        elif role == 1:
+            assert by_id[2 * s] != by_id[2 * s + 1]
+            n_near += 1
+    assert n_exact > 50 and n_near > 50

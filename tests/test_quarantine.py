@@ -1,0 +1,50 @@
+"""Error-channel semantics (O12/O13): per-doc UDF failures become quarantine
+rows, never task failures — the loop survives (panic isolation,
+/root/reference/pipeline_impl.go:291-299)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.functions.minhash import make_signature_kernel
+from go_pipeline_spark.metrics import StageMetrics
+
+CFG = PipelineConfig()
+
+
+def test_signature_udf_isolates_per_doc_failures():
+    """Call the UDF kernel directly with a poisoned batch: the bad row gets
+    sig_err, the good rows still produce signatures."""
+    kernel = make_signature_kernel(CFG)
+    batch = pd.Series(["x" * 100, 3.14, "y" * 100])  # float -> .encode() raises
+    out = kernel(batch)
+    assert list(out.columns) == ["sig", "simhash", "winnow_fps", "is_short", "sig_err"]
+    assert out["sig_err"][0] is None and out["sig_err"][2] is None
+    assert out["sig_err"][1] is not None and "AttributeError" in out["sig_err"][1]
+    assert out["sig"][0] is not None and len(out["sig"][0]) == CFG.num_perm
+    assert out["sig"][1] is None
+
+
+def test_quarantine_rows_surface_in_metrics_df(spark):
+    m = StageMetrics("run-x")
+    m.record_quarantine("signatures", 42, "boom")
+    m.record("signatures_errors", 0, 0, 0.0, errors=1)
+    qdf = m.quarantine_df(spark)
+    rows = qdf.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 42 and rows[0]["error"] == "boom"
+    mrows = {r["stage"]: r for r in m.to_df(spark).collect()}
+    assert mrows["signatures_errors"]["errors"] == 1
+
+
+def test_pipeline_survives_null_content(spark):
+    """Null/empty content flows through every stage without errors."""
+    from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+
+    rows = [(0, None), (1, ""), (2, "some real content " * 20), (3, "some real content " * 20)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    res = DedupPipeline(CFG).run(spark, df)
+    comp = {r["doc_id"]: r["component"] for r in res.clusters.collect()}
+    assert len(comp) == 4
+    assert comp[2] == comp[3]  # exact dups cluster

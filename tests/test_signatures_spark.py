@@ -33,10 +33,10 @@ def test_minhash_udf_matches_numpy(spark):
             "doc_id", make_minhash_udf(CFG)(F.col("norm")).alias("sig")
         ).collect()
     }
-    a, b = hashing.perm_params(CFG.num_perm, CFG.minhash_seed)
+    signer = hashing.make_doc_signer(CFG.num_perm, CFG.minhash_seed, CFG.minhash_scheme)
     for i, norm in rows:
         sh = hashing.shingle_hashes(norm.encode(), CFG.shingle_k, CFG.shingle_base)
-        expected = hashing.minhash_signature(sh, a, b).tolist()
+        expected = signer(sh).tolist()
         assert got[i] == expected, f"doc {i}"
 
 
@@ -83,11 +83,11 @@ def test_band_explode_bucket_equivalence(spark):
     for r in band_explode(sigs, CFG).collect():
         spark_buckets[(r["band"], r["band_hash"])].add(r["doc_id"])
 
-    a, b = hashing.perm_params(CFG.num_perm, CFG.minhash_seed)
+    signer = hashing.make_doc_signer(CFG.num_perm, CFG.minhash_seed, CFG.minhash_scheme)
     oracle_buckets = defaultdict(set)
     for i, norm in rows:
         sh = hashing.shingle_hashes(norm.encode(), CFG.shingle_k, CFG.shingle_base)
-        sig = hashing.minhash_signature(sh, a, b)
+        sig = signer(sh)
         bh = hashing.band_hashes(sig, CFG.lsh_bands, CFG.lsh_rows)
         for band in range(CFG.lsh_bands):
             oracle_buckets[(band, int(bh[band]))].add(i)
