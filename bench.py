@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,7 +55,6 @@ def bench_queries(spark, sf_dir: str):
             df.count()  # generation (executor-side) outside the timer
             # warm python workers (first pandas-UDF job pays numpy/pandas
             # imports in every worker — not a property of the pipeline)
-            import pandas as pd
             from pyspark.sql import functions as F
 
             @F.pandas_udf("double")
