@@ -143,6 +143,27 @@ def q_embedding_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (window + row_number): 3 priciest orders per customer."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated corpus selection: doc ids passing the quality threshold."""
+    d = _docs(spark, sf_dir)
+    return d.where(textstats.quality_score(F.col("text")) >= 0.5).select("doc_id")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General-aggregation sanity (TPC-H Q1 shape) over lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -228,6 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk_brute": q_embedding_topk_brute,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "quality_filter": q_quality_filter,
         "tpch_q1": q_tpch_q1,
         "join_orders_nation": q_join_orders_nation,
         "dedup_clusters": q_dedup_clusters,
@@ -357,6 +380,18 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, rank, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders)
+            WHERE rank <= 3
+        """,
+        "quality_filter": f"""
+            SELECT doc_id FROM documents WHERE ({quality}) >= 0.5
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

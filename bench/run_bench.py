@@ -1,0 +1,64 @@
+"""spark-submit entrypoint (north_rule: `spark-submit --py-files`).
+
+Cluster usage:
+    cd /root/repo && zip -r /tmp/gps.zip go_pipeline_spark __spark_entry__.py
+    spark-submit --master <cluster> --py-files /tmp/gps.zip bench/run_bench.py \
+        [--only q1,q2] [--sf-dir /path/to/sf]
+
+Unlike bench.py (which builds a local[N] session), this honors the session
+spark-submit provides: master/executors/memory come from submit args, so the
+same file runs on a real multi-executor cluster at sizes N and 4N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("go_pipeline_spark-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from bench import bench_queries  # reuse the single query registry
+
+    queries, meta = bench_queries(spark, args.sf_dir)
+    if args.only:
+        queries = {k: v for k, v in queries.items() if k in set(args.only.split(","))}
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({
+        "metric": "headline query wall time (spark-submit)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "parallelism": spark.sparkContext.defaultParallelism,
+    }))
+
+
+if __name__ == "__main__":
+    main()

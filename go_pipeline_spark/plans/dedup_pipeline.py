@@ -55,6 +55,7 @@ class RunResult:
     clusters: DataFrame          # (doc_id, component)
     dup_edges: DataFrame         # (src, dst, kind)
     metrics: DataFrame           # FIXTURES.md F3 schema
+    quarantine: DataFrame        # FIXTURES.md F3 quarantine schema
     stages_run: list[str]
     stages_resumed: list[str]
 
@@ -123,8 +124,21 @@ class DedupPipeline:
         )
 
     # -- the run -----------------------------------------------------------
-    def run(self, spark: SparkSession, docs: DataFrame) -> RunResult:
-        """docs: (doc_id long, content string [, ...])."""
+    def run(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        sink=None,
+    ) -> RunResult:
+        """docs: (doc_id long, content string [, ...]).
+
+        sink: optional callable (stage_name: str, df: DataFrame) -> None,
+        invoked after each completed stage with its output — the direct
+        analogue of the reference's flush callback, the entire user-function
+        surface (FlushStandardFunc, /root/reference/pipeline_standard.go:5;
+        use cases at README.md:1030-1080: DB batch insert, log shipper, MQ).
+        Sink errors are quarantined per stage, never fail the run (O12/O13).
+        """
         cfg = self.cfg
         metrics = StageMetrics(self.run_id)
         store = (
@@ -146,6 +160,7 @@ class DedupPipeline:
             if self.mode == "lean":
                 out = build().persist()
                 stages_run.append(name)
+                _flush_sink(name, out)
                 return out
             if store is not None and cfg.resume and store.is_committed(name):
                 stages_resumed.append(name)
@@ -164,7 +179,17 @@ class DedupPipeline:
             last_out[name] = n
             metrics.record(name, last_out.get(items_in, 0), n, t.seconds)
             stages_run.append(name)
+            _flush_sink(name, out)
             return out
+
+        def _flush_sink(name: str, out: DataFrame) -> None:
+            if sink is None:
+                return
+            try:
+                sink(name, out)
+            except Exception as e:  # noqa: BLE001 — panic isolation (O12)
+                metrics.record(f"{name}_sink_error", 0, 0, 0.0, errors=1)
+                metrics.record_quarantine(f"{name}:sink", -1, f"{type(e).__name__}: {e}")
 
         docs = docs.select("doc_id", "content")
 
@@ -261,6 +286,7 @@ class DedupPipeline:
             clusters=clusters,
             dup_edges=edges,
             metrics=metrics.to_df(spark),
+            quarantine=metrics.quarantine_df(spark),
             stages_run=stages_run,
             stages_resumed=stages_resumed,
         )

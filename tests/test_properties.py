@@ -1,0 +1,72 @@
+"""Hypothesis property tests for the pure-Python kernels (no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.functions import hashing
+from go_pipeline_spark.functions.normalize import normalize_py
+from go_pipeline_spark.operators.containment import sa_contains, suffix_array
+
+CFG = PipelineConfig()
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=400,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_normalize_idempotent_and_stable(t):
+    once = normalize_py(t)
+    assert normalize_py(once) == once
+    assert "\r" not in once and "﻿" not in once
+    assert "  " not in once.replace("\n", " \n")  # no double spaces survive
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_shingle_hashes_32bit_and_deterministic(data):
+    h1 = hashing.shingle_hashes(data, CFG.shingle_k, CFG.shingle_base)
+    h2 = hashing.shingle_hashes(data, CFG.shingle_k, CFG.shingle_base)
+    assert np.array_equal(h1, h2)
+    assert (h1 < (1 << 32)).all()
+    if len(data) >= CFG.shingle_k:
+        assert len(h1) >= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=1, max_size=300), st.binary(min_size=0, max_size=50))
+def test_suffix_array_contains_matches_python_in(hay, needle):
+    sa = suffix_array(hay)
+    assert sa_contains(hay, sa, needle) == (needle in hay)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=60, max_size=400))
+def test_oph_signature_shape_and_self_similarity(data):
+    sh = hashing.shingle_hashes(data, CFG.shingle_k, CFG.shingle_base, unique=False)
+    if sh.size == 0:
+        return
+    signer = hashing.make_doc_signer(CFG.num_perm, CFG.minhash_seed, "oph")
+    sig = signer(sh)
+    assert sig.shape == (CFG.num_perm,)
+    assert np.array_equal(sig, signer(sh))  # deterministic
+    # duplicate-insensitive (min-based)
+    assert np.array_equal(sig, signer(np.concatenate([sh, sh])))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=200),
+    st.integers(1, 50),
+)
+def test_sliding_min_matches_naive(vals, w):
+    h = np.array(vals, dtype=np.uint64)
+    if len(h) < w:
+        return
+    naive = np.array([h[i : i + w].min() for i in range(len(h) - w + 1)], dtype=np.uint64)
+    assert np.array_equal(hashing.sliding_min(h, w), naive)

@@ -1,0 +1,41 @@
+"""Pluggable per-stage sink — the reference's flush-callback surface
+(O9/O20): called per completed stage; sink errors quarantined, never fatal."""
+
+from __future__ import annotations
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+CFG = PipelineConfig()
+
+
+def test_sink_called_per_stage_with_outputs(spark):
+    corpus = generate_source_files(150, seed=31)
+    docs = corpus_to_df(spark, corpus).select("doc_id", "content")
+    seen: dict[str, int] = {}
+
+    def sink(stage: str, df) -> None:
+        seen[stage] = df.count()
+
+    res = DedupPipeline(CFG).run(spark, docs, sink=sink)
+    assert set(res.stages_run) == set(seen)
+    assert seen["normalize"] == 150
+    assert seen["clusters"] == 150
+
+
+def test_sink_errors_are_quarantined_not_fatal(spark):
+    corpus = generate_source_files(100, seed=33)
+    docs = corpus_to_df(spark, corpus).select("doc_id", "content")
+
+    def bad_sink(stage: str, df) -> None:
+        if stage == "signatures":
+            raise RuntimeError("sink exploded")
+
+    res = DedupPipeline(CFG).run(spark, docs, sink=bad_sink)
+    assert res.clusters.count() == 100  # run survived (panic isolation)
+    q = res.quarantine.collect()
+    assert any("sink exploded" in r["error"] for r in q)
+    m = {r["stage"]: r for r in res.metrics.collect()}
+    assert m["signatures_sink_error"]["errors"] == 1
