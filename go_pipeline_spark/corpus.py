@@ -163,6 +163,8 @@ def distributed_docs(spark, n_rows: int, seed: int = 42, partitions: int | None 
     import pandas as pd
 
     sc_partitions = partitions or spark.sparkContext.defaultParallelism
+    # defaultParallelism is already 4x cores via session.py; keep >= 32
+    sc_partitions = max(sc_partitions, 32)
 
     def gen(batches):
         mask = (1 << 64) - 1

@@ -39,8 +39,13 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
-        .config("spark.default.parallelism", str(max(cores, 8)))
+        # 4x cores: tasks per wave >= 4 so cache scans, Arrow stages, and
+        # shuffles pipeline instead of contending (measured: scanning a
+        # cores-partition deserialized cache with cores threads is ~4x
+        # slower than 4*cores partitions); AQE coalesces the excess away
+        # on small shuffles
+        .config("spark.sql.shuffle.partitions", str(max(cores * 4, 32)))
+        .config("spark.default.parallelism", str(max(cores * 4, 32)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
