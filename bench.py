@@ -22,7 +22,7 @@ import pandas as pd  # module-level: pandas-UDF type hints resolve here
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "20000"))
+SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "100000"))
 
 
 def _force(df) -> int:

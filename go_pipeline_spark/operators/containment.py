@@ -3,23 +3,25 @@
 MinHash/LSH cannot find containments: if A ⊂ B with |B| >> |A| the Jaccard
 |A|/|B| is small, so A and B never collide in a band. Dedicated path:
 
-  candidates: winnowing fingerprints (functions/hashing.winnow_fingerprints)
-      — any shared substring of length >= winnow_window + k - 1 shares a
-      fingerprint (Schleimer et al. SIGMOD'03), so bucketing docs by
-      fingerprint and pairing (shorter, longer) within a bucket has perfect
-      recall for contained docs longer than that bound. Fingerprint buckets
-      are capped with the same two-phase deterministic rule as LSH buckets
-      (hot fingerprints = boilerplate headers).
+  candidates: winnowing fingerprints (functions/hashing.winnow_fingerprints,
+      MOSS-style containment_k-grams) — any shared substring of length
+      >= winnow_window + containment_k - 1 shares a fingerprint (Schleimer
+      et al. SIGMOD'03). A pair qualifies only when it shares a
+      containment_fp_fraction of the inner doc's RARE fingerprints; hot
+      fingerprints (document frequency > bucket_cap: license headers,
+      template lines) are excluded IDF-style from both the shared count and
+      the denominator, so boilerplate cannot explode the candidate set and
+      cannot mask true containments.
 
-  verify: group candidates by container doc; `applyInPandas` builds a suffix
-      array (numpy rank-doubling, O(n log^2 n)) over the container's
-      normalized content ONCE per container and binary-searches each
-      candidate — so a container checked against m candidates costs
-      O(n log^2 n + m * len_a * log n), not m full scans.
+  verify: candidates co-located by container via repartition + mapInPandas;
+      a container with several candidates gets a suffix array (numpy
+      rank-doubling, O(n log^2 n)) built ONCE and binary-searched per
+      candidate; few-candidate containers use C-speed find().
 
 At 10^12 scale the container content join is the expensive move; the
-candidate set is already fingerprint-filtered, and groups are bounded by the
-fingerprint-bucket cap.
+candidate set is already fraction-filtered to near-certain containments,
+and posting lists are built only for 2 <= df <= cap fingerprints (count-only
+codegen aggregation decides df first).
 """
 
 from __future__ import annotations
