@@ -53,18 +53,6 @@ def bench_queries(spark, sf_dir: str):
 
             df = distributed_docs(spark, SYNTH_ROWS, seed=42).persist()
             df.count()  # generation (executor-side) outside the timer
-            # warm python workers (first pandas-UDF job pays numpy/pandas
-            # imports in every worker — not a property of the pipeline)
-            from pyspark.sql import functions as F
-
-            @F.pandas_udf("double")
-            def _warm(x: pd.Series) -> pd.Series:
-                return x * 1.0
-
-            n_cores = int(spark.sparkContext.defaultParallelism)
-            spark.range(0, n_cores * 100, 1, n_cores).select(
-                F.sum(_warm(F.col("id").cast("double")))
-            ).collect()
             synth_cache["df"] = df
         return synth_cache["df"]
 
@@ -95,9 +83,9 @@ def bench_queries(spark, sf_dir: str):
         fn = entrymod.queries()[name]
         return lambda: _force(fn(spark, sf_dir))
 
-    return {
-        "dedup_documents": dedup_documents,
+    return {  # heavy, GC-sensitive measurements first
         "dedup_synthetic": dedup_synthetic,
+        "dedup_documents": dedup_documents,
         "lastwins_10m": lastwins_10m,
         "lastwins_latest_event": q("lastwins_latest_event"),
         "window_counts": q("window_counts"),
@@ -123,6 +111,19 @@ def main() -> None:
     from go_pipeline_spark.session import get_spark
 
     spark = get_spark(cores=cpus, app_name="bench")
+
+    # warm python workers once (the first pandas-UDF job pays numpy/pandas
+    # imports in every worker — JVM codegen also warms) before any timer
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    n_par = int(spark.sparkContext.defaultParallelism)
+    spark.range(0, n_par * 100, 1, n_par).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
 
     queries, meta = bench_queries(spark, args.sf_dir)
     if args.only:
