@@ -1,0 +1,305 @@
+"""Incremental dedup: process NEW document batches against accumulated state.
+
+This is the closest distributed reading of the reference's continuous
+operation: items keep arriving on the channel, are deduplicated against the
+accumulated container, and the container persists across flush windows
+(/root/reference/pipeline_impl.go:164-248 event loop;
+pipeline_deduplication.go:81-85 keyed container). Here each `run_batch` is a
+flush window; the "container" is a set of committed state tables:
+
+  state_sha       (content_sha, rep_id)            exact-dup identity map
+  state_sigs      (doc_id, sig, simhash, winnow_fps, n_chars, is_short)
+  state_buckets   (band, band_hash, ids)           LSH posting lists (capped)
+  state_clusters  (doc_id, component)              current assignment
+
+Semantics notes:
+  * exact dedup: new docs whose sha exists adopt the existing rep — the
+    reference's "duplicate key overwrites within the window" generalized to
+    "duplicate content joins the existing group" across windows.
+  * LSH buckets are capped ARRIVAL-ORDERED (existing members keep their
+    seats; new members fill remaining seats) — the streaming-faithful rule,
+    unlike the batch pipeline's global lowest-id rule. With caps unbound the
+    incremental result EQUALS the batch result (pinned by tests); when caps
+    bind they diverge exactly like two different arrival orders would in the
+    reference's windowed map.
+  * clusters: prior assignments enter connected components as star edges
+    (doc -> component), so merging clusters across batches is just CC over
+    (prior stars + new edges); component ids stay "min doc_id ever seen".
+  * containment across batches needs old CONTENT for substring verification;
+    callers pass `prior_docs` (the accumulated corpus table — in production
+    the Iceberg table itself). Omit it and containment checks only run
+    within the new batch (documented weaker mode).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from go_pipeline_spark.operators import lsh
+from go_pipeline_spark.operators.connected_components import connected_components
+from go_pipeline_spark.operators.containment import (
+    containment_candidates,
+    verify_containment,
+)
+from go_pipeline_spark.operators.verify import verify_pairs
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.snapshots import ParquetSnapshotStore
+
+
+@dataclass
+class BatchResult:
+    batch_id: str
+    clusters: DataFrame        # full assignment (all docs seen so far)
+    new_edges: DataFrame       # (src, dst, kind) edges added by this batch
+    n_new_docs: int
+
+
+class IncrementalDedup:
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, state_dir: str = None):
+        if state_dir is None:
+            raise ValueError("incremental mode requires a state_dir")
+        self.cfg = cfg
+        self.state_dir = state_dir
+        self._store = ParquetSnapshotStore(
+            state_dir, uuid.uuid4().hex[:12], cfg.config_hash()
+        )
+
+    # -- state access --------------------------------------------------
+    def _state(self, spark: SparkSession, name: str, schema: str) -> DataFrame:
+        if self._store.is_committed(name):
+            return self._store.read(spark, name)
+        return spark.createDataFrame([], schema)
+
+    def run_batch(
+        self,
+        spark: SparkSession,
+        new_docs: DataFrame,
+        prior_docs: DataFrame | None = None,
+    ) -> BatchResult:
+        """new_docs: (doc_id long, content string); doc_ids globally unique
+        across batches. prior_docs: accumulated corpus (for cross-batch
+        containment verification)."""
+        cfg = self.cfg
+        pipe = DedupPipeline(cfg)
+        batch_id = uuid.uuid4().hex[:8]
+
+        new_docs = new_docs.select("doc_id", "content")
+        n_new = new_docs.count()
+
+        # ---- per-batch derivations (same stage bodies as the batch mode)
+        normalized = pipe._stage_normalized(new_docs).persist()
+        state_sha = self._state(spark, "state_sha", "content_sha string, rep_id long")
+
+        # exact: adopt existing reps where sha already known; otherwise the
+        # batch-local min doc_id becomes the rep for that (new) sha
+        local_reps = normalized.groupBy("content_sha").agg(
+            F.min("doc_id").alias("local_rep")
+        )
+        sha_map = (
+            local_reps.join(state_sha, "content_sha", "left")
+            .select(
+                "content_sha",
+                F.coalesce("rep_id", F.col("local_rep")).alias("rep_id"),
+                F.col("local_rep"),
+            )
+            .persist()
+        )
+        rep_map = normalized.join(sha_map, "content_sha").select(
+            "doc_id", "rep_id"
+        )
+        exact_edges = (
+            rep_map.where(F.col("doc_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("src"),
+                F.col("doc_id").alias("dst"),
+                F.lit("exact").alias("kind"),
+            )
+        )
+
+        # signatures only for docs that are NEW representatives (content
+        # never seen in any batch): rep == the batch-local min AND sha was
+        # not previously known
+        fresh_rep_ids = sha_map.where(
+            F.col("rep_id") == F.col("local_rep")
+        ).select(F.col("rep_id").alias("doc_id"))
+        fresh_rep_map = rep_map.join(fresh_rep_ids, rep_map.doc_id == fresh_rep_ids.doc_id) \
+            .select(rep_map.doc_id, "rep_id")
+        sigs_new = pipe._stage_signatures(normalized, fresh_rep_map).persist()
+        ok_new = sigs_new.where(F.col("sig_err").isNull())
+
+        # ---- LSH: merge new band buckets into state (arrival-ordered cap)
+        state_buckets = self._state(
+            spark, "state_buckets", "band int, band_hash long, ids array<long>"
+        )
+        new_long = ok_new.where(~F.col("is_short")).select("doc_id", "sig")
+        new_buckets = (
+            lsh.band_explode(new_long, cfg)
+            .groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("new_ids"))
+        )
+        merged = (
+            state_buckets.join(new_buckets, ["band", "band_hash"], "full")
+            .select(
+                "band",
+                "band_hash",
+                F.coalesce("ids", F.expr("CAST(array() AS array<bigint>)")).alias("old_ids"),
+                F.coalesce("new_ids", F.expr("CAST(array() AS array<bigint>)")).alias("new_ids"),
+            )
+            .withColumn(
+                "kept_new",
+                F.slice(
+                    "new_ids",
+                    1,
+                    F.greatest(F.lit(0), F.lit(cfg.bucket_cap) - F.size("old_ids")),
+                ),
+            )
+            .persist()
+        )
+        # candidate pairs: old x kept_new (cross) + pairs within kept_new
+        cross_pairs = merged.select(
+            F.explode("old_ids").alias("a"), F.col("kept_new")
+        ).select("a", F.explode("kept_new").alias("b")).select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+        within_expr = F.expr(
+            """
+            flatten(
+              transform(kept_new, (x, i) ->
+                transform(slice(kept_new, i + 2, size(kept_new)),
+                          y -> struct(x AS src, y AS dst))))
+            """
+        )
+        within_pairs = merged.where(F.size("kept_new") >= 2).select(
+            F.explode(within_expr).alias("p")
+        ).select("p.src", "p.dst")
+        cand = cross_pairs.unionByName(within_pairs).distinct()
+
+        # verification needs signatures of BOTH sides
+        state_sigs = self._state(
+            spark,
+            "state_sigs",
+            "doc_id long, sig array<long>, simhash long, winnow_fps array<long>, "
+            "n_chars int, is_short boolean",
+        )
+        all_long_sigs = (
+            state_sigs.where(~F.col("is_short")).select("doc_id", "sig")
+            .unionByName(new_long)
+        )
+        contents = normalized.select("doc_id", "norm_content")
+        if prior_docs is not None:
+            prior_norm = pipe._stage_normalized(
+                prior_docs.select("doc_id", "content")
+            ).select("doc_id", "norm_content")
+            contents = contents.unionByName(prior_norm)
+        verified = verify_pairs(cand, all_long_sigs, cfg, contents=contents)
+        near_edges = verified.where(F.col("verified")).select(
+            "src", "dst", F.lit("near").alias("kind")
+        )
+
+        # ---- SimHash (short docs): new shorts vs (state + new) shorts
+        all_shorts = (
+            state_sigs.where(F.col("is_short")).select("doc_id", "simhash")
+            .unionByName(ok_new.where(F.col("is_short")).select("doc_id", "simhash"))
+        )
+        new_short = ok_new.where(F.col("is_short")).select("doc_id")
+        sim_pairs_all = lsh.simhash_candidate_pairs(all_shorts, cfg)
+        sim_edges = (
+            sim_pairs_all.join(
+                new_short.withColumnRenamed("doc_id", "src"), "src", "left_semi"
+            )
+            .unionByName(
+                sim_pairs_all.join(
+                    new_short.withColumnRenamed("doc_id", "dst"), "dst", "left_semi"
+                )
+            )
+            .distinct()
+            .select("src", "dst", F.lit("simhash").alias("kind"))
+        )
+
+        # ---- containment: (state + new) fingerprints, pairs touching new
+        all_cdocs = (
+            state_sigs.select("doc_id", "n_chars", "winnow_fps")
+            .unionByName(ok_new.select("doc_id", "n_chars", "winnow_fps"))
+            .where(F.col("winnow_fps").isNotNull())
+        )
+        cont_cand = containment_candidates(all_cdocs, cfg)
+        new_ids_df = ok_new.select(F.col("doc_id").alias("inner"))
+        touching_new = cont_cand.join(
+            new_ids_df, "inner", "left_semi"
+        ).unionByName(
+            cont_cand.join(
+                ok_new.select(F.col("doc_id").alias("outer")), "outer", "left_semi"
+            )
+        ).distinct()
+        cont_edges = verify_containment(touching_new, contents).select(
+            F.col("inner").alias("src"),
+            F.col("outer").alias("dst"),
+            F.lit("containment").alias("kind"),
+        )
+
+        new_edges = (
+            exact_edges.unionByName(near_edges)
+            .unionByName(sim_edges)
+            .unionByName(cont_edges)
+            .persist()
+        )
+
+        # ---- clusters: prior assignment as star edges + new edges
+        state_clusters = self._state(
+            spark, "state_clusters", "doc_id long, component long"
+        )
+        prior_stars = state_clusters.where(
+            F.col("doc_id") != F.col("component")
+        ).select(F.col("component").alias("src"), F.col("doc_id").alias("dst"))
+        assign = connected_components(
+            prior_stars.unionByName(new_edges.select("src", "dst")),
+            self.cfg.cc_max_iterations,
+        )
+        all_docs = (
+            state_clusters.select("doc_id")
+            .unionByName(new_docs.select("doc_id"))
+            .distinct()
+        )
+        clusters = (
+            all_docs.join(assign, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+            )
+            .persist()
+        )
+
+        # ---- commit updated state (each commit writes new files + swaps
+        # the manifest pointer: a crash mid-batch leaves the old state)
+        new_sha_rows = sha_map.select("content_sha", "rep_id")
+        merged_sha = (
+            state_sha.unionByName(new_sha_rows)
+            .groupBy("content_sha")
+            .agg(F.min("rep_id").alias("rep_id"))
+        )
+        self._store.commit("state_sha", merged_sha, merged_sha.count())
+
+        merged_sigs = state_sigs.unionByName(
+            ok_new.select(
+                "doc_id", "sig", "simhash", "winnow_fps",
+                F.col("n_chars").cast("int").alias("n_chars"), "is_short",
+            )
+        )
+        self._store.commit("state_sigs", merged_sigs, merged_sigs.count())
+
+        new_state_buckets = merged.select(
+            "band", "band_hash", F.concat("old_ids", "kept_new").alias("ids")
+        ).where(F.size("ids") >= 1)
+        self._store.commit("state_buckets", new_state_buckets, None)
+        self._store.commit("state_clusters", clusters, clusters.count())
+
+        return BatchResult(
+            batch_id=batch_id,
+            clusters=self._store.read(spark, "state_clusters"),
+            new_edges=new_edges,
+            n_new_docs=n_new,
+        )

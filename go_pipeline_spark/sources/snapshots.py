@@ -57,8 +57,14 @@ class ParquetSnapshotStore:
         writes NEW files and swaps the pointer; it never clobbers files an
         open reader of the previous snapshot may still reference).
         """
+        import uuid as _uuid
+
         out = self._stage_dir(stage)
-        data_dir = out / f"data-{self.run_id}"
+        # unique dir per commit: a re-commit of the same stage (incremental
+        # batches) must never clobber files a reader of the previous
+        # snapshot — including the very plan computing this commit — still
+        # references. Old dirs are retained like superseded Iceberg snapshots.
+        data_dir = out / f"data-{self.run_id}-{_uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(str(data_dir))
         manifest = {
             "run_id": self.run_id,

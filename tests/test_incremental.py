@@ -1,0 +1,66 @@
+"""Incremental dedup: batch-split processing must converge to the same
+clusters as one full-batch run (caps unbound), and state must persist
+across batches (the reference's accumulated container across windows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.plans.incremental import IncrementalDedup
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    corpus = generate_source_files(400, seed=71)
+    return corpus_to_df(spark, corpus).select("doc_id", "content").cache()
+
+
+def _clusters(df):
+    return sorted((r["doc_id"], r["component"]) for r in df.collect())
+
+
+def test_two_batches_equal_full_run(spark, corpus_df, tmp_path):
+    full = DedupPipeline(CFG).run(spark, corpus_df)
+    expected = _clusters(full.clusters)
+
+    inc = IncrementalDedup(CFG, state_dir=str(tmp_path / "state"))
+    batch1 = corpus_df.where(F.col("doc_id") < 200)
+    batch2 = corpus_df.where(F.col("doc_id") >= 200)
+
+    r1 = inc.run_batch(spark, batch1)
+    assert r1.n_new_docs == 200
+    assert len(_clusters(r1.clusters)) == 200
+
+    r2 = inc.run_batch(spark, batch2, prior_docs=batch1)
+    got = _clusters(r2.clusters)
+    assert len(got) == 400
+    assert got == expected
+
+
+def test_batch1_alone_matches_full_run_of_prefix(spark, corpus_df, tmp_path):
+    batch1 = corpus_df.where(F.col("doc_id") < 200)
+    full_prefix = DedupPipeline(CFG).run(spark, batch1)
+    inc = IncrementalDedup(CFG, state_dir=str(tmp_path / "state2"))
+    r1 = inc.run_batch(spark, batch1)
+    assert _clusters(r1.clusters) == _clusters(full_prefix.clusters)
+
+
+def test_exact_dup_across_batches_adopts_existing_rep(spark, tmp_path):
+    inc = IncrementalDedup(CFG, state_dir=str(tmp_path / "state3"))
+    text = "shared exact duplicate content " * 10
+    b1 = spark.createDataFrame([(0, text), (1, "unique one " * 20)],
+                               "doc_id long, content string")
+    b2 = spark.createDataFrame([(2, text), (3, "unique two " * 20)],
+                               "doc_id long, content string")
+    inc.run_batch(spark, b1)
+    r2 = inc.run_batch(spark, b2, prior_docs=b1)
+    comp = dict(_clusters(r2.clusters))
+    assert comp[2] == comp[0] == 0  # doc 2 adopted doc 0's cluster
+    assert comp[1] == 1 and comp[3] == 3
