@@ -15,14 +15,29 @@ def event_schema(spark):
 
 
 @pytest.fixture(scope="module")
-def event_dir(tmp_path_factory):
-    """File-stream sources need a DIRECTORY; stage the events parquet file
-    into one (testdata itself is read-only)."""
-    import shutil
-
+def event_dir(tmp_path_factory, spark):
+    """File-stream sources need a DIRECTORY; split the events into several
+    files so maxFilesPerTrigger=1 actually produces MULTIPLE micro-batches
+    (exercising cross-batch state in the stateful operators)."""
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
-    return str(d)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    for i in range(3):
+        ev.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"chunk={i}"))
+    # flatten: move part files up so the source sees 3+ plain files
+    import shutil
+    from pathlib import Path
+
+    out = tmp_path_factory.mktemp("events_flat")
+    n = 0
+    for p in Path(d).rglob("*.parquet"):
+        shutil.copy(p, out / f"part-{n}.parquet")
+        n += 1
+    assert n >= 3
+    return str(out)
 
 
 def test_windowed_counts_stream_matches_batch(spark, event_schema, event_dir):
