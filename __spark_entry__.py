@@ -236,8 +236,24 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs on a restricted id range — SQL-checkable
+    (DuckDB list_cosine_similarity oracle). The testdata embeddings are
+    random (max pairwise cosine ~0.5), so the threshold is 0.3; the gap from
+    any actual pair similarity to 0.3 is >1e-4, far above float32/float64
+    evaluation drift."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, dim=64, threshold=0.9)
+    return similarity.embedding_near_dups_exact(emb, threshold=0.3, max_id=300)
+
+
+def q_embedding_near_dups_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed (sub-quadratic) near-dup pairs — the 100 TB path. Rows-only
+    driver check (LSH recall < 1 is not SQL-expressible); planted-pair recall
+    is gated in tests/test_similarity.py. n_bits=8 widens buckets enough that
+    the random testdata yields a non-empty result at threshold 0.3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(
+        emb, dim=64, threshold=0.3, n_bits=8, n_tables=6
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -266,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs": q_dup_pairs,
         "srp_ann_topk": q_srp_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_srp": q_embedding_near_dups_srp,
     }
 
 
@@ -335,8 +352,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats_by_lang": f"""
             SELECT lang, count(*) AS n_docs,
-                   sum({tokcnt}) AS total_tokens,
-                   sum({bpecnt}) AS total_bpe_tokens
+                   CAST(sum({tokcnt}) AS BIGINT) AS total_tokens,
+                   CAST(sum({bpecnt}) AS BIGINT) AS total_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "doc_quality": f"""
@@ -419,5 +436,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "embedding_near_dups": """
+            WITH r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM r a JOIN r b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
         """,
     }

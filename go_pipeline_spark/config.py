@@ -34,6 +34,9 @@ class PipelineConfig:
 
     # SimHash fallback for short files (< short_doc_chars after normalization)
     simhash_bits: int = 64
+    simhash_chunks: int = 4              # Hamming-ball banding chunk count;
+    #                                      pigeonhole recall guarantee requires
+    #                                      hamming_threshold <= chunks - 1
     simhash_hamming_threshold: int = 3   # candidate if hamming distance <= this
     short_doc_chars: int = 50            # FIXTURES.md: short files < 50 chars
 
@@ -84,6 +87,19 @@ class PipelineConfig:
             )
         if self.shingle_k < 1 or self.num_perm < 1:
             raise ValueError("shingle_k and num_perm must be >= 1")
+        if self.simhash_bits % self.simhash_chunks != 0:
+            raise ValueError(
+                f"simhash_chunks ({self.simhash_chunks}) must divide "
+                f"simhash_bits ({self.simhash_bits})"
+            )
+        if self.simhash_hamming_threshold > self.simhash_chunks - 1:
+            # pigeonhole: d <= chunks-1 guarantees >= 1 identical chunk; a
+            # larger threshold would silently lose candidate recall
+            raise ValueError(
+                f"simhash_hamming_threshold ({self.simhash_hamming_threshold}) "
+                f"must be <= simhash_chunks - 1 ({self.simhash_chunks - 1}); "
+                f"raise simhash_chunks to widen the Hamming ball"
+            )
 
     def config_hash(self) -> str:
         """Stable digest of every semantic knob; stamped into snapshot

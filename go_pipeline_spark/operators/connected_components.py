@@ -19,6 +19,8 @@ aggregate/join.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,14 +90,26 @@ def connected_components(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     ).localCheckpoint(eager=True)
     prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         ls = _symmetrize(_large_star(cur))
         cur2 = _small_star(ls).localCheckpoint(eager=True)
         cur_sum = _checksum(cur2)
         cur = _symmetrize(cur2)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a non-converged edge set can yield split/non-minimal components;
+        # never do that silently
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} "
+            f"before the edge-set fixpoint; components may be split. "
+            f"Raise cc_max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # After convergence the (u, v) edges form stars: v is the component min.
     assign = (

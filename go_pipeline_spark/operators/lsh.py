@@ -120,21 +120,25 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Candidate pairs among short docs via SimHash Hamming-ball banding.
 
-    Splits the 64-bit SimHash into 4 x 16-bit chunks: any two hashes within
-    Hamming distance 3 agree on at least one chunk (pigeonhole), so bucketing
-    by (chunk_idx, chunk_value) has perfect recall for distance <= 3.
-    Verification (exact Hamming <= threshold) happens JVM-side via
-    bit_count(xor). Reuses the same capped-bucket machinery.
+    Splits the simhash_bits-bit SimHash into cfg.simhash_chunks equal chunks:
+    any two hashes within Hamming distance chunks-1 agree on at least one
+    chunk (pigeonhole), so bucketing by (chunk_idx, chunk_value) has perfect
+    recall for distance <= chunks-1 (config validates the threshold against
+    this bound). Verification (exact Hamming <= threshold) happens JVM-side
+    via bit_count(xor). Reuses the same capped-bucket machinery.
     """
+    n_chunks = cfg.simhash_chunks
+    width = cfg.simhash_bits // n_chunks
+    mask = (1 << width) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col(sim_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(
-                    "band_hash"
-                ),
+                F.shiftrightunsigned(F.col(sim_col), width * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_hash"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     buckets = df.select(

@@ -166,23 +166,56 @@ def embedding_near_dups(
     e = embeddings.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
     ).withColumn("codes", srp(F.col("vec")))
-    b = e.select("doc_id", "vec", F.posexplode("codes").alias("table_id", "code"))
-    left = b.select(
-        F.col("table_id"), F.col("code"),
-        F.col("doc_id").alias("src"), F.col("vec").alias("vec_a"),
-    )
-    right = b.select(
-        F.col("table_id"), F.col("code"),
-        F.col("doc_id").alias("dst"), F.col("vec").alias("vec_b"),
-    )
+    # bucket join carries ONLY (table_id, code, id) — the float vectors must
+    # not ride through the join + distinct shuffles (a vector is ~100x wider
+    # than the 8-byte id; at 10^9 rows that is the difference between a
+    # shuffle that fits and one that doesn't). Vectors re-join by long id
+    # AFTER pair dedup.
+    b = e.select("doc_id", F.posexplode("codes").alias("table_id", "code"))
+    left = b.select("table_id", "code", F.col("doc_id").alias("src"))
+    right = b.select("table_id", "code", F.col("doc_id").alias("dst"))
     pairs = (
         left.join(right, ["table_id", "code"])
         .where(F.col("src") < F.col("dst"))
-        .select("src", "dst", "vec_a", "vec_b")
+        .select("src", "dst")
         .distinct()
     )
+    va = e.select(F.col("doc_id").alias("src"), F.col("vec").alias("vec_a"))
+    vb = e.select(F.col("doc_id").alias("dst"), F.col("vec").alias("vec_b"))
     return (
-        pairs.withColumn("sim", cosine_sim_col("vec_a", "vec_b"))
+        pairs.join(va, "src")
+        .join(vb, "dst")
+        .withColumn("sim", cosine_sim_col("vec_a", "vec_b"))
         .where(F.col("sim") >= threshold)
         .select("src", "dst", F.round("sim", 6).alias("sim"))
+    )
+
+
+def embedding_near_dups_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst) pairs with exact cosine >= threshold — brute-force baseline.
+
+    O(N^2/2) pair scoring: correct at any N but only *affordable* on a
+    restricted subset (`max_id`) or a small corpus — the exactness oracle for
+    `embedding_near_dups`, and the driver's SQL-checkable form (DuckDB
+    list_cosine_similarity). Scoring is JVM-side (zip_with/aggregate fold);
+    the smaller side broadcasts when it fits.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
+    )
+    if max_id is not None:
+        e = e.where(F.col("doc_id") < max_id)
+    a = e.select(F.col("doc_id").alias("src"), F.col("vec").alias("vec_a"))
+    b = e.select(F.col("doc_id").alias("dst"), F.col("vec").alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .where(cosine_sim_col("vec_a", "vec_b") >= threshold)
+        .select("src", "dst")
     )

@@ -72,10 +72,20 @@ def verify_pairs(
     ca = contents.select(F.col("doc_id").alias("src"), F.col("norm_content").alias("txt_a"))
     cb = contents.select(F.col("doc_id").alias("dst"), F.col("norm_content").alias("txt_b"))
     exact_j = make_exact_jaccard_udf(cfg)
+    # LEFT join: a borderline pair whose content is missing on either side
+    # (incremental mode without prior_docs) falls back to the estimate
+    # instead of silently vanishing — dropping it would lose true near-dup
+    # edges with est >= threshold.
     rechecked = (
-        borderline.join(ca, "src")
-        .join(cb, "dst")
-        .withColumn("jaccard", exact_j(F.col("txt_a"), F.col("txt_b")))
+        borderline.join(ca, "src", "left")
+        .join(cb, "dst", "left")
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("txt_a").isNotNull() & F.col("txt_b").isNotNull(),
+                exact_j(F.col("txt_a"), F.col("txt_b")),
+            ).otherwise(F.col("est_jaccard")),
+        )
         .select("src", "dst", "est_jaccard", "jaccard")
     )
     decided = clearcut.withColumn("jaccard", F.col("est_jaccard"))

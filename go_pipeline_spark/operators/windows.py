@@ -59,18 +59,64 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
 
 
 def size_window_batches(
-    df: DataFrame, batch_size: int, order_col: str = "event_id"
+    df: DataFrame,
+    batch_size: int,
+    order_col: str = "event_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Size-window batching (FlushSize ≙ /root/reference/config.go:10-11):
     assign each row a batch id such that batches hold exactly `batch_size`
-    rows in `order_col` order. Global ordering needs a total rank; computed
-    scalably as a range-partitioned sort + monotonically-increasing offset
-    would be, but for SQL-checkability we use a window rank here — callers
-    at 10^12 scale should batch per-partition instead (mapInPandas batches,
-    which is what the signature stages do)."""
-    from pyspark.sql import Window as W
+    rows in `order_col` order (order_col must be unique for a deterministic
+    assignment).
 
-    rank = F.row_number().over(W.orderBy(F.col(order_col))) - 1
-    return df.withColumn(
-        "batch_id", (rank / F.lit(batch_size)).cast("long")
+    Scale-safe global rank — NO single-partition window:
+      1. `repartitionByRange(order_col)` + `sortWithinPartitions`: every
+         partition holds a contiguous, locally-sorted key range (parallel
+         range exchange, not a gather-to-one sort).
+      2. One scalar-only aggregation collects per-partition row COUNTS
+         (num_partitions rows to the driver, never data).
+      3. Cumulative offsets ship back in the task closure; a mapInPandas
+         pass adds `partition_offset + local_position` — each task streams
+         its Arrow batches once, O(rows/partition) memory.
+    The partitioned input is persisted so passes 2 and 3 see identical
+    partition boundaries (range sampling re-runs are not replayed).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    parted = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = df.schema.add("batch_id", "long")
+    bs = batch_size
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        start = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            ranks = start + seen + np.arange(len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            pdf = pdf.copy()
+            pdf["batch_id"] = ranks // bs
+            yield pdf
+
+    return parted.mapInPandas(assign, schema=out_schema)

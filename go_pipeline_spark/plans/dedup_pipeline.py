@@ -45,6 +45,10 @@ from go_pipeline_spark.operators.dedup import exact_dup_edges, with_content_sha
 from go_pipeline_spark.operators.verify import verify_pairs
 from go_pipeline_spark.sources.snapshots import ParquetSnapshotStore
 
+# max error rows collected to the driver per stage; the full error count is
+# always recorded via a distributed count
+QUARANTINE_SAMPLE_CAP = 10_000
+
 
 @dataclass
 class RunResult:
@@ -200,11 +204,15 @@ class DedupPipeline:
         # quarantine: per-doc signature failures are data, not exceptions
         # (≙ panic isolation + error channel, pipeline_impl.go:291-299)
         bad = sigs.where(F.col("sig_err").isNotNull()).select("doc_id", "sig_err")
-        n_quarantined = 0
-        for r in bad.collect():  # tiny by construction; errors are exceptional
-            n_quarantined += 1
-            metrics.record_quarantine("signatures", int(r["doc_id"]), r["sig_err"])
+        # Driver-side sample is CAPPED: a systematic failure (bad encoding
+        # sweep) must not ship 10^9 error rows to the driver. The full count
+        # comes from a distributed aggregation; only the sample is collected
+        # (≙ the reference's non-blocking error channel dropping overflow,
+        # pipeline_impl.go:352-368 — bounded, counted, never stalls the run).
+        n_quarantined = bad.count()
         if n_quarantined:
+            for r in bad.limit(QUARANTINE_SAMPLE_CAP).collect():
+                metrics.record_quarantine("signatures", int(r["doc_id"]), r["sig_err"])
             metrics.record("signatures_errors", 0, 0, 0.0, errors=n_quarantined)
 
         ok_sigs = sigs.where(F.col("sig_err").isNull())

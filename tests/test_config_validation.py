@@ -1,0 +1,28 @@
+"""PipelineConfig validation guards (ADVICE r1: a simhash Hamming threshold
+above chunks-1 silently loses candidate recall — fail fast instead)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.config import PipelineConfig
+
+
+def test_simhash_threshold_above_pigeonhole_bound_rejected():
+    with pytest.raises(ValueError, match="simhash_hamming_threshold"):
+        PipelineConfig(simhash_hamming_threshold=4)
+
+
+def test_wider_hamming_ball_allowed_with_more_chunks():
+    cfg = PipelineConfig(simhash_chunks=8, simhash_hamming_threshold=6)
+    assert cfg.simhash_chunks == 8
+
+
+def test_chunks_must_divide_bits():
+    with pytest.raises(ValueError, match="must divide"):
+        PipelineConfig(simhash_chunks=7)
+
+
+def test_band_rows_must_multiply_to_num_perm():
+    with pytest.raises(ValueError):
+        PipelineConfig(lsh_bands=10, lsh_rows=10)

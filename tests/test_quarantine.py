@@ -48,3 +48,47 @@ def test_pipeline_survives_null_content(spark):
     comp = {r["doc_id"]: r["component"] for r in res.clusters.collect()}
     assert len(comp) == 4
     assert comp[2] == comp[3]  # exact dups cluster
+
+
+def test_quarantine_collect_is_capped_with_full_count(spark, monkeypatch, tmp_path):
+    """A systematic failure (every doc errors) must not ship every error row
+    to the driver: the quarantine sample is capped, the error COUNT is exact
+    (≙ the reference's error channel dropping overflow while counting drops,
+    pipeline_impl.go:352-368)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_pipeline_spark.functions.minhash import SIGNATURE_STRUCT
+    from go_pipeline_spark.plans import dedup_pipeline as dp
+
+    def failing_signature_udf(cfg):
+        @F.pandas_udf(f"struct<{SIGNATURE_STRUCT}>")
+        def sig(texts: pd.Series) -> pd.DataFrame:
+            n = len(texts)
+            return pd.DataFrame(
+                {
+                    "sig": [None] * n,
+                    "simhash": [None] * n,
+                    "winnow_fps": [None] * n,
+                    "is_short": [False] * n,
+                    "sig_err": ["ValueError: poisoned"] * n,
+                }
+            )
+
+        return sig
+
+    monkeypatch.setattr(dp, "make_signature_udf", failing_signature_udf)
+    monkeypatch.setattr(dp, "QUARANTINE_SAMPLE_CAP", 7)
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document body {i} " * 10) for i in range(50)],
+        "doc_id long, content string",
+    )
+    res = dp.DedupPipeline(CFG).run(spark, docs)
+    assert res.quarantine.count() == 7  # driver-side sample bounded by the cap
+    errs = {
+        r["stage"]: r["errors"] for r in res.metrics.collect() if r["errors"]
+    }
+    assert errs["signatures_errors"] == 50  # the full count is exact
+    # the run SURVIVES a 100% failure sweep (panic isolation)
+    assert res.clusters.count() == 50

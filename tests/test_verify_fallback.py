@@ -1,0 +1,53 @@
+"""verify_pairs must not DROP borderline pairs whose content is missing
+(ADVICE r1 medium): in incremental mode without prior_docs, a cross-batch
+pair whose est_jaccard falls in the exact-verify band falls back to the
+estimate instead of vanishing."""
+
+from __future__ import annotations
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.operators.verify import verify_pairs
+
+CFG = PipelineConfig()  # band (0.60, 0.80), threshold 0.70
+
+
+def _sig(frac_agree: float):
+    """Two signatures agreeing on the first frac*num_perm slots."""
+    n = CFG.num_perm
+    k = int(round(frac_agree * n))
+    a = list(range(n))
+    b = list(range(k)) + [10_000 + i for i in range(n - k)]
+    return a, b
+
+
+def test_borderline_pair_with_missing_content_falls_back_to_estimate(spark):
+    sig_a, sig_b = _sig(0.75)  # borderline: inside (0.60, 0.80), above 0.70
+    sigs = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], "doc_id long, sig array<long>"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    # content for doc 1 only — doc 2's text lives in a prior, unsupplied batch
+    contents = spark.createDataFrame(
+        [(1, "alpha beta gamma " * 10)], "doc_id long, norm_content string"
+    )
+    out = verify_pairs(pairs, sigs, CFG, contents=contents).collect()
+    assert len(out) == 1, "borderline pair with missing content was dropped"
+    row = out[0]
+    assert abs(row["jaccard"] - row["est_jaccard"]) < 1e-9
+    assert row["verified"] is True
+
+
+def test_borderline_pair_with_content_still_exactly_verified(spark):
+    sig_a, sig_b = _sig(0.75)
+    sigs = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], "doc_id long, sig array<long>"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    txt = "the quick brown fox jumps over the lazy dog " * 5
+    contents = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id long, norm_content string"
+    )
+    out = verify_pairs(pairs, sigs, CFG, contents=contents).collect()
+    assert len(out) == 1
+    # identical content -> exact Jaccard 1.0 overrides the 0.75 estimate
+    assert out[0]["jaccard"] == 1.0 and out[0]["verified"] is True

@@ -1,0 +1,49 @@
+"""size_window_batches (O3): correctness of the scale-safe global rank and a
+plan assertion that NO single-partition exchange exists (VERDICT r1 flagged
+the old row_number()-over-unpartitioned-window form as the one true
+scale-killer in queries())."""
+
+from __future__ import annotations
+
+import random
+
+from go_pipeline_spark.operators.windows import size_window_batches
+
+
+def _expected(ids, batch_size):
+    return {v: i // batch_size for i, v in enumerate(sorted(ids))}
+
+
+def test_size_batches_match_global_order(spark):
+    ids = list(range(1000))
+    random.Random(7).shuffle(ids)
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long").repartition(8)
+    got = {
+        r["event_id"]: r["batch_id"]
+        for r in size_window_batches(df, 64, num_partitions=8).collect()
+    }
+    assert got == _expected(ids, 64)
+
+
+def test_size_batches_ragged_and_sparse_keys(spark):
+    # non-contiguous keys, count not divisible by batch size, empty partitions
+    ids = [i * 13 + (i % 5) for i in range(257)]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = {
+        r["event_id"]: r["batch_id"]
+        for r in size_window_batches(df, 50, num_partitions=16).collect()
+    }
+    assert got == _expected(ids, 50)
+    # last partial batch holds 257 % 50 = 7 rows
+    sizes: dict[int, int] = {}
+    for b in got.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    assert sizes == {0: 50, 1: 50, 2: 50, 3: 50, 4: 50, 5: 7}
+
+
+def test_size_batches_plan_has_no_single_partition_exchange(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+    out = size_window_batches(df, 10, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
