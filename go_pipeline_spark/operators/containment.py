@@ -142,6 +142,17 @@ def containment_candidates(
             (F.col("n_total") - F.coalesce("n_hot", F.lit(0))).alias("n_fps"),
         )
     )
+    return filter_containment_candidates(shared, meta, cfg)
+
+
+def filter_containment_candidates(
+    shared: DataFrame, meta: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """shared(src, dst, n_shared) + meta(doc_id, n_chars, n_fps) ->
+    (inner, outer) candidates passing the fraction/length thresholds.
+    Shared tail of the batch and incremental candidate paths: orients each
+    pair (shorter doc = inner), then keeps pairs whose shared-rare-fp count
+    reaches containment_fp_fraction of the inner's rare-fp count."""
     a = meta.select(
         F.col("doc_id").alias("src"),
         F.col("n_chars").alias("len_a"),

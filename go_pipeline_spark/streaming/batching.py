@@ -62,16 +62,26 @@ def lastwins_stream(events: DataFrame) -> DataFrame:
     output_schema = "user_id long, event_id long, ts timestamp, value double"
     state_schema = "event_id long, ts timestamp, value double"
 
+    import numpy as np
+
     def update(key, pdfs, state: GroupState):
         best = None
         if state.exists:
             e_id, ts, value = state.get
             best = (ts, e_id, value)
         for pdf in pdfs:
-            for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
-                cand = (row["ts"], row["event_id"], row["value"])
-                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
-                    best = cand
+            if len(pdf) == 0:
+                continue
+            # vectorized argmax by (ts, event_id) — a micro-batch group can
+            # be arbitrarily large, so no per-row Python loop here
+            i = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))[-1]
+            cand = (
+                pdf["ts"].iloc[i],
+                int(pdf["event_id"].iloc[i]),
+                float(pdf["value"].iloc[i]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
         if best is not None:
             state.update((int(best[1]), best[0], float(best[2])))
             yield pd.DataFrame(
@@ -90,6 +100,168 @@ def lastwins_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def size_time_flush_stream(
+    events: DataFrame,
+    flush_size: int,
+    flush_interval_s: float,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """The reference's CORE loop — flush on whichever fires first, FlushSize
+    or FlushInterval (/root/reference/pipeline_impl.go:164-199) — as ONE
+    stateful streaming operator. Each key owns a flush buffer; every row is
+    tagged with the flush_seq of the batch it would be flushed in:
+
+      * a row whose event time is >= batch_start + interval closes the open
+        batch first (the timer fired before it arrived), then starts a new one
+      * the batch also closes when it reaches flush_size rows
+
+    Rows inside a micro-batch are processed in (ts, event_id) order; the
+    (flush_seq, count, batch_start) state carries across micro-batches, so
+    the assignment over the whole stream equals the batch-mode fold when
+    micro-batch boundaries respect event-time order (pinned by tests).
+    Count conservation: every input row is emitted exactly once
+    (≙ tests/pipeline_standard_test.go:72-74, 1000 in -> 1000 flushed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, event_id long, ts timestamp, flush_seq long"
+    )
+    state_schema = "flush_seq long, cnt long, batch_start timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            flush_seq, cnt, batch_start = state.get
+        else:
+            flush_seq, cnt, batch_start = 0, 0, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+            ts_arr = pdf["ts"].to_numpy()[order]
+            eid_arr = pdf["event_id"].to_numpy()[order]
+            seqs = np.empty(len(pdf), dtype=np.int64)
+            delta = pd.Timedelta(seconds=flush_interval_s)
+            for i in range(len(pdf)):
+                t = pd.Timestamp(ts_arr[i])
+                if cnt > 0 and t >= batch_start + delta:
+                    flush_seq += 1
+                    cnt = 0
+                if cnt == 0:
+                    batch_start = t
+                seqs[i] = flush_seq
+                cnt += 1
+                if cnt >= flush_size:
+                    flush_seq += 1
+                    cnt = 0
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "event_id": eid_arr,
+                    "ts": ts_arr,
+                    "flush_seq": seqs,
+                }
+            )
+        bs = None if batch_start is None else pd.Timestamp(batch_start).to_pydatetime()
+        state.update((int(flush_seq), int(cnt), bs))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def size_time_flush_batches(
+    events: DataFrame,
+    flush_size: int,
+    flush_interval_s: float,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch-mode twin of `size_time_flush_stream`: the same per-key fold
+    over rows in (ts, event_id) order, via applyInPandas. The fold is
+    inherently sequential PER KEY (exactly like the reference's single
+    consumer loop); scale comes from key parallelism, and each key's group
+    streams through one task."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, event_id long, ts timestamp, flush_seq long"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+        ts_arr = pdf["ts"].to_numpy()[order]
+        eid_arr = pdf["event_id"].to_numpy()[order]
+        key_val = pdf[key_col].iloc[0]
+        seqs = np.empty(len(pdf), dtype=np.int64)
+        delta = pd.Timedelta(seconds=flush_interval_s)
+        flush_seq, cnt, batch_start = 0, 0, None
+        for i in range(len(pdf)):
+            t = pd.Timestamp(ts_arr[i])
+            if cnt > 0 and t >= batch_start + delta:
+                flush_seq += 1
+                cnt = 0
+            if cnt == 0:
+                batch_start = t
+            seqs[i] = flush_seq
+            cnt += 1
+            if cnt >= flush_size:
+                flush_seq += 1
+                cnt = 0
+        return pd.DataFrame(
+            {key_col: key_val, "event_id": eid_arr, "ts": ts_arr, "flush_seq": seqs}
+        )
+
+    return events.select(key_col, "event_id", "ts").groupBy(key_col).applyInPandas(
+        fold, schema=out_schema
+    )
+
+
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 4
+) -> DataFrame:
+    """Built-in `rate` source — an unbounded producer for soak/demo runs
+    (the closest in-sandbox analogue of the reference's unbounded DataChan,
+    /root/reference/interface.go:43). Emits (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str, starting: str = "earliest"
+) -> DataFrame:
+    """Kafka source (requires the spark-sql-kafka package on the classpath —
+    not present in this sandbox, so this raises a documented error there;
+    the call shape and downstream schema handling are real)."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting)
+            .load()
+            .selectExpr(
+                "CAST(key AS STRING) AS key",
+                "CAST(value AS STRING) AS value",
+                "timestamp AS ts",
+            )
+        )
+    except Exception as e:  # pragma: no cover - depends on classpath
+        raise RuntimeError(
+            "Kafka source unavailable: add org.apache.spark:spark-sql-kafka-"
+            "0-10 to spark.jars.packages (no network/jar in this sandbox)"
+        ) from e
 
 
 def run_stream_to_memory(

@@ -79,3 +79,129 @@ def test_lastwins_stream_matches_batch(spark, event_schema, event_dir):
         for r in latest_event_per_user(batch).collect()
     }
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def event_dir_time_ordered(tmp_path_factory, spark):
+    """Chunks split by TIME range, so micro-batch arrival order == event-time
+    order — the arrival-order reading of the reference's channel."""
+    out = tmp_path_factory.mktemp("events_time_ordered")
+    # NTZ -> LTZ -> double (session TZ is pinned UTC, lossless)
+    tsd = F.col("ts").cast("timestamp_ltz").cast("double")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mid1, mid2 = ev.select(
+        F.percentile(tsd, F.lit(0.33)), F.percentile(tsd, F.lit(0.66))
+    ).collect()[0]
+    bounds = [float(mid1), float(mid2)]
+    import shutil
+    from pathlib import Path
+
+    d = tmp_path_factory.mktemp("events_time_raw")
+    conds = [
+        tsd < bounds[0],
+        (tsd >= bounds[0]) & (tsd < bounds[1]),
+        tsd >= bounds[1],
+    ]
+    n = 0
+    for i, c in enumerate(conds):
+        ev.where(c).coalesce(1).write.mode("overwrite").parquet(str(d / f"c{i}"))
+    import os
+    import time
+
+    base_mtime = time.time() - 1000
+    for i in range(3):
+        for p in sorted(Path(d / f"c{i}").rglob("*.parquet")):
+            dst = out / f"part-{i}-{n}.parquet"
+            shutil.copy(p, dst)
+            # the file source orders files by MODIFICATION TIME, not name —
+            # pin strictly increasing mtimes so chunk processing order is
+            # deterministic (copies land within the same clock tick otherwise)
+            os.utime(dst, (base_mtime + 60 * i, base_mtime + 60 * i))
+            n += 1
+    assert n == 3
+    return str(out)
+
+
+def test_size_time_flush_stream_matches_batch_fold(
+    spark, event_schema, event_dir_time_ordered
+):
+    """The combined size+time trigger (flush on WHICHEVER fires first,
+    pipeline_impl.go:164-199) in ONE streaming query equals the batch-mode
+    fold, with exact count conservation (1000-in -> 1000-flushed semantics,
+    tests/pipeline_standard_test.go:72-74)."""
+    stream = batching.read_event_stream(
+        spark, event_dir_time_ordered, event_schema
+    )
+    tagged = batching.size_time_flush_stream(
+        stream, flush_size=7, flush_interval_s=600
+    )
+    batching.run_stream_to_memory(tagged, "flush_out", output_mode="append")
+    got = {
+        (r["user_id"], r["event_id"]): r["flush_seq"]
+        for r in spark.sql("SELECT * FROM flush_out").collect()
+    }
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expected = {
+        (r["user_id"], r["event_id"]): r["flush_seq"]
+        for r in batching.size_time_flush_batches(
+            ev, flush_size=7, flush_interval_s=600
+        ).collect()
+    }
+    assert len(got) == ev.count()          # count conservation, exactly-once
+    assert got == expected                 # stream == batch fold
+
+
+def test_size_time_flush_batches_invariants(spark):
+    """Every flush batch respects BOTH triggers: <= flush_size rows and an
+    event-time span < flush_interval."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(3):
+        for i in range(40):
+            # bursts with a gap that forces a time flush every 10 events
+            ts = base + dt.timedelta(seconds=(i // 10) * 120 + (i % 10))
+            rows.append((k, eid, ts))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = batching.size_time_flush_batches(
+        ev, flush_size=4, flush_interval_s=60
+    ).collect()
+    assert len(out) == len(rows)
+    by_batch: dict = {}
+    for r in out:
+        by_batch.setdefault((r["user_id"], r["flush_seq"]), []).append(r["ts"])
+    for (_, _), tss in by_batch.items():
+        assert len(tss) <= 4
+        assert (max(tss) - min(tss)).total_seconds() < 60
+
+
+def test_rate_source_produces_rows(spark):
+    stream = batching.read_rate_stream(spark, rows_per_second=200)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 20
+    n = 0
+    while time.time() < deadline:
+        n = spark.sql("SELECT count(*) c FROM rate_out").collect()[0]["c"]
+        if n > 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert n > 0
+
+
+def test_kafka_source_raises_documented_error_without_jar(spark):
+    with pytest.raises(RuntimeError, match="Kafka source unavailable"):
+        df = batching.read_kafka_stream(spark, "localhost:9092", "t")
+        # force evaluation if construction somehow succeeded
+        df.writeStream.format("memory").queryName("k").start()
