@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_SYNTH_ROWS", "100000"))
+# this VM is noisy (identical runs spread 45-124s within an hour, STATUS.md):
+# every timing below is min-of-N repeats, never a single sample
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+BIG_SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_BIG_SYNTH_ROWS", "600000"))
 
 
 def _force(df) -> int:
@@ -47,18 +51,37 @@ def bench_queries(spark, sf_dir: str):
 
     synth_cache = {}
 
-    def _synth_docs():
-        if "df" not in synth_cache:
+    def _synth_docs(rows: int):
+        if rows not in synth_cache:
             from go_pipeline_spark.corpus import distributed_docs
 
-            df = distributed_docs(spark, SYNTH_ROWS, seed=42).persist()
+            df = distributed_docs(spark, rows, seed=42).persist()
             df.count()  # generation (executor-side) outside the timer
-            synth_cache["df"] = df
-        return synth_cache["df"]
+            synth_cache[rows] = df
+        return synth_cache[rows]
 
     def dedup_synthetic():
-        res = DedupPipeline(cfg, mode="lean").run(spark, _synth_docs())
-        return res.clusters.count()
+        res = DedupPipeline(cfg, mode="lean").run(spark, _synth_docs(SYNTH_ROWS))
+        n = res.clusters.count()
+        _unpersist_run(res)
+        return n
+
+    def dedup_synthetic_big():
+        """Fixed-overhead-free throughput point: at 100k docs the pipeline is
+        session/stage-overhead-dominated (VERDICT r1); the 600k corpus is the
+        honest files/sec number."""
+        res = DedupPipeline(cfg, mode="lean").run(
+            spark, _synth_docs(BIG_SYNTH_ROWS)
+        )
+        n = res.clusters.count()
+        _unpersist_run(res)
+        return n
+
+    def _unpersist_run(res):
+        # lean mode persists every stage; drop them between repeats so the
+        # timer measures compute, not cache accumulation pressure (the synth
+        # input stays persisted — generation is outside the timers)
+        res.unpersist()
 
     def lastwins_10m():
         """Directly comparable to the reference's per-item benchmark
@@ -84,6 +107,7 @@ def bench_queries(spark, sf_dir: str):
         return lambda: _force(fn(spark, sf_dir))
 
     return {  # heavy, GC-sensitive measurements first
+        "dedup_synthetic_big": dedup_synthetic_big,
         "dedup_synthetic": dedup_synthetic,
         "dedup_documents": dedup_documents,
         "lastwins_10m": lastwins_10m,
@@ -94,10 +118,14 @@ def bench_queries(spark, sf_dir: str):
         "doc_quality": q("doc_quality"),
         "embedding_topk_brute": q("embedding_topk_brute"),
         "embedding_near_dups": q("embedding_near_dups"),
+        "embedding_near_dups_srp": q("embedding_near_dups_srp"),
         "srp_ann_topk": q("srp_ann_topk"),
         "tpch_q1": q("tpch_q1"),
         "join_orders_nation": q("join_orders_nation"),
-    }, {"dedup_synthetic_rows": SYNTH_ROWS}
+    }, {
+        "dedup_synthetic_rows": SYNTH_ROWS,
+        "dedup_big_rows": BIG_SYNTH_ROWS,
+    }
 
 
 def main() -> None:
@@ -138,11 +166,22 @@ def main() -> None:
             sys.exit(2)
         queries = {k: v for k, v in queries.items() if k in keep}
 
+    # min-of-N repeats: this VM's wall-clock noise is documented at up to
+    # 2.7x for identical jobs (STATUS.md), so single samples are unusable
+    # for round-over-round comparisons. The big corpus gets one fewer
+    # repeat to bound total bench time.
+    per_query_repeats = {"dedup_synthetic_big": max(1, REPEATS - 1)}
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        n_rep = per_query_repeats.get(name, REPEATS)
+        runs: list[float] = []
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        all_runs[name] = runs
 
     total = round(sum(timings.values()), 3)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -150,6 +189,10 @@ def main() -> None:
     if "dedup_synthetic" in timings and timings["dedup_synthetic"] > 0:
         throughput["dedup_synthetic_files_per_sec"] = round(
             meta["dedup_synthetic_rows"] / timings["dedup_synthetic"], 1
+        )
+    if "dedup_synthetic_big" in timings and timings["dedup_synthetic_big"] > 0:
+        throughput["dedup_big_files_per_sec"] = round(
+            meta["dedup_big_rows"] / timings["dedup_synthetic_big"], 1
         )
     if "lastwins_10m" in timings and timings["lastwins_10m"] > 0:
         throughput["lastwins_rows_per_sec"] = round(
@@ -165,6 +208,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "cpus": cpus,
+        "repeats": REPEATS,
+        "runs": all_runs,
+        "synth_rows": {"dedup_synthetic": SYNTH_ROWS, "dedup_synthetic_big": BIG_SYNTH_ROWS},
         "throughput": throughput,
     }
     print(json.dumps(out))

@@ -63,6 +63,13 @@ class RunResult:
     stages_run: list[str]
     stages_resumed: list[str]
 
+    def unpersist(self) -> None:
+        """Release every DataFrame the run persisted (lean mode persists each
+        stage lazily). Call when done consuming the results — repeated runs in
+        one session must not accumulate executor storage (ADVICE r1)."""
+        for df in getattr(self, "_cached", []):
+            df.unpersist()
+
 
 class DedupPipeline:
     def __init__(
@@ -88,8 +95,39 @@ class DedupPipeline:
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.snapshot_dir = snapshot_dir
         self.mode = mode
+        self._tuning: dict[str, str] = {}
         if mode == "lean" and snapshot_dir is not None:
             raise ValueError("lean mode does not write snapshots; use staged")
+
+    # -- runtime tuning (O19) -----------------------------------------------
+    def retune(
+        self,
+        *,
+        shuffle_partitions: int | None = None,
+        arrow_batch_size: int | None = None,
+    ) -> None:
+        """Mid-run tuning — the reference's UpdateFlushSize /
+        UpdateFlushInterval + nudge (/root/reference/pipeline_impl.go:488-514):
+        new values apply at the NEXT stage boundary (the nudge analogue —
+        the running stage finishes under the old settings, exactly as the
+        reference's open window flushes under the old size). Callable from a
+        sink callback, which runs between stages. Arrow batch size ≙
+        FlushSize (rows per Python-worker batch); shuffle partitions ≙
+        BufferSize (in-flight parallel buffer sizing)."""
+        if shuffle_partitions is not None:
+            self._tuning["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        if arrow_batch_size is not None:
+            self._tuning["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(
+                arrow_batch_size
+            )
+
+    def current_tuning(self, spark: SparkSession) -> dict[str, str]:
+        """≙ CurrentFlushSize/CurrentFlushInterval readbacks."""
+        keys = (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+        )
+        return {k: spark.conf.get(k) for k in keys}
 
     # -- stage bodies ------------------------------------------------------
     def _stage_normalized(self, docs: DataFrame) -> DataFrame:
@@ -152,6 +190,7 @@ class DedupPipeline:
         )
         stages_run: list[str] = []
         stages_resumed: list[str] = []
+        cached: list[DataFrame] = []
 
         last_out: dict[str, int] = {}
 
@@ -161,8 +200,15 @@ class DedupPipeline:
             recomputed — stage boundaries are the only actions).
             Lean mode: persist lazily, no counts/commits — stages fuse into
             one DAG and materialize at the first downstream action."""
+            # apply any retune() values at the stage boundary (O19 nudge):
+            # SQL confs are read at action time, so the next stage's shuffles
+            # and Arrow batches pick them up
+            while self._tuning:
+                k, v = self._tuning.popitem()
+                spark.conf.set(k, v)
             if self.mode == "lean":
                 out = build().persist()
+                cached.append(out)
                 stages_run.append(name)
                 _flush_sink(name, out)
                 return out
@@ -289,7 +335,7 @@ class DedupPipeline:
 
         clusters = stage("clusters", "dup_edges", build_clusters)
 
-        return RunResult(
+        result = RunResult(
             run_id=self.run_id,
             clusters=clusters,
             dup_edges=edges,
@@ -298,3 +344,5 @@ class DedupPipeline:
             stages_run=stages_run,
             stages_resumed=stages_resumed,
         )
+        result._cached = cached
+        return result

@@ -1,0 +1,44 @@
+"""O19 runtime tuning: retune() mid-run changes partitioning/batching at the
+NEXT stage boundary (UpdateFlushSize/UpdateFlushInterval + nudge,
+/root/reference/pipeline_impl.go:488-514)."""
+
+from __future__ import annotations
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+
+CFG = PipelineConfig()
+
+
+def test_retune_applies_at_next_stage_boundary(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with words " * 8) for i in range(60)],
+        "doc_id long, content string",
+    )
+    pipe = DedupPipeline(CFG)
+    seen: dict[str, str] = {}
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def sink(stage, df):
+        seen[stage] = spark.conf.get("spark.sql.shuffle.partitions")
+        if stage == "signatures":
+            pipe.retune(shuffle_partitions=7, arrow_batch_size=123)
+
+    try:
+        pipe.run(spark, docs, sink=sink)
+        # stages up to and including signatures ran under the old setting
+        assert seen["normalize"] == orig
+        assert seen["signatures"] == orig
+        # the nudge took effect at the NEXT boundary and stayed
+        assert seen["lsh_candidates"] == "7"
+        assert seen["clusters"] == "7"
+        assert (
+            spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+            == "123"
+        )
+        assert pipe.current_tuning(spark)["spark.sql.shuffle.partitions"] == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", CFG.arrow_batch_size
+        )
