@@ -73,6 +73,19 @@ def q_size_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.size_window_batches(ev, 100).select("event_id", "batch_id")
 
 
+def q_size_time_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+O4 combined: flush on WHICHEVER fires first — FlushSize(7) or
+    FlushInterval(600s) — per key, the reference's core loop semantics
+    (/root/reference/pipeline_impl.go:164-199). Oracle: DuckDB recursive CTE
+    running the identical per-key fold."""
+    from go_pipeline_spark.streaming.batching import size_time_flush_batches
+
+    ev = load_table(spark, sf_dir, "events")
+    return size_time_flush_batches(ev, flush_size=7, flush_interval_s=600).select(
+        "user_id", "event_id", "flush_seq"
+    )
+
+
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return (
@@ -268,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lastwins_latest_event": q_lastwins_latest_event,
         "window_counts": q_window_counts,
         "size_batches": q_size_batches,
+        "size_time_batches": q_size_time_batches,
         "token_stats_by_lang": q_token_stats_by_lang,
         "doc_quality": q_doc_quality,
         "lang_id_counts": q_lang_id_counts,
@@ -349,6 +363,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 100.0)
                         AS BIGINT) AS batch_id
             FROM events
+        """,
+        "size_time_batches": """
+            WITH RECURSIVE ordered AS (
+              SELECT user_id, event_id, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ), step AS (
+              SELECT user_id, event_id, ts, rn,
+                     CAST(0 AS BIGINT) AS flush_seq,
+                     CAST(CASE WHEN 1 >= 7 THEN 0 ELSE 1 END AS BIGINT) AS cnt,
+                     CAST(CASE WHEN 1 >= 7 THEN 1 ELSE 0 END AS BIGINT) AS post_seq,
+                     ts AS batch_start
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.user_id, o.event_id, o.ts, o.rn,
+                     eff_seq AS flush_seq,
+                     CAST(CASE WHEN eff_cnt + 1 >= 7 THEN 0
+                               ELSE eff_cnt + 1 END AS BIGINT) AS cnt,
+                     CAST(CASE WHEN eff_cnt + 1 >= 7 THEN eff_seq + 1
+                               ELSE eff_seq END AS BIGINT) AS post_seq,
+                     CASE WHEN eff_cnt = 0 THEN o.ts
+                          ELSE s.batch_start END AS batch_start
+              FROM step s
+              JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+              CROSS JOIN LATERAL (
+                SELECT CASE WHEN s.cnt > 0
+                             AND o.ts >= s.batch_start + INTERVAL 600 SECOND
+                            THEN s.post_seq + 1 ELSE s.post_seq END AS eff_seq,
+                       CASE WHEN s.cnt > 0
+                             AND o.ts >= s.batch_start + INTERVAL 600 SECOND
+                            THEN 0 ELSE s.cnt END AS eff_cnt
+              ) x
+            )
+            SELECT user_id, event_id, flush_seq FROM step
         """,
         "token_stats_by_lang": f"""
             SELECT lang, count(*) AS n_docs,

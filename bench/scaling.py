@@ -30,6 +30,8 @@ LEVELS = (2, 8, 32)
 def run_once(cpus: int, rows: int) -> float:
     env = dict(os.environ)
     env["SPARK_GRAFT_SYNTH_ROWS"] = str(rows)
+    # repeats are driven by THIS script's --repeat loop; one timing per JVM
+    env["SPARK_GRAFT_BENCH_REPEATS"] = "1"
     cmd = [sys.executable, str(REPO / "bench.py"),
            "--only", "dedup_synthetic", "--cpus", str(cpus)]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,

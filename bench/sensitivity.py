@@ -1,0 +1,211 @@
+"""Sensitivity sweep: exact_verify_band width and bucket_cap vs planted
+recall / precision / cost (VERDICT r1 item 9 — justify the defaults by
+measurement, not guesswork).
+
+Sweeps run on the deterministic synthetic corpus (planted exact dups,
+near-dups, containments, one hot boilerplate family). For each config the
+pipeline runs end-to-end (lean mode) and we record:
+
+  * recall        — planted pairs co-clustered / eligible planted pairs
+                    (near pairs count only when their TRUE shingle Jaccard
+                    >= 0.88, where LSH b=16/r=8 detection is >=99%)
+  * near_fp       — verified "near" edges whose true Jaccard < threshold
+                    (estimator false-accepts the band failed to catch)
+  * near_fn       — candidate pairs with true J >= threshold the verifier
+                    rejected (band false-rejects)
+  * cost proxies  — candidate pair count, exact-verify count, dropped
+                    bucket members
+
+Usage: python bench/sensitivity.py [--rows 2000] [--out BENCH/SENSITIVITY.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from go_pipeline_spark.config import PipelineConfig  # noqa: E402
+from go_pipeline_spark.corpus import generate_source_files  # noqa: E402
+from go_pipeline_spark.functions import hashing  # noqa: E402
+from go_pipeline_spark.functions.normalize import normalize_py  # noqa: E402
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline  # noqa: E402
+from go_pipeline_spark.sources.tables import corpus_to_df  # noqa: E402
+
+BANDS = [(0.70, 0.70), (0.65, 0.75), (0.60, 0.80), (0.55, 0.85), (0.50, 0.90)]
+CAPS = [8, 16, 32, 64, 128]
+
+
+def true_jaccard_fn(corpus, cfg):
+    cache: dict[int, np.ndarray] = {}
+
+    def shingles(i: int) -> np.ndarray:
+        if i not in cache:
+            cache[i] = hashing.shingle_hashes(
+                normalize_py(corpus.rows[i][4]).encode(),
+                cfg.shingle_k,
+                cfg.shingle_base,
+            )
+        return cache[i]
+
+    def jac(a: int, b: int) -> float:
+        sa, sb = shingles(a), shingles(b)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = len(sa) + len(sb) - inter
+        return inter / union if union else 1.0
+
+    return jac
+
+
+def evaluate(spark, corpus, cfg) -> dict:
+    from pyspark.sql import functions as F
+
+    from go_pipeline_spark.functions.minhash import make_signature_udf
+    from go_pipeline_spark.functions.normalize import normalize_col
+    from go_pipeline_spark.operators import lsh
+    from go_pipeline_spark.operators.verify import verify_pairs
+
+    docs = corpus_to_df(spark, corpus).select("doc_id", "content")
+    t0 = time.perf_counter()
+    res = DedupPipeline(cfg, mode="lean").run(spark, docs)
+    comp = {r["doc_id"]: r["component"] for r in res.clusters.collect()}
+    near_edges = [
+        (r["src"], r["dst"])
+        for r in res.dup_edges.collect()
+        if r["kind"] == "near"
+    ]
+    wall = time.perf_counter() - t0
+
+    jac = true_jaccard_fn(corpus, cfg)
+    eligible = hit = 0
+    for a, b, kind in corpus.expected_pairs:
+        if kind == "near" and jac(a, b) < 0.88:
+            continue
+        eligible += 1
+        if comp[a] == comp[b]:
+            hit += 1
+
+    near_fp = sum(1 for a, b in near_edges if jac(a, b) < cfg.jaccard_threshold)
+
+    # candidate + verification cost proxies (same signature path as the run)
+    pdocs = docs.withColumn("norm", normalize_col(F.col("content")))
+    sig = make_signature_udf(cfg)
+    sigs = pdocs.select("doc_id", sig(F.col("norm")).alias("s")).select(
+        "doc_id",
+        F.col("s.sig").alias("sig"),
+        F.col("s.is_short").alias("is_short"),
+    )
+    long_sigs = sigs.where(~F.col("is_short")).select("doc_id", "sig")
+    buckets = lsh.band_explode(long_sigs, cfg)
+    kept, stats = lsh.capped_buckets(buckets, cfg)
+    cand = lsh.candidate_pairs(kept)
+    n_cand = cand.count()
+    dropped = stats.agg(F.coalesce(F.sum("n_dropped"), F.lit(0))).collect()[0][0]
+    lo, hi = cfg.exact_verify_band
+    contents = pdocs.select("doc_id", F.col("norm").alias("norm_content"))
+    scored = verify_pairs(cand, long_sigs, cfg, contents=None)
+    n_exact = scored.where(
+        (F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi)
+    ).count()
+    # band false-rejects: candidates with true J >= threshold not near-verified
+    verified_near = set(near_edges)
+    near_fn = sum(
+        1
+        for r in cand.collect()
+        if jac(r["src"], r["dst"]) >= cfg.jaccard_threshold
+        and (r["src"], r["dst"]) not in verified_near
+    )
+    res.unpersist()
+    return {
+        "recall": round(hit / eligible, 4) if eligible else None,
+        "eligible": eligible,
+        "near_fp": near_fp,
+        "near_fn": near_fn,
+        "n_candidates": n_cand,
+        "n_exact_verified": n_exact,
+        "n_dropped_members": int(dropped),
+        "wall_s": round(wall, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default=str(REPO / "BENCH" / "SENSITIVITY.md"))
+    args = ap.parse_args()
+
+    from go_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="sensitivity")
+    corpus = generate_source_files(args.rows, seed=args.seed)
+
+    band_rows = []
+    for band in BANDS:
+        cfg = PipelineConfig(exact_verify_band=band)
+        r = evaluate(spark, corpus, cfg)
+        r["band"] = list(band)
+        band_rows.append(r)
+        print(json.dumps(r), file=sys.stderr)
+
+    cap_rows = []
+    for cap in CAPS:
+        cfg = PipelineConfig(bucket_cap=cap)
+        r = evaluate(spark, corpus, cfg)
+        r["bucket_cap"] = cap
+        cap_rows.append(r)
+        print(json.dumps(r), file=sys.stderr)
+
+    md = [
+        "# Sensitivity: exact_verify_band and bucket_cap vs planted recall",
+        "",
+        f"Corpus: {args.rows} synthetic source files (seed {args.seed}), "
+        "planted exact/near/containment pairs; pipeline = full lean run; "
+        "recall counts planted pairs co-clustered (near pairs eligible only "
+        "when true shingle Jaccard >= 0.88). near_fp = accepted 'near' edges "
+        "below the 0.70 Jaccard threshold (estimator false-accepts); "
+        "near_fn = candidates above threshold the verifier rejected; "
+        "n_exact = pairs whose estimate fell inside the band (the exact-"
+        "verification compute bill).",
+        "",
+        "## exact_verify_band width (bucket_cap=64)",
+        "",
+        "| band | recall | near_fp | near_fn | n_exact_verified | wall s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in band_rows:
+        md.append(
+            f"| {tuple(r['band'])} | {r['recall']} | {r['near_fp']} | "
+            f"{r['near_fn']} | {r['n_exact_verified']} | {r['wall_s']} |"
+        )
+    md += [
+        "",
+        "## bucket_cap (band=(0.60, 0.80))",
+        "",
+        "| cap | recall | n_candidates | dropped members | wall s |",
+        "|---|---|---|---|---|",
+    ]
+    for r in cap_rows:
+        md.append(
+            f"| {r['bucket_cap']} | {r['recall']} | {r['n_candidates']} | "
+            f"{r['n_dropped_members']} | {r['wall_s']} |"
+        )
+    md += [
+        "",
+        f"Raw JSON: `{json.dumps({'bands': band_rows, 'caps': cap_rows})}`",
+        "",
+    ]
+    Path(args.out).write_text("\n".join(md))
+    print(f"wrote {args.out}", file=sys.stderr)
+    print(json.dumps({"bands": band_rows, "caps": cap_rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Per-stage N-vs-4N scaling breakdown (VERDICT r1 item 7).
+
+Runs the STAGED pipeline (per-stage metrics) at two core counts in fresh
+JVMs over the same deterministic corpus and prints each stage's duration at
+both levels plus its individual scaling efficiency — pinpointing which
+stage anti-scales instead of guessing. Writes BENCH/STAGE_SCALING.md.
+
+Usage: python bench/stage_scaling.py [--rows 300000] [--levels 2,8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+import pandas as pd
+from pyspark.sql import functions as F
+from go_pipeline_spark.session import get_spark
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.corpus import distributed_docs
+
+cores = {cores}
+rows = {rows}
+spark = get_spark(cores=cores, app_name="stage_scaling")
+
+@F.pandas_udf("double")
+def _warm(x: pd.Series) -> pd.Series:
+    return x * 1.0
+n_par = int(spark.sparkContext.defaultParallelism)
+spark.range(0, n_par * 100, 1, n_par).select(
+    F.sum(_warm(F.col("id").cast("double")))).collect()
+
+docs = distributed_docs(spark, rows, seed=42).persist()
+docs.count()
+best = None
+for _ in range({repeat}):
+    t0 = time.perf_counter()
+    res = DedupPipeline(PipelineConfig()).run(spark, docs)
+    wall = time.perf_counter() - t0
+    stages = {{r["stage"]: r["duration_ms"] / 1000.0
+              for r in res.metrics.collect() if r["duration_ms"]}}
+    if best is None or wall < best[0]:
+        best = (wall, stages)
+print(json.dumps({{"wall": best[0], "stages": best[1]}}))
+"""
+
+
+def run_level(cores: int, rows: int, repeat: int) -> dict:
+    code = CHILD.format(repo=str(REPO), cores=cores, rows=rows, repeat=repeat)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+        timeout=3600,
+        env=dict(os.environ),
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"no output at cores={cores}: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=300_000)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+    factor = hi / lo
+
+    r_lo = run_level(lo, args.rows, args.repeat)
+    print(f"local[{lo}]: wall {r_lo['wall']:.1f}s", file=sys.stderr)
+    r_hi = run_level(hi, args.rows, args.repeat)
+    print(f"local[{hi}]: wall {r_hi['wall']:.1f}s", file=sys.stderr)
+
+    stages = sorted(
+        set(r_lo["stages"]) | set(r_hi["stages"]),
+        key=lambda s: -r_lo["stages"].get(s, 0.0),
+    )
+    rows_md = []
+    for s in stages:
+        a = r_lo["stages"].get(s)
+        b = r_hi["stages"].get(s)
+        if not a or not b:
+            continue
+        eff = round((a / b) / factor, 3)
+        rows_md.append((s, a, b, eff))
+
+    wall_eff = round((r_lo["wall"] / r_hi["wall"]) / factor, 3)
+    md = [
+        f"# Per-stage scaling {lo} -> {hi} cores ({args.rows:,} docs, "
+        f"staged mode, min of {args.repeat})",
+        "",
+        f"Whole-pipeline wall: {r_lo['wall']:.1f}s -> {r_hi['wall']:.1f}s "
+        f"(efficiency **{wall_eff}**; staged mode pays per-stage "
+        "materialization the lean/bench path does not).",
+        "",
+        "| stage | s @ {lo} cores | s @ {hi} cores | efficiency |".format(
+            lo=lo, hi=hi
+        ),
+        "|---|---|---|---|",
+    ]
+    for s, a, b, eff in rows_md:
+        md.append(f"| {s} | {a:.1f} | {b:.1f} | {eff} |")
+    md.append("")
+    md.append(f"Raw: `{json.dumps({'lo': r_lo, 'hi': r_hi})}`")
+    out_path = REPO / "BENCH" / "STAGE_SCALING.md"
+    out_path.write_text("\n".join(md))
+    print(f"wrote {out_path}", file=sys.stderr)
+    print(json.dumps({"wall_efficiency": wall_eff, "stages": rows_md}))
+
+
+if __name__ == "__main__":
+    main()

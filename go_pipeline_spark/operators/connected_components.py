@@ -76,25 +76,81 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(rows: list) -> list[tuple[int, int]]:
+    """Union-find over a SMALL collected edge list; returns (node, min-id
+    component) pairs. Only invoked under cc_driver_finish_threshold —
+    bounded driver memory by construction."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id keeps the representative deterministic
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
+# below this many edges the graph fits trivially on the driver: finishing
+# with one collect + union-find replaces O(log n) tail rounds of 3-shuffle
+# jobs whose data is already tiny (pure scheduler overhead at any core count)
+CC_DRIVER_FINISH_EDGES = 100_000
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame,
+    max_iterations: int = 50,
+    driver_finish_edges: int = CC_DRIVER_FINISH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(doc_id, component) where component is
     the minimum node id in the doc's component. Nodes with no edges are not
-    emitted (callers union isolated nodes as their own component)."""
-    spark = edges.sparkSession
-    if edges.isEmpty():
-        return spark.createDataFrame([], "doc_id long, component long")
+    emitted (callers union isolated nodes as their own component).
 
-    cur = _symmetrize(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    ).localCheckpoint(eager=True)
+    Large-star/small-star rounds run DISTRIBUTED while the edge set is big;
+    once it shrinks under `driver_finish_edges` (checked via the same count
+    the convergence checksum already pays for), the remaining graph is
+    finished with one collect + union-find — the tail rounds of the
+    fixpoint iterate over ever-tinier data where each round is pure
+    scheduler latency. Set driver_finish_edges=0 to force the full
+    distributed fixpoint."""
+    spark = edges.sparkSession
+
+    first = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    n0 = first.count()
+    if n0 == 0:
+        return spark.createDataFrame([], "doc_id long, component long")
+    if n0 <= driver_finish_edges:
+        pairs = _driver_union_find(
+            [(r["u"], r["v"]) for r in first.collect()]
+        )
+        return spark.createDataFrame(pairs, "doc_id long, component long")
+
+    cur = _symmetrize(first).localCheckpoint(eager=True)
     prev_sum = None
     converged = False
     for _ in range(max_iterations):
         ls = _symmetrize(_large_star(cur))
-        cur2 = _small_star(ls).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action below materializes it — one
+        # job per round instead of two (eager checkpoint + collect)
+        cur2 = _small_star(ls).localCheckpoint(eager=False)
         cur_sum = _checksum(cur2)
+        if cur_sum[0] <= driver_finish_edges:
+            # star edges already point at per-node minima; union-find merges
+            # the remaining chains exactly like further rounds would
+            pairs = _driver_union_find(
+                [(r["u"], r["v"]) for r in cur2.collect()]
+            )
+            return spark.createDataFrame(pairs, "doc_id long, component long")
         cur = _symmetrize(cur2)
         if cur_sum == prev_sum:
             converged = True

@@ -26,11 +26,19 @@ def _uf(edges, nodes):
 
 
 def _check(spark, edges):
+    """Every execution path must equal the union-find oracle: immediate
+    driver finish (default for small graphs), full distributed fixpoint
+    (driver_finish_edges=0), and the mid-loop handoff (start distributed,
+    finish on the driver once rounds shrink the edge set)."""
     nodes = sorted({x for e in edges for x in e})
     expected = _uf(edges, nodes)
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
-    assert got == expected
+    for dfe in (100_000, 0, max(1, len(edges) // 2)):
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(df, driver_finish_edges=dfe).collect()
+        }
+        assert got == expected, f"driver_finish_edges={dfe}"
 
 
 def test_chain(spark):
