@@ -94,8 +94,18 @@ def evaluate(spark, corpus, cfg) -> dict:
 
     near_fp = sum(1 for a, b in near_edges if jac(a, b) < cfg.jaccard_threshold)
 
-    # candidate + verification cost proxies (same signature path as the run)
-    pdocs = docs.withColumn("norm", normalize_col(F.col("content")))
+    # candidate + verification cost proxies (same signature path as the run:
+    # signatures exist only for exact-dedup REPRESENTATIVES — without this
+    # filter, exact-dup pairs pollute near_fn with true-J=1.0 "misses")
+    import hashlib
+
+    rep_of: dict[str, int] = {}
+    for i, row in enumerate(corpus.rows):
+        rep_of.setdefault(hashlib.sha256(row[4].encode()).hexdigest(), i)
+    rep_ids = sorted(rep_of.values())
+    pdocs = docs.where(F.col("doc_id").isin(rep_ids)).withColumn(
+        "norm", normalize_col(F.col("content"))
+    )
     sig = make_signature_udf(cfg)
     sigs = pdocs.select("doc_id", sig(F.col("norm")).alias("s")).select(
         "doc_id",

@@ -115,18 +115,12 @@ def candidate_pairs(kept_buckets: DataFrame) -> DataFrame:
     )
 
 
-def simhash_candidate_pairs(
+def simhash_chunk_explode(
     df: DataFrame, cfg: PipelineConfig, id_col: str = "doc_id", sim_col: str = "simhash"
 ) -> DataFrame:
-    """Candidate pairs among short docs via SimHash Hamming-ball banding.
-
-    Splits the simhash_bits-bit SimHash into cfg.simhash_chunks equal chunks:
-    any two hashes within Hamming distance chunks-1 agree on at least one
-    chunk (pigeonhole), so bucketing by (chunk_idx, chunk_value) has perfect
-    recall for distance <= chunks-1 (config validates the threshold against
-    this bound). Verification (exact Hamming <= threshold) happens JVM-side
-    via bit_count(xor). Reuses the same capped-bucket machinery.
-    """
+    """(id, simhash) -> (doc_id, band, band_hash): one row per Hamming-ball
+    chunk. Band indices are offset by 1000 so SimHash buckets never collide
+    with MinHash bands when stored in a shared bucket-state table."""
     n_chunks = cfg.simhash_chunks
     width = cfg.simhash_bits // n_chunks
     mask = (1 << width) - 1
@@ -141,14 +135,28 @@ def simhash_candidate_pairs(
             for i in range(n_chunks)
         ]
     )
-    buckets = df.select(
+    return df.select(
         F.col(id_col).alias("doc_id"), F.explode(chunks).alias("bb")
     ).select(
         "doc_id",
-        # offset band index so SimHash buckets never collide with MinHash bands
         (F.col("bb.band") + F.lit(1000)).alias("band"),
         F.col("bb.band_hash").cast("long").alias("band_hash"),
     )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, cfg: PipelineConfig, id_col: str = "doc_id", sim_col: str = "simhash"
+) -> DataFrame:
+    """Candidate pairs among short docs via SimHash Hamming-ball banding.
+
+    Splits the simhash_bits-bit SimHash into cfg.simhash_chunks equal chunks:
+    any two hashes within Hamming distance chunks-1 agree on at least one
+    chunk (pigeonhole), so bucketing by (chunk_idx, chunk_value) has perfect
+    recall for distance <= chunks-1 (config validates the threshold against
+    this bound). Verification (exact Hamming <= threshold) happens JVM-side
+    via bit_count(xor). Reuses the same capped-bucket machinery.
+    """
+    buckets = simhash_chunk_explode(df, cfg, id_col=id_col, sim_col=sim_col)
     kept, stats = capped_buckets(buckets, cfg)
     pairs = candidate_pairs(kept)
     sims = df.select(F.col(id_col).alias("doc_id"), F.col(sim_col))

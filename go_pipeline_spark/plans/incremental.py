@@ -10,6 +10,9 @@ flush window; the "container" is a set of committed state tables:
   state_sha       (content_sha, rep_id)            exact-dup identity map
   state_sigs      (doc_id, sig, simhash, winnow_fps, n_chars, is_short)
   state_buckets   (band, band_hash, ids)           LSH posting lists (capped)
+  state_simbuckets (band, band_hash, ids)          SimHash Hamming-chunk
+                                                   posting lists (capped,
+                                                   bands offset by 1000)
   state_fps       (fp, df, ids)                    winnowing-fp doc frequency +
                                                    posting lists (ids kept only
                                                    while df <= bucket_cap; a hot
@@ -54,6 +57,61 @@ from go_pipeline_spark.operators.containment import (
 from go_pipeline_spark.operators.verify import verify_pairs
 from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
 from go_pipeline_spark.sources.snapshots import ParquetSnapshotStore
+
+
+_EMPTY_IDS = "CAST(array() AS array<bigint>)"
+
+
+def _merge_bucket_state(
+    state: DataFrame, new_buckets: DataFrame, cap: int
+) -> DataFrame:
+    """state(band, band_hash, ids) FULL-join new(band, band_hash, new_ids) ->
+    (band, band_hash, old_ids, new_ids, kept_new). Arrival-ordered cap:
+    existing members keep their seats, new members fill the remainder (the
+    streaming-faithful rule — two arrival orders in the reference's windowed
+    map would diverge the same way when caps bind)."""
+    return (
+        state.join(new_buckets, ["band", "band_hash"], "full")
+        .select(
+            "band",
+            "band_hash",
+            F.coalesce("ids", F.expr(_EMPTY_IDS)).alias("old_ids"),
+            F.coalesce("new_ids", F.expr(_EMPTY_IDS)).alias("new_ids"),
+        )
+        .withColumn(
+            "kept_new",
+            F.slice(
+                "new_ids",
+                1,
+                F.greatest(F.lit(0), F.lit(cap) - F.size("old_ids")),
+            ),
+        )
+    )
+
+
+def _pairs_touching_new(merged: DataFrame) -> DataFrame:
+    """(old_ids, kept_new) buckets -> candidate (src < dst) pairs with >= 1
+    new side: old x new cross pairs plus within-new pairs. O(new x bucket),
+    never O(bucket^2) over history."""
+    cross = (
+        merged.select(F.explode("old_ids").alias("a"), F.col("kept_new"))
+        .select("a", F.explode("kept_new").alias("b"))
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+    )
+    within_expr = F.expr(
+        """
+        flatten(
+          transform(kept_new, (x, i) ->
+            transform(slice(kept_new, i + 2, size(kept_new)),
+                      y -> struct(x AS src, y AS dst))))
+        """
+    )
+    within = (
+        merged.where(F.size("kept_new") >= 2)
+        .select(F.explode(within_expr).alias("p"))
+        .select("p.src", "p.dst")
+    )
+    return cross.unionByName(within)
 
 
 @dataclass
@@ -154,42 +212,8 @@ class IncrementalDedup:
             .groupBy("band", "band_hash")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("new_ids"))
         )
-        merged = (
-            state_buckets.join(new_buckets, ["band", "band_hash"], "full")
-            .select(
-                "band",
-                "band_hash",
-                F.coalesce("ids", F.expr("CAST(array() AS array<bigint>)")).alias("old_ids"),
-                F.coalesce("new_ids", F.expr("CAST(array() AS array<bigint>)")).alias("new_ids"),
-            )
-            .withColumn(
-                "kept_new",
-                F.slice(
-                    "new_ids",
-                    1,
-                    F.greatest(F.lit(0), F.lit(cfg.bucket_cap) - F.size("old_ids")),
-                ),
-            )
-            .persist()
-        )
-        # candidate pairs: old x kept_new (cross) + pairs within kept_new
-        cross_pairs = merged.select(
-            F.explode("old_ids").alias("a"), F.col("kept_new")
-        ).select("a", F.explode("kept_new").alias("b")).select(
-            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
-        )
-        within_expr = F.expr(
-            """
-            flatten(
-              transform(kept_new, (x, i) ->
-                transform(slice(kept_new, i + 2, size(kept_new)),
-                          y -> struct(x AS src, y AS dst))))
-            """
-        )
-        within_pairs = merged.where(F.size("kept_new") >= 2).select(
-            F.explode(within_expr).alias("p")
-        ).select("p.src", "p.dst")
-        cand = cross_pairs.unionByName(within_pairs).distinct()
+        merged = _merge_bucket_state(state_buckets, new_buckets, cfg.bucket_cap).persist()
+        cand = _pairs_touching_new(merged).distinct()
 
         # verification needs signatures of BOTH sides
         state_sigs = self._state(
@@ -213,23 +237,40 @@ class IncrementalDedup:
             "src", "dst", F.lit("near").alias("kind")
         )
 
-        # ---- SimHash (short docs): new shorts vs (state + new) shorts
-        all_shorts = (
-            state_sigs.where(F.col("is_short")).select("doc_id", "simhash")
-            .unionByName(ok_new.where(F.col("is_short")).select("doc_id", "simhash"))
+        # ---- SimHash (short docs): incremental chunk-bucket state — only
+        # the NEW shorts explode into Hamming-ball chunks; history enters
+        # via the state_simbuckets key join (same O(new) discipline as the
+        # LSH and fingerprint states)
+        state_sim = self._state(
+            spark, "state_simbuckets", "band int, band_hash long, ids array<long>"
         )
-        new_short = ok_new.where(F.col("is_short")).select("doc_id")
-        sim_pairs_all = lsh.simhash_candidate_pairs(all_shorts, cfg)
+        new_shorts = ok_new.where(F.col("is_short")).select("doc_id", "simhash")
+        new_sim_buckets = (
+            lsh.simhash_chunk_explode(new_shorts, cfg)
+            .groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("new_ids"))
+        )
+        sim_merged = _merge_bucket_state(
+            state_sim, new_sim_buckets, cfg.bucket_cap
+        ).persist()
+        sim_cand = _pairs_touching_new(sim_merged).distinct()
+        all_simhashes = (
+            state_sigs.where(F.col("is_short")).select("doc_id", "simhash")
+            .unionByName(new_shorts)
+        )
+        sh_a = all_simhashes.select(
+            F.col("doc_id").alias("src"), F.col("simhash").alias("sim_a")
+        )
+        sh_b = all_simhashes.select(
+            F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_b")
+        )
         sim_edges = (
-            sim_pairs_all.join(
-                new_short.withColumnRenamed("doc_id", "src"), "src", "left_semi"
+            sim_cand.join(sh_a, "src")
+            .join(sh_b, "dst")
+            .withColumn(
+                "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
             )
-            .unionByName(
-                sim_pairs_all.join(
-                    new_short.withColumnRenamed("doc_id", "dst"), "dst", "left_semi"
-                )
-            )
-            .distinct()
+            .where(F.col("hamming") <= cfg.simhash_hamming_threshold)
             .select("src", "dst", F.lit("simhash").alias("kind"))
         )
 
@@ -386,6 +427,10 @@ class IncrementalDedup:
             "band", "band_hash", F.concat("old_ids", "kept_new").alias("ids")
         ).where(F.size("ids") >= 1)
         self._store.commit("state_buckets", new_state_buckets, None)
+        new_state_sim = sim_merged.select(
+            "band", "band_hash", F.concat("old_ids", "kept_new").alias("ids")
+        ).where(F.size("ids") >= 1)
+        self._store.commit("state_simbuckets", new_state_sim, None)
 
         # fingerprint state: counts always merge; posting lists survive only
         # while the fp stays rare (hotness is monotone — df never shrinks)
@@ -421,7 +466,9 @@ class IncrementalDedup:
         # committed to the store or (new_edges) kept persisted until
         # result.unpersist() — a long ingestion loop must not accumulate
         # executor storage across batches (ADVICE r1)
-        for df in (normalized, sha_map, merged, merged_fp, fp_buckets, sigs_new):
+        for df in (
+            normalized, sha_map, merged, sim_merged, merged_fp, fp_buckets, sigs_new
+        ):
             df.unpersist()
         clusters.unpersist()
         result._batch_cached = [new_edges]

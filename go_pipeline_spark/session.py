@@ -36,16 +36,19 @@ def get_spark(
     analogue of its batch container.
     """
     cores = cores or default_parallelism()
+    # 4x cores: tasks per wave >= 4 so cache scans, Arrow stages, and
+    # shuffles pipeline instead of contending (measured: scanning a
+    # cores-partition deserialized cache with cores threads is ~4x
+    # slower than 4*cores partitions); AQE coalesces the excess away
+    # on small shuffles. Env override for scaling experiments.
+    n_shuffle = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cores * 4, 32))
+    )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        # 4x cores: tasks per wave >= 4 so cache scans, Arrow stages, and
-        # shuffles pipeline instead of contending (measured: scanning a
-        # cores-partition deserialized cache with cores threads is ~4x
-        # slower than 4*cores partitions); AQE coalesces the excess away
-        # on small shuffles
-        .config("spark.sql.shuffle.partitions", str(max(cores * 4, 32)))
-        .config("spark.default.parallelism", str(max(cores * 4, 32)))
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
