@@ -116,7 +116,7 @@ def main() -> None:
         md.append(f"| {s} | {a:.1f} | {b:.1f} | {eff} |")
     md.append("")
     md.append(f"Raw: `{json.dumps({'lo': r_lo, 'hi': r_hi})}`")
-    out_path = REPO / "BENCH" / "STAGE_SCALING.md"
+    out_path = REPO / "BENCH" / f"STAGE_SCALING_{lo}_{hi}.md"
     out_path.write_text("\n".join(md))
     print(f"wrote {out_path}", file=sys.stderr)
     print(json.dumps({"wall_efficiency": wall_eff, "stages": rows_md}))

@@ -70,3 +70,89 @@ def extract_features(
             )
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, kind string, payload binary, meta map<string,string>"
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Image resize plumbing: binary -> binary with updated meta
+    (`w`/`h` keys). Real kernel = decode + resample + re-encode (PIL);
+    the fake kernel emits a deterministic `width*height`-byte payload
+    derived from the input digest, so downstream size/meta contracts are
+    exercised end-to-end without image libs."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches):
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real resize needs PIL/opencv absent from this container"
+                )
+            out_payloads = []
+            out_meta = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                digest = hashlib.sha256(bytes(p)).digest()
+                reps = (width * height) // len(digest) + 1
+                out_payloads.append((digest * reps)[: width * height])
+                m = dict(m or {})
+                m["w"], m["h"] = str(width), str(height)
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payloads,
+                    "meta": out_meta,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one input row -> up to `max_frames` frame rows
+    (1:N explode through mapInPandas, the shape a real ffmpeg-backed kernel
+    needs). Fake kernel derives each frame's bytes deterministically from
+    (payload digest, frame_idx); frame count = min(max_frames,
+    n_bytes // every_n) so different-size payloads exercise ragged
+    fan-out."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches):
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real frame sampling needs ffmpeg/av absent from this "
+                    "container"
+                )
+            ids, idxs, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(p)
+                n = min(max_frames, max(0, len(data) // every_n))
+                digest = hashlib.sha256(data).digest()
+                for i in range(n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.sha256(digest + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)

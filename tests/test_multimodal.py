@@ -40,3 +40,43 @@ def test_real_decoder_is_explicit_stub(assets):
 def test_unknown_decoder_rejected(assets):
     with pytest.raises(ValueError):
         extract_features(assets, decoder="nope")
+
+
+def test_resize_images_contract(assets):
+    from go_pipeline_spark.operators.multimodal import resize_images
+
+    out = resize_images(assets, width=8, height=4).collect()
+    assert len(out) == 30
+    for r in out:
+        assert len(r["payload"]) == 8 * 4
+        assert r["meta"]["w"] == "8" and r["meta"]["h"] == "4"
+    # deterministic: identical payloads resize identically
+    again = {r["asset_id"]: bytes(r["payload"])
+             for r in resize_images(assets, width=8, height=4).collect()}
+    assert {r["asset_id"]: bytes(r["payload"]) for r in out} == again
+
+
+def test_sample_frames_ragged_fanout(assets):
+    from go_pipeline_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(assets, every_n=40, max_frames=3).collect()
+    by_asset: dict = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    for aid, idxs in by_asset.items():
+        n_bytes = 100 + aid
+        expected = min(3, n_bytes // 40)
+        assert sorted(idxs) == list(range(expected))
+        assert len(set(idxs)) == len(idxs)
+    # every frame payload is distinct (digest includes frame_idx)
+    frames = [bytes(r["frame"]) for r in out]
+    assert len(set(frames)) == len(frames)
+
+
+def test_sample_frames_real_is_stub(assets):
+    from go_pipeline_spark.operators.multimodal import sample_frames
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|frame sampling"):
+        sample_frames(assets, decoder="real").collect()
