@@ -36,13 +36,15 @@ def get_spark(
     analogue of its batch container.
     """
     cores = cores or default_parallelism()
-    # 4x cores: tasks per wave >= 4 so cache scans, Arrow stages, and
-    # shuffles pipeline instead of contending (measured: scanning a
-    # cores-partition deserialized cache with cores threads is ~4x
-    # slower than 4*cores partitions); AQE coalesces the excess away
-    # on small shuffles. Env override for scaling experiments.
+    # 2x cores (r2 partition matrix, BENCH/STAGE_SCALING_8_32.md): at 32
+    # local threads, 4x-cores partitions make the shuffle stages absolutely
+    # SLOWER (128-partition exchanges on one BlockManager: 91-113s for the
+    # 600k pipeline vs 37s at 2x) while 1x starves wave pipelining (76s).
+    # 2x wins at 8 cores too (58s vs 62s). Floor of 8 keeps small-core runs
+    # above the r1 cache-scan contention regime. Env override for
+    # experiments.
     n_shuffle = int(
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cores * 4, 32))
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cores * 2, 8))
     )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
