@@ -1,0 +1,93 @@
+"""Continuous dedup: Structured Streaming driving IncrementalDedup.
+
+This is the reference's actual operating mode composed end-to-end: an
+unbounded producer (file/kafka/rate stream) feeds flush windows
+(micro-batches) into a keyed, accumulated dedup container
+(/root/reference/pipeline_impl.go:164-248 event loop +
+pipeline_deduplication.go:81-85 keyed container). Here:
+
+  micro-batch (foreachBatch)  ≙ one flush window
+  IncrementalDedup state dirs ≙ the accumulated container (durable:
+                                a crash mid-batch leaves the previous
+                                committed state — O16-O18 semantics)
+  corpus_dir parquet appends  ≙ the raw-content table (in production the
+                                Iceberg table itself), read back as
+                                prior_docs so cross-batch containment
+                                verification has old content
+
+The final stream state EQUALS the one-shot batch pipeline over the union
+of all micro-batches (caps unbound), pinned by tests — the streaming form
+of the incremental≡batch invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from go_pipeline_spark.config import DEFAULT_CONFIG, PipelineConfig
+from go_pipeline_spark.plans.incremental import IncrementalDedup
+
+
+class StreamingDedup:
+    """Owns an IncrementalDedup and an append-only corpus dir; feed it
+    micro-batches via `process` (directly or through foreachBatch)."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        state_dir: str | None = None,
+        corpus_dir: str | None = None,
+    ):
+        if state_dir is None or corpus_dir is None:
+            raise ValueError("streaming dedup requires state_dir and corpus_dir")
+        self.inc = IncrementalDedup(cfg, state_dir=state_dir)
+        self.corpus_dir = corpus_dir
+        self.batches_seen = 0
+
+    def _prior_docs(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.corpus_dir):
+            return None
+        has_parquet = any(
+            f.endswith(".parquet") for f in os.listdir(self.corpus_dir)
+        ) or any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(self.corpus_dir)
+            for f in fs
+        )
+        if not has_parquet:
+            return None
+        return spark.read.parquet(self.corpus_dir)
+
+    def process(self, batch_df: DataFrame, batch_id: int | None = None):
+        """foreachBatch body: dedup the micro-batch against accumulated
+        state, then append its raw content to the corpus table. Reading
+        prior content BEFORE appending keeps the batch's own docs out of
+        its prior_docs (they are already in `contents` inside run_batch)."""
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "content")
+        if docs.isEmpty():
+            return None
+        prior = self._prior_docs(spark)
+        res = self.inc.run_batch(spark, docs, prior_docs=prior)
+        docs.write.mode("append").parquet(self.corpus_dir)
+        self.batches_seen += 1
+        res.unpersist()
+        return res
+
+    def attach(self, docs_stream: DataFrame):
+        """Wire onto a streaming DataFrame; returns the started query.
+        Caller drives it (processAllAvailable for bounded sources, or
+        awaitTermination for true unbounded runs)."""
+        return (
+            docs_stream.writeStream.foreachBatch(
+                lambda df, bid: self.process(df, bid)
+            )
+            .outputMode("update")
+            .start()
+        )
+
+    def clusters(self, spark: SparkSession) -> DataFrame:
+        """Current accumulated assignment (doc_id, component)."""
+        return self.inc._store.read(spark, "state_clusters")

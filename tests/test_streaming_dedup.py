@@ -1,0 +1,80 @@
+"""Continuous dedup: a bounded file stream of document batches driven
+through IncrementalDedup via foreachBatch must converge to EXACTLY the
+one-shot batch pipeline's clusters — the streaming form of the
+incremental≡batch invariant (reference continuous mode,
+pipeline_impl.go:164-248)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import corpus_to_df
+from go_pipeline_spark.streaming.incremental_stream import StreamingDedup
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    corpus = generate_source_files(300, seed=97)
+    return corpus_to_df(spark, corpus).select("doc_id", "content").cache()
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(tmp_path_factory, spark, corpus_df):
+    """3 chunk files with pinned mtimes (file sources order by mtime)."""
+    d = tmp_path_factory.mktemp("doc_stream_raw")
+    out = tmp_path_factory.mktemp("doc_stream")
+    import time
+
+    base = time.time() - 1000
+    n = 0
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        part = corpus_df.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(str(d / f"c{i}"))
+        for p in sorted(Path(d / f"c{i}").rglob("*.parquet")):
+            dst = out / f"part-{i}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (base + 60 * i, base + 60 * i))
+            n += 1
+    assert n == 3
+    return str(out)
+
+
+def test_streaming_dedup_equals_batch_pipeline(
+    spark, corpus_df, doc_stream_dir, tmp_path
+):
+    expected = sorted(
+        (r["doc_id"], r["component"])
+        for r in DedupPipeline(CFG).run(spark, corpus_df).clusters.collect()
+    )
+
+    sd = StreamingDedup(
+        CFG,
+        state_dir=str(tmp_path / "state"),
+        corpus_dir=str(tmp_path / "corpus"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_stream_dir)
+    )
+    q = sd.attach(stream)
+    q.processAllAvailable()
+    q.stop()
+
+    assert sd.batches_seen == 3
+    got = sorted(
+        (r["doc_id"], r["component"]) for r in sd.clusters(spark).collect()
+    )
+    assert got == expected
