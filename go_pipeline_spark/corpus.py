@@ -163,7 +163,9 @@ def distributed_docs(spark, n_rows: int, seed: int = 42, partitions: int | None 
     import pandas as pd
 
     sc_partitions = partitions or spark.sparkContext.defaultParallelism
-    # defaultParallelism is already 4x cores via session.py; keep >= 32
+    # defaultParallelism tracks the session's core count; keep >= 32 so
+    # generation parallelizes even on small local masters (shuffle-partition
+    # tuning lives in session.py — currently 2x cores)
     sc_partitions = max(sc_partitions, 32)
 
     def gen(batches):

@@ -126,7 +126,12 @@ def connected_components(
     first = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    n0 = first.count()
+    # bounded probe (ADVICE r2): limit(threshold+1).count() answers both
+    # "empty?" and "small enough for the driver finish?" without an
+    # unconditional full materialization of the upstream edge plan — the
+    # large-graph path pays only a threshold-bounded scan here, not a full
+    # pass it would immediately repeat inside _symmetrize.
+    n0 = first.limit(driver_finish_edges + 1).count()
     if n0 == 0:
         return spark.createDataFrame([], "doc_id long, component long")
     if n0 <= driver_finish_edges:

@@ -76,7 +76,10 @@ def sa_contains(text: bytes, sa: np.ndarray, needle: bytes) -> bool:
 
 
 def containment_candidates(
-    docs: DataFrame, cfg: PipelineConfig, fp_col: str = "winnow_fps"
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    fp_col: str = "winnow_fps",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """docs(doc_id, n_chars, winnow_fps) -> (inner, outer) candidate pairs.
 
@@ -105,6 +108,8 @@ def containment_candidates(
     # high-entropy corpus the overwhelming majority of fingerprints are
     # df=1 and never deserve an array allocation)
     sizes = buckets.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).persist()
+    if cache_registry is not None:
+        cache_registry.append(sizes)
     # posting lists ONLY for pairable fingerprints (2 <= df <= cap): complete
     # membership, bounded groups
     pairable = (

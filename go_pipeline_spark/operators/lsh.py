@@ -58,7 +58,9 @@ def band_explode(sig_df: DataFrame, cfg: PipelineConfig, id_col: str = "doc_id")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def capped_buckets(buckets: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+def capped_buckets(
+    buckets: DataFrame, cfg: PipelineConfig, cache_registry: list | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Two-phase deterministic bucket cap.
 
     Returns (kept, stats): kept = (band, band_hash, ids:array<long> sorted,
@@ -89,6 +91,8 @@ def capped_buckets(buckets: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, 
         "n_dropped", F.col("n_members") - F.size("ids")
     ).persist()  # kept AND stats derive from this; persist avoids recomputing
     #              the full band/salt aggregation for each consumer
+    if cache_registry is not None:
+        cache_registry.append(phase2)
     stats = phase2.select("band", "band_hash", "n_members", "n_dropped")
     kept = phase2.where(F.size("ids") >= 2).select("band", "band_hash", "ids")
     return kept, stats
@@ -145,7 +149,11 @@ def simhash_chunk_explode(
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, cfg: PipelineConfig, id_col: str = "doc_id", sim_col: str = "simhash"
+    df: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate pairs among short docs via SimHash Hamming-ball banding.
 
@@ -157,7 +165,7 @@ def simhash_candidate_pairs(
     via bit_count(xor). Reuses the same capped-bucket machinery.
     """
     buckets = simhash_chunk_explode(df, cfg, id_col=id_col, sim_col=sim_col)
-    kept, stats = capped_buckets(buckets, cfg)
+    kept, stats = capped_buckets(buckets, cfg, cache_registry=cache_registry)
     pairs = candidate_pairs(kept)
     sims = df.select(F.col(id_col).alias("doc_id"), F.col(sim_col))
     verified = (

@@ -46,6 +46,7 @@ def verify_pairs(
     sigs: DataFrame,
     cfg: PipelineConfig,
     contents: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """-> (src, dst, est_jaccard, jaccard, verified:boolean).
 
@@ -64,8 +65,12 @@ def verify_pairs(
         )
 
     # scored feeds both the borderline and clearcut branches — persist so the
-    # signature joins + fold run once, not twice
+    # signature joins + fold run once, not twice. Registered with the caller
+    # for release after the consuming action (session-lifetime executor
+    # storage otherwise — VERDICT r2 #4).
     scored = scored.persist()
+    if cache_registry is not None:
+        cache_registry.append(scored)
     borderline = scored.where((F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi))
     clearcut = scored.where((F.col("est_jaccard") < lo) | (F.col("est_jaccard") >= hi))
 

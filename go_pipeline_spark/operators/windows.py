@@ -63,6 +63,7 @@ def size_window_batches(
     batch_size: int,
     order_col: str = "event_id",
     num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Size-window batching (FlushSize ≙ /root/reference/config.go:10-11):
     assign each row a batch id such that batches hold exactly `batch_size`
@@ -79,7 +80,11 @@ def size_window_batches(
          pass adds `partition_offset + local_position` — each task streams
          its Arrow batches once, O(rows/partition) memory.
     The partitioned input is persisted so passes 2 and 3 see identical
-    partition boundaries (range sampling re-runs are not replayed).
+    partition boundaries (range sampling re-runs are not replayed). Pass
+    `cache_registry` (a list) to receive the persisted DataFrame for
+    caller-driven unpersist after the output is consumed; without it the
+    cache is retained for the session (documented retention — short-lived
+    driver processes only).
     """
     import numpy as np
 
@@ -92,6 +97,8 @@ def size_window_batches(
         .sortWithinPartitions(order_col)
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(parted)
     counts = {
         r["pid"]: r["cnt"]
         for r in parted.groupBy(F.spark_partition_id().alias("pid"))
@@ -104,7 +111,14 @@ def size_window_batches(
         offsets[pid] = acc
         acc += counts.get(pid, 0)
 
-    out_schema = df.schema.add("batch_id", "long")
+    # fresh StructType — StructType.add() MUTATES the input DataFrame's
+    # cached schema in place (phantom batch_id column on df after the call,
+    # doubled column on a second call; ADVICE r2)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("batch_id", LongType())]
+    )
     bs = batch_size
 
     def assign(batches):

@@ -206,6 +206,7 @@ class DedupPipeline:
             while self._tuning:
                 k, v = self._tuning.popitem()
                 spark.conf.set(k, v)
+            mark = len(cached)  # helper-level persists registered by build()
             if self.mode == "lean":
                 out = build().persist()
                 cached.append(out)
@@ -226,6 +227,14 @@ class DedupPipeline:
                 else:
                     out = out.localCheckpoint(eager=True)
                     n = out.count()
+            # staged mode materialized the output above, so any helper
+            # persist registered during build() (capped_buckets phase2,
+            # verify_pairs scored, containment sizes) is dead weight now —
+            # release it at the stage boundary instead of session end
+            # (VERDICT r2 #4). Lean mode keeps them until RunResult.unpersist.
+            for df_ in cached[mark:]:
+                df_.unpersist()
+            del cached[mark:]
             last_out[name] = n
             metrics.record(name, last_out.get(items_in, 0), n, t.seconds)
             stages_run.append(name)
@@ -267,7 +276,7 @@ class DedupPipeline:
 
         def build_candidates() -> DataFrame:
             buckets = lsh.band_explode(long_sigs, cfg)
-            kept, stats = lsh.capped_buckets(buckets, cfg)
+            kept, stats = lsh.capped_buckets(buckets, cfg, cache_registry=cached)
             dropped = stats.agg(F.coalesce(F.sum("n_dropped"), F.lit(0))).collect()[0][0]
             metrics.record("lsh_bucket_caps", 0, 0, 0.0, dropped=int(dropped))
             return lsh.candidate_pairs(kept)
@@ -279,20 +288,21 @@ class DedupPipeline:
             "verify",
             "lsh_candidates",
             lambda: verify_pairs(cands, long_sigs.withColumnRenamed("sig", "sig")
-                                 .select("doc_id", "sig"), cfg, contents=contents),
+                                 .select("doc_id", "sig"), cfg, contents=contents,
+                                 cache_registry=cached),
         )
 
         sim_pairs = stage(
             "simhash_pairs",
             "signatures",
-            lambda: lsh.simhash_candidate_pairs(short_sigs, cfg),
+            lambda: lsh.simhash_candidate_pairs(short_sigs, cfg, cache_registry=cached),
         )
 
         def build_containment() -> DataFrame:
             cdocs = sigs.where(F.col("winnow_fps").isNotNull()).select(
                 "doc_id", "n_chars", "winnow_fps"
             )
-            cand = containment_candidates(cdocs, cfg)
+            cand = containment_candidates(cdocs, cfg, cache_registry=cached)
             return verify_containment(cand, contents)
 
         cont_pairs = stage("containment", "signatures", build_containment)

@@ -232,7 +232,10 @@ class IncrementalDedup:
                 prior_docs.select("doc_id", "content")
             ).select("doc_id", "norm_content")
             contents = contents.unionByName(prior_norm)
-        verified = verify_pairs(cand, all_long_sigs, cfg, contents=contents)
+        helper_cached: list = []
+        verified = verify_pairs(
+            cand, all_long_sigs, cfg, contents=contents, cache_registry=helper_cached
+        )
         near_edges = verified.where(F.col("verified")).select(
             "src", "dst", F.lit("near").alias("kind")
         )
@@ -467,7 +470,8 @@ class IncrementalDedup:
         # result.unpersist() — a long ingestion loop must not accumulate
         # executor storage across batches (ADVICE r1)
         for df in (
-            normalized, sha_map, merged, sim_merged, merged_fp, fp_buckets, sigs_new
+            normalized, sha_map, merged, sim_merged, merged_fp, fp_buckets, sigs_new,
+            *helper_cached,
         ):
             df.unpersist()
         clusters.unpersist()

@@ -1,0 +1,51 @@
+"""Operator-level persist() calls must be released (VERDICT r2 #4 / ADVICE).
+
+The stage-level discipline (RunResult._cached) existed since r2; this pins
+the OPERATOR-level caches too: capped_buckets phase2, verify_pairs scored,
+containment_candidates sizes, size_window_batches parted. Staged mode
+releases them at each stage boundary (output already materialized); lean mode
+registers them into RunResult._cached so unpersist() clears everything.
+
+getPersistentRDDs must not grow across a full run+unpersist cycle in either
+mode. (Absolute emptiness can't be asserted — the session is shared across
+the test suite and other fixtures may legitimately hold caches.)
+"""
+
+from __future__ import annotations
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+CFG = PipelineConfig()
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _run_and_release(spark, docs, tmp_path, mode: str):
+    kwargs = {"mode": mode}
+    if mode == "staged":
+        # with a snapshot store, stage outputs are re-read from parquet —
+        # no localCheckpoint blocks muddy the persistent-RDD accounting
+        kwargs["snapshot_dir"] = str(tmp_path / f"snap_{mode}")
+    res = DedupPipeline(CFG, **kwargs).run(spark, docs)
+    res.clusters.collect()
+    res.dup_edges.collect()
+    res.unpersist()
+    return res
+
+
+def test_no_persistent_rdd_growth_both_modes(spark, tmp_path):
+    corpus = generate_source_files(200, seed=31)
+    docs = corpus_to_df(spark, corpus).select("doc_id", "content")
+    docs = spark.createDataFrame(docs.collect(), "doc_id long, content string")
+    before = _persistent_rdd_ids(spark)
+    _run_and_release(spark, docs, tmp_path, "staged")
+    _run_and_release(spark, docs, tmp_path, "lean")
+    after = _persistent_rdd_ids(spark)
+    leaked = after - before
+    assert not leaked, f"persisted RDDs leaked by pipeline runs: {leaked}"

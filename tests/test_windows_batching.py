@@ -41,6 +41,32 @@ def test_size_batches_ragged_and_sparse_keys(spark):
     assert sizes == {0: 50, 1: 50, 2: 50, 3: 50, 4: 50, 5: 7}
 
 
+def test_size_batches_does_not_mutate_input_schema(spark):
+    # ADVICE r2: StructType.add() mutated the input DataFrame's cached schema
+    # in place — a second call on the same df then built a schema with
+    # batch_id twice and broke the mapInPandas contract
+    df = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+    before = [f.name for f in df.schema.fields]
+    size_window_batches(df, 10, num_partitions=4).collect()
+    assert [f.name for f in df.schema.fields] == before == ["event_id"]
+    # second call on the SAME df must still work and carry exactly one batch_id
+    out2 = size_window_batches(df, 10, num_partitions=4)
+    assert [f.name for f in out2.schema.fields] == ["event_id", "batch_id"]
+    assert out2.count() == 100
+
+
+def test_size_batches_cache_registry_allows_release(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+    reg: list = []
+    out = size_window_batches(df, 10, num_partitions=4, cache_registry=reg)
+    out.count()
+    assert len(reg) == 1
+    for cached in reg:
+        assert cached.storageLevel.useMemory  # was actually persisted
+        cached.unpersist()
+        assert not cached.storageLevel.useMemory
+
+
 def test_size_batches_plan_has_no_single_partition_exchange(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
     out = size_window_batches(df, 10, num_partitions=4)
