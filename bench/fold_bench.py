@@ -1,0 +1,63 @@
+"""Micro-bench: per-key size+time fold, row-wise loop vs O(#flushes) numpy
+scan, on ONE 10^6-row key — the skewed-key straggler case (VERDICT r2 #4).
+
+Pure-Python/numpy (no Spark): the fold runs inside a single task either way,
+so the single-threaded ratio IS the task-level speedup. Usage:
+
+    python bench/fold_bench.py [rows]
+
+Writes results to stdout; BENCH/FOLD.md records a run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from go_pipeline_spark.streaming.batching import (  # noqa: E402
+    _fold_key_numpy,
+    _fold_key_rowwise,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    rng = np.random.default_rng(42)
+    base = np.datetime64("2026-01-01T00:00:00", "ns")
+    ts = base + np.cumsum(rng.integers(0, 3, size=n)) * np.timedelta64(
+        1_000_000_000, "ns"
+    )
+    flush_size, interval_s = 50, 60
+    delta_ns = interval_s * 1_000_000_000
+
+    t_fast = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fast, _st = _fold_key_numpy(ts, flush_size, delta_ns, (0, 0, None))
+        t_fast.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    ref, _st = _fold_key_rowwise(
+        ts, flush_size, pd.Timedelta(seconds=interval_s), (0, 0, None)
+    )
+    t_ref = time.perf_counter() - t0
+
+    assert fast.tolist() == ref.tolist()
+    out = {
+        "rows": n,
+        "flushes": int(fast.max()) + 1,
+        "rowwise_sec": round(t_ref, 3),
+        "numpy_sec": round(min(t_fast), 4),
+        "speedup": round(t_ref / min(t_fast), 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""N→4N scaling on MULTI-JVM executors: local-cluster[1,8,m] vs [4,8,m].
+
+VERDICT r2 #3: the 8→32 efficiency story blamed single-JVM BlockManager
+contention at 32 task threads in local[] mode — a claim this script tests.
+`local-cluster[W,C,mem]` launches W real Worker JVMs with separate executors,
+BlockManagers and shuffle services on this machine: the thing the hypothesis
+predicts WILL scale. 1 worker × 8 cores → 4 workers × 8 cores is the
+sandbox's closest shape to the north_rule's N→4N executor criterion
+(same box, so the ~3.1× hardware ceiling from bench/scaling.py still caps
+perfectly-parallel work at ~0.78 efficiency for 4× the cores).
+
+Each measurement runs in its own subprocess (one cluster per JVM); min-of-R
+per config (VM noise up to 2.7×, STATUS.md). Results → BENCH/LOCAL_CLUSTER.md.
+
+Usage:
+    python bench/local_cluster_scaling.py [--rows 600000] [--repeat 3]
+    python bench/local_cluster_scaling.py --child --workers 4 --rows ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CORES_PER_WORKER = 8
+WORKER_MEM_MB = 6144
+
+
+def child(workers: int, rows: int, repeat: int) -> None:
+    import pyspark
+
+    os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    total_cores = workers * CORES_PER_WORKER
+    from go_pipeline_spark.config import DEFAULT_CONFIG
+
+    builder = (
+        SparkSession.builder.master(
+            f"local-cluster[{workers},{CORES_PER_WORKER},{WORKER_MEM_MB}]"
+        )
+        .appName(f"lc-scaling-{workers}w")
+        .config("spark.executor.memory", f"{WORKER_MEM_MB - 1024}m")
+        .config("spark.executorEnv.PYTHONPATH", str(REPO))
+        .config("spark.sql.shuffle.partitions", str(total_cores * 2))
+        .config("spark.default.parallelism", str(total_cores * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(DEFAULT_CONFIG.arrow_batch_size),
+        )
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    # warm every executor's python workers + JVM codegen outside the timers
+    spark.range(0, total_cores * 100, 1, total_cores).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
+
+    from go_pipeline_spark.corpus import distributed_docs
+    from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+
+    docs = distributed_docs(spark, rows, seed=42).persist()
+    docs.count()  # generation outside the timers
+
+    runs = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        res = DedupPipeline(DEFAULT_CONFIG, mode="lean").run(spark, docs)
+        n = res.clusters.count()
+        runs.append(round(time.perf_counter() - t0, 3))
+        res.unpersist()
+    print(json.dumps({"workers": workers, "rows": rows, "runs": runs,
+                      "clusters": n}))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=600_000)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--workers", type=int, default=1)
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.workers, args.rows, args.repeat)
+        return
+
+    results = {}
+    for workers in (1, 4):
+        cmd = [sys.executable, __file__, "--child", "--workers", str(workers),
+               "--rows", str(args.rows), "--repeat", str(args.repeat)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=str(REPO), timeout=5400)
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"child w={workers} produced no JSON; stderr tail: "
+                f"{out.stderr[-3000:]}"
+            )
+        results[workers] = json.loads(lines[-1])
+        print(f"workers={workers}: {results[workers]['runs']}", file=sys.stderr)
+
+    t1, t4 = min(results[1]["runs"]), min(results[4]["runs"])
+    eff = t1 / t4 / 4
+    summary = {
+        "rows": args.rows,
+        "cores": {"1w": CORES_PER_WORKER, "4w": 4 * CORES_PER_WORKER},
+        "t_1w8c_sec": t1,
+        "t_4w8c_sec": t4,
+        "speedup": round(t1 / t4, 3),
+        "efficiency_n_to_4n": round(eff, 3),
+        "throughput_files_per_sec": {
+            "1w8c": round(args.rows / t1, 1),
+            "4w8c": round(args.rows / t4, 1),
+        },
+        "runs": {str(k): v["runs"] for k, v in results.items()},
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,6 +93,87 @@ class ParquetSnapshotStore:
         mp = self._manifest_path(stage)
         if mp.exists():
             mp.unlink()
+
+    # -- multi-table generations (incremental state) ------------------------
+    # The incremental pipeline's 6 state tables form ONE logical container;
+    # per-table manifests made a crash between commits observable as
+    # mixed-generation state (new state_sigs + stale state_buckets -> silent
+    # recall loss; ADVICE r2). A generation commit writes every table's data
+    # dir first and publishes ONE atomically-renamed manifest last — readers
+    # resolve all tables through it, so they see generation n-1 in full or
+    # generation n in full, never a mix (the multi-table form of an Iceberg
+    # snapshot commit).
+
+    def _generation_manifest_path(self) -> Path:
+        return self.base / "_GENERATION.json"
+
+    def generation_manifest(self) -> dict | None:
+        mp = self._generation_manifest_path()
+        if not mp.exists():
+            return None
+        try:
+            m = json.loads(mp.read_text())
+        except json.JSONDecodeError:
+            return None
+        if m.get("config_hash") != self.config_hash:
+            return None  # config changed: prior state is not resumable
+        return m
+
+    def commit_generation(
+        self,
+        tables: dict[str, DataFrame],
+        extra: dict | None = None,
+        keep_generations: int = 2,
+    ) -> dict:
+        """Write all tables, publish one manifest, GC aged-out generations.
+
+        keep_generations bounds disk growth in continuous mode (VERDICT r2
+        #3: every commit used to retain superseded data dirs forever). The
+        live manifest's dirs are never deleted, nor the immediately previous
+        generation's (plans built against generation n-1 — including the one
+        computing THIS commit — may still be executing); anything older is
+        removed after the new manifest is durable.
+        """
+        if keep_generations < 2:
+            raise ValueError("keep_generations must be >= 2 (current + prior)")
+        prev = self.generation_manifest()
+        gen = (prev["gen"] + 1) if prev else 1
+        new_tables: dict[str, dict] = {}
+        for name, df in tables.items():
+            data_dir = self.base / name / f"data-g{gen:06d}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(str(data_dir))
+            new_tables[name] = {"data_path": str(data_dir)}
+        history = list(prev.get("history", [])) if prev else []
+        history.append(
+            {"gen": gen, "dirs": [t["data_path"] for t in new_tables.values()]}
+        )
+        live, dead = history[-keep_generations:], history[:-keep_generations]
+        merged_extra = dict(prev.get("extra", {})) if prev else {}
+        merged_extra.update(extra or {})
+        manifest = {
+            "gen": gen,
+            "run_id": self.run_id,
+            "config_hash": self.config_hash,
+            "tables": new_tables,
+            "extra": merged_extra,
+            "history": live,
+            "committed_at": time.time(),
+        }
+        tmp = self.base / "_GENERATION.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self._generation_manifest_path())  # atomic publish
+        for g in dead:  # GC only after the new manifest is durable
+            for d in g["dirs"]:
+                shutil.rmtree(d, ignore_errors=True)
+        return manifest
+
+    def read_generation(self, spark: SparkSession, name: str) -> DataFrame:
+        m = self.generation_manifest()
+        if m is None or name not in m.get("tables", {}):
+            raise FileNotFoundError(
+                f"table '{name}' has no committed generation in {self.base}"
+            )
+        return spark.read.parquet(m["tables"][name]["data_path"])
 
 
 def open_snapshot_store(

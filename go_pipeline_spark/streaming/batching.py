@@ -102,6 +102,74 @@ def lastwins_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def _fold_key_rowwise(ts_arr, flush_size: int, delta, state):
+    """Row-at-a-time reference implementation of the size+time fold (the
+    reference's literal event loop, pipeline_impl.go:164-199). Kept for the
+    equivalence test + fold bench; the hot path is _fold_key_numpy."""
+    import numpy as np
+    import pandas as pd
+
+    flush_seq, cnt, batch_start = state
+    seqs = np.empty(len(ts_arr), dtype=np.int64)
+    for i in range(len(ts_arr)):
+        t = pd.Timestamp(ts_arr[i])
+        if cnt > 0 and t >= batch_start + delta:
+            flush_seq += 1
+            cnt = 0
+        if cnt == 0:
+            batch_start = t
+        seqs[i] = flush_seq
+        cnt += 1
+        if cnt >= flush_size:
+            flush_seq += 1
+            cnt = 0
+    return seqs, (flush_seq, cnt, batch_start)
+
+
+def _fold_key_numpy(ts_arr, flush_size: int, delta_ns: int, state):
+    """O(#flushes) scan of the per-key size+time fold (VERDICT r2 #4: the
+    per-row Python loop was a single-task straggler on a skewed key).
+
+    ts_arr must be sorted ascending. Each iteration closes ONE flush batch:
+    its boundary is min(start + flush_size, first index whose event time
+    reaches batch_start + interval) — a searchsorted over the sorted
+    timestamps, so Python-level work is proportional to batches flushed,
+    not rows (flush_size x fewer iterations; ~10^2-10^3x in practice).
+    Semantics identical to _fold_key_rowwise (pinned by tests/hypothesis).
+    """
+    import numpy as np
+
+    flush_seq, cnt, batch_start = state
+    ts = np.asarray(ts_arr, dtype="datetime64[ns]")
+    delta = np.timedelta64(int(delta_ns), "ns")
+    n = len(ts)
+    seqs = np.empty(n, dtype=np.int64)
+    i = 0
+    if cnt > 0:
+        # continue the batch left open by the previous micro-batch
+        bs = np.datetime64(batch_start, "ns")
+        j = min(i + (flush_size - cnt), int(np.searchsorted(ts, bs + delta, "left")))
+        seqs[i:j] = flush_seq
+        cnt += j - i
+        if cnt >= flush_size or j < n:
+            # closed by size, or the next row's timer fire closes it
+            flush_seq += 1
+            cnt = 0
+        batch_start = bs
+        i = j
+    while i < n:
+        bs = ts[i]
+        j = max(i + 1, min(i + flush_size, int(np.searchsorted(ts, bs + delta, "left"))))
+        seqs[i:j] = flush_seq
+        cnt = j - i
+        if cnt >= flush_size or j < n:
+            flush_seq += 1
+            cnt = 0
+        batch_start = bs
+        i = j
+    return seqs, (int(flush_seq), int(cnt), batch_start)
+
+
 def size_time_flush_stream(
     events: DataFrame,
     flush_size: int,
@@ -132,31 +200,21 @@ def size_time_flush_stream(
     )
     state_schema = "flush_seq long, cnt long, batch_start timestamp"
 
+    delta_ns = int(round(flush_interval_s * 1e9))
+
     def update(key, pdfs, state: GroupState):
         if state.exists:
             flush_seq, cnt, batch_start = state.get
         else:
             flush_seq, cnt, batch_start = 0, 0, None
+        st = (flush_seq, cnt, batch_start)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
             ts_arr = pdf["ts"].to_numpy()[order]
             eid_arr = pdf["event_id"].to_numpy()[order]
-            seqs = np.empty(len(pdf), dtype=np.int64)
-            delta = pd.Timedelta(seconds=flush_interval_s)
-            for i in range(len(pdf)):
-                t = pd.Timestamp(ts_arr[i])
-                if cnt > 0 and t >= batch_start + delta:
-                    flush_seq += 1
-                    cnt = 0
-                if cnt == 0:
-                    batch_start = t
-                seqs[i] = flush_seq
-                cnt += 1
-                if cnt >= flush_size:
-                    flush_seq += 1
-                    cnt = 0
+            seqs, st = _fold_key_numpy(ts_arr, flush_size, delta_ns, st)
             yield pd.DataFrame(
                 {
                     key_col: key[0],
@@ -165,6 +223,7 @@ def size_time_flush_stream(
                     "flush_seq": seqs,
                 }
             )
+        flush_seq, cnt, batch_start = st
         bs = None if batch_start is None else pd.Timestamp(batch_start).to_pydatetime()
         state.update((int(flush_seq), int(cnt), bs))
 
@@ -195,26 +254,14 @@ def size_time_flush_batches(
         f"{key_col} long, event_id long, ts timestamp, flush_seq long"
     )
 
+    delta_ns = int(round(flush_interval_s * 1e9))
+
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
         ts_arr = pdf["ts"].to_numpy()[order]
         eid_arr = pdf["event_id"].to_numpy()[order]
         key_val = pdf[key_col].iloc[0]
-        seqs = np.empty(len(pdf), dtype=np.int64)
-        delta = pd.Timedelta(seconds=flush_interval_s)
-        flush_seq, cnt, batch_start = 0, 0, None
-        for i in range(len(pdf)):
-            t = pd.Timestamp(ts_arr[i])
-            if cnt > 0 and t >= batch_start + delta:
-                flush_seq += 1
-                cnt = 0
-            if cnt == 0:
-                batch_start = t
-            seqs[i] = flush_seq
-            cnt += 1
-            if cnt >= flush_size:
-                flush_seq += 1
-                cnt = 0
+        seqs, _ = _fold_key_numpy(ts_arr, flush_size, delta_ns, (0, 0, None))
         return pd.DataFrame(
             {key_col: key_val, "event_id": eid_arr, "ts": ts_arr, "flush_seq": seqs}
         )

@@ -7,13 +7,22 @@ unbounded producer (file/kafka/rate stream) feeds flush windows
 pipeline_deduplication.go:81-85 keyed container). Here:
 
   micro-batch (foreachBatch)  ≙ one flush window
-  IncrementalDedup state dirs ≙ the accumulated container (durable:
-                                a crash mid-batch leaves the previous
-                                committed state — O16-O18 semantics)
-  corpus_dir parquet appends  ≙ the raw-content table (in production the
-                                Iceberg table itself), read back as
-                                prior_docs so cross-batch containment
-                                verification has old content
+  IncrementalDedup state      ≙ the accumulated container (durable: ONE
+                                atomically-published generation manifest
+                                per batch — a crash mid-batch leaves the
+                                previous generation fully intact, O16-O18)
+  corpus_dir parquet appends  ≙ the NORMALIZED content table (in production
+                                an Iceberg table), read back as
+                                prior_norm_docs so cross-batch verification
+                                is scan-only — history is NEVER
+                                re-normalized, and only candidate ids enter
+                                any join (O(new) per batch, VERDICT r2 #1)
+
+Replay idempotence: foreachBatch re-delivers the last micro-batch after a
+restart. `process` consults the state manifest's last_stream_batch_id and
+skips batches already committed (repairing the corpus append if the crash
+hit between state commit and corpus write — per-batch corpus subdirs are
+overwrite-idempotent).
 
 The final stream state EQUALS the one-shot batch pipeline over the union
 of all micro-batches (caps unbound), pinned by tests — the streaming form
@@ -31,47 +40,79 @@ from go_pipeline_spark.plans.incremental import IncrementalDedup
 
 
 class StreamingDedup:
-    """Owns an IncrementalDedup and an append-only corpus dir; feed it
-    micro-batches via `process` (directly or through foreachBatch)."""
+    """Owns an IncrementalDedup and an append-only normalized-corpus dir;
+    feed it micro-batches via `process` (directly or through foreachBatch)."""
 
     def __init__(
         self,
         cfg: PipelineConfig = DEFAULT_CONFIG,
         state_dir: str | None = None,
         corpus_dir: str | None = None,
+        keep_generations: int = 2,
     ):
         if state_dir is None or corpus_dir is None:
             raise ValueError("streaming dedup requires state_dir and corpus_dir")
-        self.inc = IncrementalDedup(cfg, state_dir=state_dir)
+        self.inc = IncrementalDedup(
+            cfg, state_dir=state_dir, keep_generations=keep_generations
+        )
         self.corpus_dir = corpus_dir
         self.batches_seen = 0
 
-    def _prior_docs(self, spark: SparkSession) -> DataFrame | None:
+    def _prior_norm_docs(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.isdir(self.corpus_dir):
             return None
         has_parquet = any(
-            f.endswith(".parquet") for f in os.listdir(self.corpus_dir)
-        ) or any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(self.corpus_dir)
             for f in fs
         )
         if not has_parquet:
             return None
-        return spark.read.parquet(self.corpus_dir)
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.corpus_dir)
+            .select("doc_id", "norm_content")
+        )
+
+    def _corpus_batch_dir(self, bid: int) -> str:
+        return os.path.join(self.corpus_dir, f"batch-{bid}")
+
+    def _append_corpus(self, norm_docs: DataFrame, bid: int) -> None:
+        # per-batch subdir + overwrite = idempotent under replay; _SUCCESS
+        # marks the append durable
+        norm_docs.write.mode("overwrite").parquet(self._corpus_batch_dir(bid))
 
     def process(self, batch_df: DataFrame, batch_id: int | None = None):
         """foreachBatch body: dedup the micro-batch against accumulated
-        state, then append its raw content to the corpus table. Reading
-        prior content BEFORE appending keeps the batch's own docs out of
-        its prior_docs (they are already in `contents` inside run_batch)."""
+        state, then append its NORMALIZED content to the corpus table.
+
+        A batch whose id is already recorded in the state manifest is a
+        foreachBatch replay: its state commit is durable, so re-running
+        run_batch would append duplicate state rows (double-counting fp df
+        toward hotness — ADVICE r2). Such a batch is skipped, repairing only
+        a missing corpus append (crash between state commit and corpus
+        write)."""
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "content")
         if docs.isEmpty():
             return None
-        prior = self._prior_docs(spark)
-        res = self.inc.run_batch(spark, docs, prior_docs=prior)
-        docs.write.mode("append").parquet(self.corpus_dir)
+        bid = batch_id if batch_id is not None else self.batches_seen
+        last = self.inc.last_stream_batch_id()
+        if batch_id is not None and last is not None and batch_id <= last:
+            marker = os.path.join(self._corpus_batch_dir(bid), "_SUCCESS")
+            if not os.path.exists(marker):
+                # crash landed between state commit and corpus append:
+                # normalize just this batch (O(new)) and repair the hole
+                from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+
+                norm = DedupPipeline(self.inc.cfg)._stage_normalized(docs)
+                self._append_corpus(norm.select("doc_id", "norm_content"), bid)
+            return None
+        prior = self._prior_norm_docs(spark)
+        res = self.inc.run_batch(
+            spark, docs, prior_norm_docs=prior, stream_batch_id=bid
+        )
+        self._append_corpus(res.new_norm_docs, bid)
         self.batches_seen += 1
         res.unpersist()
         return res
@@ -90,4 +131,4 @@ class StreamingDedup:
 
     def clusters(self, spark: SparkSession) -> DataFrame:
         """Current accumulated assignment (doc_id, component)."""
-        return self.inc._store.read(spark, "state_clusters")
+        return self.inc._store.read_generation(spark, "state_clusters")

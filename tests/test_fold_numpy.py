@@ -1,0 +1,70 @@
+"""The O(#flushes) numpy size+time fold must be semantically identical to
+the row-at-a-time reference fold (the literal transcription of the
+reference's event loop, pipeline_impl.go:164-199) — including state carried
+across micro-batch splits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_pipeline_spark.streaming.batching import _fold_key_numpy, _fold_key_rowwise
+
+
+def _mk_ts(deltas_s):
+    base = np.datetime64("2026-01-01T00:00:00", "ns")
+    offs = np.cumsum(np.asarray(deltas_s, dtype=np.int64))
+    return base + offs * np.timedelta64(1_000_000_000, "ns")
+
+
+@given(
+    deltas=st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=200),
+    flush_size=st.integers(min_value=1, max_value=12),
+    interval_s=st.integers(min_value=1, max_value=600),
+    split=st.integers(min_value=0, max_value=200),
+)
+@settings(max_examples=150, deadline=None)
+def test_numpy_fold_equals_rowwise(deltas, flush_size, interval_s, split):
+    ts = _mk_ts(deltas)
+    delta = pd.Timedelta(seconds=interval_s)
+    delta_ns = interval_s * 1_000_000_000
+
+    ref_seqs, ref_state = _fold_key_rowwise(ts, flush_size, delta, (0, 0, None))
+
+    # one-shot
+    got_seqs, got_state = _fold_key_numpy(ts, flush_size, delta_ns, (0, 0, None))
+    assert got_seqs.tolist() == ref_seqs.tolist()
+    assert got_state[:2] == ref_state[:2]
+    assert np.datetime64(got_state[2], "ns") == np.datetime64(ref_state[2], "ns")
+
+    # split across two "micro-batches" at an arbitrary boundary: carried
+    # state must reproduce the unsplit assignment
+    k = min(split, len(ts))
+    s1, st1 = _fold_key_numpy(ts[:k], flush_size, delta_ns, (0, 0, None))
+    s2, _ = _fold_key_numpy(ts[k:], flush_size, delta_ns, st1)
+    assert np.concatenate([s1, s2]).tolist() == ref_seqs.tolist()
+
+
+def test_numpy_fold_iterations_scale_with_flushes():
+    """The skewed-key case: 10^6 rows, one key. The numpy scan touches
+    Python once per flush batch, so it must run orders of magnitude faster
+    than the row-wise loop (bench/fold_bench.py records the ratio)."""
+    import time
+
+    n = 200_000
+    rng = np.random.default_rng(3)
+    ts = _mk_ts(rng.integers(0, 3, size=n))
+    delta_ns = 60 * 1_000_000_000
+
+    t0 = time.perf_counter()
+    fast, _ = _fold_key_numpy(ts, 50, delta_ns, (0, 0, None))
+    t_fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ref, _ = _fold_key_rowwise(ts, 50, pd.Timedelta(seconds=60), (0, 0, None))
+    t_ref = time.perf_counter() - t0
+
+    assert fast.tolist() == ref.tolist()
+    assert t_fast * 5 < t_ref, (t_fast, t_ref)  # conservative on a noisy VM

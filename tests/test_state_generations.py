@@ -1,0 +1,153 @@
+"""Generation-manifest state: atomic multi-table commits, foreachBatch
+replay idempotence, keep-last-K GC, and the O(new) prior-content bound
+(VERDICT r2 #1/#3 + ADVICE r2 mixed-generation/replay finding)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.sources.snapshots import ParquetSnapshotStore
+from go_pipeline_spark.streaming.incremental_stream import StreamingDedup
+
+CFG = PipelineConfig()
+
+
+def _unique_docs(spark, lo: int, hi: int):
+    """Docs with hex-random content: no shared shingles, no near/containment
+    relations, every winnow fp df=1."""
+    rows = [
+        (
+            i,
+            "".join(
+                hashlib.sha256(f"{i}-{j}".encode()).hexdigest() for j in range(8)
+            ),
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+# -- atomicity ---------------------------------------------------------------
+
+def test_generation_commit_all_or_nothing(spark, tmp_path):
+    store = ParquetSnapshotStore(str(tmp_path / "s"), "run1", "cfghash")
+    a1 = spark.createDataFrame([(1, "x")], "k long, v string")
+    b1 = spark.createDataFrame([(1, 10)], "k long, n long")
+    store.commit_generation({"ta": a1, "tb": b1})
+    assert store.generation_manifest()["gen"] == 1
+
+    @F.udf("string")
+    def boom(v):
+        raise RuntimeError("mid-commit crash")
+
+    a2 = spark.createDataFrame([(2, "y")], "k long, v string")
+    bad = spark.createDataFrame([(2, "z")], "k long, v string").select(
+        "k", boom("v").alias("v")
+    )
+    # second table's write fails AFTER the first table's data dir landed:
+    # the manifest must still point at generation 1 for BOTH tables
+    with pytest.raises(Exception):
+        store.commit_generation({"ta": a2, "tb": bad})
+    m = store.generation_manifest()
+    assert m["gen"] == 1
+    assert [r["v"] for r in store.read_generation(spark, "ta").collect()] == ["x"]
+    assert [r["n"] for r in store.read_generation(spark, "tb").collect()] == [10]
+
+
+def test_generation_config_hash_guard(spark, tmp_path):
+    store = ParquetSnapshotStore(str(tmp_path / "s2"), "run1", "h1")
+    store.commit_generation(
+        {"t": spark.createDataFrame([(1,)], "k long")}
+    )
+    other = ParquetSnapshotStore(str(tmp_path / "s2"), "run2", "h2")
+    assert other.generation_manifest() is None  # config change invalidates
+
+
+# -- replay idempotence + GC + O(new), one streaming scenario ----------------
+
+def test_replay_gc_and_prior_content_bound(spark, tmp_path):
+    sd = StreamingDedup(
+        CFG,
+        state_dir=str(tmp_path / "state"),
+        corpus_dir=str(tmp_path / "corpus"),
+        keep_generations=2,
+    )
+    sigs_dir = Path(tmp_path / "state" / "state_sigs")
+
+    n_batches = 5
+    prior_rows = []
+    for k in range(n_batches):
+        b = _unique_docs(spark, k * 60, (k + 1) * 60)
+        res = sd.process(b, batch_id=k)
+        assert res is not None
+        prior_rows.append(res.n_prior_content_rows)
+        # GC bound: data dirs per state table never exceed keep_generations
+        n_dirs = len([d for d in sigs_dir.iterdir() if d.name.startswith("data-")])
+        assert n_dirs <= 2, f"batch {k}: {n_dirs} state_sigs generations on disk"
+
+    # O(new): corpus grew 60 -> 240 docs across batches 2..5, yet no batch
+    # pulled prior content (no cross-batch candidates exist in this corpus)
+    assert prior_rows == [0] * n_batches, prior_rows
+
+    # replay of an already-committed batch is skipped without state growth
+    m_before = sd.inc._store.generation_manifest()
+    sigs_before = sd.inc._store.read_generation(spark, "state_sigs").count()
+    assert sd.process(_unique_docs(spark, 0, 60), batch_id=0) is None
+    assert sd.process(_unique_docs(spark, 240, 300), batch_id=n_batches - 1) is None
+    m_after = sd.inc._store.generation_manifest()
+    assert m_after["gen"] == m_before["gen"]
+    assert sd.inc._store.read_generation(spark, "state_sigs").count() == sigs_before
+    assert sd.inc.last_stream_batch_id() == n_batches - 1
+
+    # a batch with ONE cross-batch containment (batch-0 doc embedded in a
+    # larger new doc): prior content joined = exactly the candidate ids,
+    # not the 300-doc corpus
+    inner = _unique_docs(spark, 0, 1).collect()[0]["content"]
+    pad_a = "".join(
+        hashlib.sha256(f"pad-a-{j}".encode()).hexdigest() for j in range(6)
+    )
+    pad_b = "".join(
+        hashlib.sha256(f"pad-b-{j}".encode()).hexdigest() for j in range(6)
+    )
+    big = spark.createDataFrame(
+        [(9000, pad_a + " " + inner + " " + pad_b)], "doc_id long, content string"
+    )
+    res = sd.process(big, batch_id=n_batches)
+    assert res is not None
+    assert res.n_prior_content_rows == 1, res.n_prior_content_rows
+    edges = {(r["src"], r["dst"], r["kind"]) for r in res.new_edges.collect()}
+    assert (0, 9000, "containment") in edges, edges
+
+    # clusters reflect the cross-batch merge and remain readable post-GC
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in sd.clusters(spark).collect()
+    }
+    assert comp[9000] == comp[0]
+    assert len(comp) == 301
+
+
+def test_corpus_repair_on_replay_hole(spark, tmp_path):
+    """Crash between state commit and corpus append: the replayed batch is
+    state-skipped but its corpus hole is repaired."""
+    import shutil
+
+    sd = StreamingDedup(
+        CFG,
+        state_dir=str(tmp_path / "state"),
+        corpus_dir=str(tmp_path / "corpus"),
+    )
+    b0 = _unique_docs(spark, 0, 20)
+    assert sd.process(b0, batch_id=0) is not None
+    # simulate the crash: corpus append vanished, state commit survived
+    shutil.rmtree(sd._corpus_batch_dir(0))
+    assert sd.process(b0, batch_id=0) is None  # replay: state skipped
+    assert os.path.exists(os.path.join(sd._corpus_batch_dir(0), "_SUCCESS"))
+    prior = sd._prior_norm_docs(spark)
+    assert prior is not None and prior.count() == 20
