@@ -176,17 +176,100 @@ class ParquetSnapshotStore:
         return spark.read.parquet(m["tables"][name]["data_path"])
 
 
+class IcebergSnapshotStore:
+    """Stage snapshots as Iceberg tables — the cluster form of
+    ParquetSnapshotStore behind the same interface.
+
+    commit() is `df.writeTo(catalog.ns.stage).createOrReplace()`: an Iceberg
+    REPLACE TABLE is a single atomic snapshot swap, the native analogue of
+    the parquet store's write-temp-then-rename manifest. run_id/config_hash/
+    row count ride as table properties (`SHOW TBLPROPERTIES`), so a resume
+    with a different config invalidates checkpoints exactly like the parquet
+    manifest's config_hash check.
+
+    The class touches Spark only through four seams — `spark.catalog
+    .tableExists`, `spark.sql`, `spark.table`, `df.writeTo` — so it is
+    exercised in this jar-less sandbox with a duck-typed fake
+    (tests/test_iceberg_store.py); on a real cluster it needs only
+    spark.sql.extensions=IcebergSparkSessionExtensions plus a configured
+    catalog, no code change.
+    """
+
+    PROP_PREFIX = "go-pipeline-spark."
+
+    def __init__(
+        self, spark, catalog: str, namespace: str, run_id: str, config_hash: str
+    ):
+        self.spark = spark
+        self.prefix = f"{catalog}.{namespace}"
+        self.run_id = run_id
+        self.config_hash = config_hash
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.prefix}")
+
+    def _table(self, stage: str) -> str:
+        return f"{self.prefix}.{stage}"
+
+    def _props(self, stage: str) -> dict:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self._table(stage)}").collect()
+        return {r["key"]: r["value"] for r in rows}
+
+    def is_committed(self, stage: str) -> bool:
+        if not self.spark.catalog.tableExists(self._table(stage)):
+            return False
+        return (
+            self._props(stage).get(f"{self.PROP_PREFIX}config_hash")
+            == self.config_hash
+        )
+
+    def commit(self, stage: str, df, n_rows: int | None = None) -> dict:
+        writer = (
+            df.writeTo(self._table(stage))
+            .tableProperty(f"{self.PROP_PREFIX}run_id", self.run_id)
+            .tableProperty(f"{self.PROP_PREFIX}config_hash", self.config_hash)
+            .tableProperty(f"{self.PROP_PREFIX}rows", str(n_rows))
+            .tableProperty(
+                f"{self.PROP_PREFIX}committed_at", str(time.time())
+            )
+        )
+        writer.createOrReplace()  # atomic snapshot swap (Iceberg RTAS)
+        return self.manifest(stage)
+
+    def read(self, spark, stage: str):
+        if not self.is_committed(stage):
+            raise FileNotFoundError(f"stage '{stage}' has no committed snapshot")
+        return spark.table(self._table(stage))
+
+    def manifest(self, stage: str) -> dict:
+        props = self._props(stage)
+        rows = props.get(f"{self.PROP_PREFIX}rows")
+        return {
+            "run_id": props.get(f"{self.PROP_PREFIX}run_id"),
+            "stage": stage,
+            "config_hash": props.get(f"{self.PROP_PREFIX}config_hash"),
+            "rows": None if rows in (None, "None") else int(rows),
+            "data_path": self._table(stage),
+        }
+
+    def invalidate(self, stage: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._table(stage)}")
+
+
 def open_snapshot_store(
-    base_dir: str, run_id: str, config_hash: str, spark: SparkSession | None = None
+    base_dir: str,
+    run_id: str,
+    config_hash: str,
+    spark: SparkSession | None = None,
+    catalog: str | None = None,
+    namespace: str = "go_pipeline_snapshots",
 ):
-    """Factory: Iceberg-backed snapshots when the session has an Iceberg
-    catalog extension configured (cluster deployments), parquet + manifest
-    otherwise (this sandbox has no Iceberg jar)."""
+    """Factory: Iceberg-backed snapshots when the session has the Iceberg
+    extension AND a catalog (explicit arg or
+    `spark.go_pipeline.snapshot_catalog` conf); parquet + JSON manifest
+    otherwise. A cluster deployment is therefore a config change, not code.
+    """
     if spark is not None:
         exts = spark.conf.get("spark.sql.extensions", "") or ""
-        if "IcebergSparkSessionExtensions" in exts:  # pragma: no cover - cluster only
-            raise NotImplementedError(
-                "Iceberg snapshot store: wire spark.sql.catalog.<name> here; "
-                "sandbox uses ParquetSnapshotStore"
-            )
+        cat = catalog or spark.conf.get("spark.go_pipeline.snapshot_catalog", None)
+        if "IcebergSparkSessionExtensions" in exts and cat:
+            return IcebergSnapshotStore(spark, cat, namespace, run_id, config_hash)
     return ParquetSnapshotStore(base_dir, run_id, config_hash)

