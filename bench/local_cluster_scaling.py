@@ -27,6 +27,10 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve here
+#                      (string annotations via __future__ can't see a
+#                      function-local import — same pitfall as bench.py)
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
@@ -69,8 +73,6 @@ def child(workers: int, rows: int, repeat: int) -> None:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    import pandas as pd
 
     @F.pandas_udf("double")
     def _warm(x: pd.Series) -> pd.Series:
