@@ -283,6 +283,28 @@ def q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.dup_edges.select("src", "dst", "kind")
 
 
+def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep composition, driver-green: full dedup
+    pipeline -> keep one representative per cluster (the component id IS the
+    min doc_id by CC construction) -> quality-gate the survivors -> per-lang
+    doc + token accounting of the kept corpus. Exercises dedup, clustering,
+    quality scoring and token counting as ONE flow, the way a pipeline user
+    would chain them. Oracle: the dup_pairs edge CTEs + recursive-CTE
+    components + the same quality/token SQL."""
+    res = _pipeline_result(spark, sf_dir)
+    kept = res.clusters.select(F.col("component").alias("doc_id")).distinct()
+    d = _docs(spark, sf_dir).join(kept, "doc_id")
+    filtered = d.where(textstats.quality_score(F.col("text")) >= 0.5)
+    return (
+        filtered.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .select("lang", "n_docs", "total_tokens")
+    )
+
+
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed ANN top-k, oracle-checked as a RECALL GATE: emits every
     query id whose SRP top-5 recovers >= 3 of the exact top-5 (measured
@@ -357,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_nation": q_join_orders_nation,
         "dedup_clusters": q_dedup_clusters,
         "dup_pairs": q_dup_pairs,
+        "prep_pipeline": q_prep_pipeline,
         "srp_ann_topk": q_srp_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_srp": q_embedding_near_dups_srp,
@@ -495,6 +518,28 @@ def oracle_sql() -> dict[str, str]:
                       FROM comp GROUP BY component)
             SELECT cluster_size, count(*) AS n_clusters
             FROM csize GROUP BY cluster_size
+        """,
+        "prep_pipeline": f"""
+            WITH RECURSIVE {edges_cte},
+            edges AS (
+              SELECT src, dst FROM exact_e
+              UNION SELECT src, dst FROM near
+              UNION SELECT src, dst FROM cont
+            ),
+            sym AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst AS u, src AS v FROM edges),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM planted
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+            kept AS (SELECT DISTINCT component AS doc_id FROM comp)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum({tokcnt}) AS BIGINT) AS total_tokens
+            FROM documents JOIN kept USING (doc_id)
+            WHERE ({quality}) >= 0.5
+            GROUP BY lang
         """,
         "srp_ann_topk": """
             SELECT DISTINCT vec_id AS query_id

@@ -126,18 +126,16 @@ def connected_components(
     first = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    # bounded probe (ADVICE r2): limit(threshold+1).count() answers both
-    # "empty?" and "small enough for the driver finish?" without an
-    # unconditional full materialization of the upstream edge plan — the
-    # large-graph path pays only a threshold-bounded scan here, not a full
-    # pass it would immediately repeat inside _symmetrize.
-    n0 = first.limit(driver_finish_edges + 1).count()
-    if n0 == 0:
+    # bounded probe (ADVICE r2, tightened r3): ONE limit(threshold+1)
+    # collect answers "empty?", "small enough for the driver finish?" AND
+    # delivers the edges themselves — no separate count job, no second scan
+    # of the upstream edge plan, and driver memory is bounded by
+    # threshold+1 rows of two longs by construction.
+    probe = first.limit(driver_finish_edges + 1).collect()
+    if not probe:
         return spark.createDataFrame([], "doc_id long, component long")
-    if n0 <= driver_finish_edges:
-        pairs = _driver_union_find(
-            [(r["u"], r["v"]) for r in first.collect()]
-        )
+    if len(probe) <= driver_finish_edges:
+        pairs = _driver_union_find([(r["u"], r["v"]) for r in probe])
         return spark.createDataFrame(pairs, "doc_id long, component long")
 
     cur = _symmetrize(first).localCheckpoint(eager=True)
