@@ -333,6 +333,33 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (seeded deterministic coarse quantizer, n_probe
+    inverted lists probed, exact re-rank), oracle-checked as an AGGREGATE
+    recall gate: emits all query ids iff total SRP-vs-brute hits reach
+    recall >= 0.4 (measured 0.56-0.64 across sf on the random testdata —
+    random embeddings have no cluster structure for IVF to exploit;
+    tests/test_similarity.py pins ~1.0 recall on a clustered corpus, where
+    IVF actually operates). Any bucketing/probing/re-rank regression drops
+    the aggregate below the bound and empties the result -> red."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    ivf = similarity.ivf_ann_topk(
+        emb, queries, dim=64, k=5, n_lists=16, n_probe=6
+    )
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    total = (
+        ivf.select("query_id", "neighbor_id")
+        .join(brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    n_q = queries.count()
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .where(F.lit(total >= 2 * n_q))
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs on a restricted id range — SQL-checkable
     (DuckDB list_cosine_similarity oracle). The testdata embeddings are
@@ -381,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs": q_dup_pairs,
         "prep_pipeline": q_prep_pipeline,
         "srp_ann_topk": q_srp_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_srp": q_embedding_near_dups_srp,
     }
@@ -542,6 +570,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "srp_ann_topk": """
+            SELECT DISTINCT vec_id AS query_id
+            FROM embeddings WHERE vec_id % 50 = 0
+        """,
+        "ivf_ann_topk": """
             SELECT DISTINCT vec_id AS query_id
             FROM embeddings WHERE vec_id % 50 = 0
         """,

@@ -146,6 +146,98 @@ def srp_ann_topk(
     )
 
 
+def make_ivf_udfs(centroids, n_probe: int):
+    """(assign_udf, probe_udf) over a normalized centroid matrix.
+
+    assign: vector -> id of its max-cosine centroid (the IVF coarse
+    quantizer; argmax ties break to the lowest index, deterministic).
+    probe: vector -> the n_probe nearest centroid ids (query fan-out).
+    Both are Arrow-batched matmuls over the (tiny, broadcast-in-closure)
+    centroid matrix — one BLAS call per batch, no per-row Python.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def _scores(vecs: pd.Series) -> np.ndarray:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return (X / norms) @ C.T
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(np.argmax(_scores(vecs), axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        s = _scores(vecs)
+        # stable descending order: ties break to the lowest centroid id
+        top = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return assign, probe
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into n_lists
+    inverted lists, probe the n_probe nearest lists per query, exact-cosine
+    re-rank the candidates. Candidates per query ~ N * n_probe / n_lists —
+    the classic sub-linear ANN trade alongside the SRP path.
+
+    Centroids here are a DETERMINISTIC seeded sample (the n_lists corpus
+    vectors with the smallest xxhash64(id, seed)) rather than k-means: the
+    driver's recall-gate oracle needs bit-stable bucketing, and this
+    sandbox's embeddings are random (no cluster structure for Lloyd
+    iterations to find anyway). At production scale the centroid matrix is
+    trained offline (pyspark.ml KMeans on a sample) and broadcast exactly
+    the same way — only the `centroids` input changes, not this plumbing.
+    """
+    cent = (
+        embeddings.select(F.col(vec_col).alias("cvec"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_lists)
+        .collect()
+    )
+    assign, probe = make_ivf_udfs([r["cvec"] for r in cent], n_probe)
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("list_id", assign(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("list_id", F.explode(probe(F.col("qvec"))))
+
+    cand = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    scored = cand.withColumn("sim", cosine_sim_col("qvec", "cvec"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     dim: int,

@@ -77,3 +77,48 @@ def test_embedding_near_dups_finds_planted(spark, emb_df):
     assert len(found & expected) >= 9
     for r in pairs:
         assert r["sim"] >= 0.99
+
+
+def test_ivf_ann_clustered_corpus_recall(spark):
+    """IVF on a corpus with REAL cluster structure (what IVF is for): 20
+    clusters x 24 near-identical members. A query's own list is always its
+    argmax-probe list, so in-cluster neighbors are recovered ~perfectly."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, DIM)) * 10
+    rows = []
+    vid = 0
+    labels = {}
+    for c in range(20):
+        for _ in range(24):
+            v = base[c] + rng.standard_normal(DIM) * 0.05
+            rows.append((vid, v.astype(float).tolist()))
+            labels[vid] = c
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") % 24 == 0)  # one per cluster
+    got = similarity.ivf_ann_topk(
+        emb, queries, dim=DIM, k=5, n_lists=16, n_probe=4
+    ).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(by_q) == 20
+    ok = sum(
+        1
+        for q, ns in by_q.items()
+        for n in ns
+        if labels[n] == labels[q]
+    )
+    # 20 queries x 5 neighbors; in-cluster recall must be essentially total
+    assert ok >= 95, f"in-cluster hits {ok}/100"
+
+
+def test_ivf_deterministic_across_calls(spark, emb_df):
+    queries = emb_df.where(F.col("vec_id") % 10 == 0)
+    a = sorted(map(tuple, similarity.ivf_ann_topk(
+        emb_df, queries, dim=DIM, k=3, n_lists=8, n_probe=3
+    ).select("query_id", "rank", "neighbor_id").collect()))
+    b = sorted(map(tuple, similarity.ivf_ann_topk(
+        emb_df, queries, dim=DIM, k=3, n_lists=8, n_probe=3
+    ).select("query_id", "rank", "neighbor_id").collect()))
+    assert a == b
