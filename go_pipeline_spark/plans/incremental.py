@@ -145,15 +145,20 @@ class IncrementalDedup:
         cfg: PipelineConfig = DEFAULT_CONFIG,
         state_dir: str = None,
         keep_generations: int = 2,
+        compact_threshold: int = 8,
     ):
         """keep_generations: state generations retained on disk (current +
-        K-1 prior); older data dirs are GC'd at each commit, bounding disk
-        growth in continuous mode to O(state size), not O(batches)."""
+        K-1 prior); data dirs no live generation references are GC'd at each
+        commit, bounding disk growth in continuous mode to O(state size),
+        not O(batches). compact_threshold: an append table (signatures, sha
+        map) is rewritten into one file set once it spans this many delta
+        dirs — amortized O(corpus / threshold) commit I/O per batch."""
         if state_dir is None:
             raise ValueError("incremental mode requires a state_dir")
         self.cfg = cfg
         self.state_dir = state_dir
         self.keep_generations = keep_generations
+        self.compact_threshold = compact_threshold
         self._store = ParquetSnapshotStore(
             state_dir, uuid.uuid4().hex[:12], cfg.config_hash()
         )
@@ -504,17 +509,20 @@ class IncrementalDedup:
         # mixed-generation state; ADVICE r2). The commit GCs generations
         # older than keep_generations (VERDICT r2 #3: unbounded disk growth
         # in continuous mode).
-        new_sha_rows = sha_map.select("content_sha", "rep_id")
-        merged_sha = (
-            state_sha.unionByName(new_sha_rows)
-            .groupBy("content_sha")
-            .agg(F.min("rep_id").alias("rep_id"))
+        # APPEND deltas for the strictly-additive tables: a sha row is
+        # written once, when its content is first seen (rep_id == local_rep
+        # iff the sha was absent from state — ids are globally unique, so an
+        # existing rep can never equal a new batch's local min); a sig row
+        # is written once, for each fresh representative. Commit I/O for
+        # these tables is O(new) per batch, not O(corpus) — the store
+        # shares prior generations' files Iceberg-style and compacts
+        # periodically.
+        sha_delta = sha_map.where(F.col("rep_id") == F.col("local_rep")).select(
+            "content_sha", "rep_id"
         )
-        merged_sigs = state_sigs.unionByName(
-            ok_new.select(
-                "doc_id", "sig", "simhash", "winnow_fps",
-                F.col("n_chars").cast("int").alias("n_chars"), "is_short",
-            )
+        sigs_delta = ok_new.select(
+            "doc_id", "sig", "simhash", "winnow_fps",
+            F.col("n_chars").cast("int").alias("n_chars"), "is_short",
         )
         new_state_buckets = merged.select(
             "band", "band_hash", F.concat("old_ids", "kept_new").alias("ids")
@@ -544,16 +552,19 @@ class IncrementalDedup:
             else None
         )
         self._store.commit_generation(
-            {
-                "state_sha": merged_sha,
-                "state_sigs": merged_sigs,
+            tables={
                 "state_buckets": new_state_buckets,
                 "state_simbuckets": new_state_sim,
                 "state_fps": new_state_fps,
                 "state_clusters": clusters,
             },
+            append_tables={
+                "state_sha": sha_delta,
+                "state_sigs": sigs_delta,
+            },
             extra=extra,
             keep_generations=self.keep_generations,
+            compact_threshold=self.compact_threshold,
         )
 
         # O(new) evidence for tests/metrics: posting lists built this batch

@@ -29,6 +29,16 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _table_paths(entry: dict | None) -> list[str]:
+    """Manifest table entry -> data dir list (handles the pre-append
+    single-path form for robustness)."""
+    if not entry:
+        return []
+    if "data_paths" in entry:
+        return list(entry["data_paths"])
+    return [entry["data_path"]]
+
+
 class ParquetSnapshotStore:
     def __init__(self, base_dir: str, run_id: str, config_hash: str):
         self.base = Path(base_dir)
@@ -119,33 +129,66 @@ class ParquetSnapshotStore:
             return None  # config changed: prior state is not resumable
         return m
 
+    def _new_data_dir(self, name: str, gen: int) -> Path:
+        return self.base / name / f"data-g{gen:06d}-{uuid.uuid4().hex[:8]}"
+
     def commit_generation(
         self,
-        tables: dict[str, DataFrame],
+        tables: dict[str, DataFrame] | None = None,
         extra: dict | None = None,
         keep_generations: int = 2,
+        append_tables: dict[str, DataFrame] | None = None,
+        compact_threshold: int = 8,
     ) -> dict:
-        """Write all tables, publish one manifest, GC aged-out generations.
+        """Write all tables, publish one manifest, GC unreferenced dirs.
 
-        keep_generations bounds disk growth in continuous mode (VERDICT r2
-        #3: every commit used to retain superseded data dirs forever). The
-        live manifest's dirs are never deleted, nor the immediately previous
-        generation's (plans built against generation n-1 — including the one
-        computing THIS commit — may still be executing); anything older is
-        removed after the new manifest is durable.
+        `tables` are REWRITTEN each generation (content mutates: bucket
+        posting lists, cluster assignments). `append_tables` are strictly
+        additive (signatures, sha map): the new generation writes only the
+        DELTA and its manifest entry lists the prior generation's files plus
+        the delta — per-batch commit I/O is O(new), not O(corpus), exactly
+        like an Iceberg append snapshot sharing data files. Once an append
+        table references more than `compact_threshold` dirs, the commit
+        compacts it (one union rewrite) — amortized O(corpus / threshold)
+        per batch, the Iceberg compaction analogue.
+
+        GC is REFERENCE-BASED: a dir is deleted only when no generation in
+        the retained window (`keep_generations`, min 2: plans built against
+        generation n-1 — including the one computing THIS commit — may
+        still be executing) references it. Shared append files survive as
+        long as any live generation lists them.
         """
         if keep_generations < 2:
             raise ValueError("keep_generations must be >= 2 (current + prior)")
         prev = self.generation_manifest()
         gen = (prev["gen"] + 1) if prev else 1
+        prev_tables = prev.get("tables", {}) if prev else {}
         new_tables: dict[str, dict] = {}
-        for name, df in tables.items():
-            data_dir = self.base / name / f"data-g{gen:06d}-{uuid.uuid4().hex[:8]}"
+        for name, df in (tables or {}).items():
+            data_dir = self._new_data_dir(name, gen)
             df.write.mode("overwrite").parquet(str(data_dir))
-            new_tables[name] = {"data_path": str(data_dir)}
+            new_tables[name] = {"data_paths": [str(data_dir)]}
+        for name, delta in (append_tables or {}).items():
+            prior_paths = _table_paths(prev_tables.get(name))
+            if len(prior_paths) >= compact_threshold:
+                # compaction: fold history + delta into ONE file set
+                spark = delta.sparkSession
+                merged = spark.read.parquet(*prior_paths).unionByName(delta)
+                data_dir = self._new_data_dir(name, gen)
+                merged.write.mode("overwrite").parquet(str(data_dir))
+                new_tables[name] = {"data_paths": [str(data_dir)]}
+            else:
+                data_dir = self._new_data_dir(name, gen)
+                delta.write.mode("overwrite").parquet(str(data_dir))
+                new_tables[name] = {"data_paths": prior_paths + [str(data_dir)]}
         history = list(prev.get("history", [])) if prev else []
         history.append(
-            {"gen": gen, "dirs": [t["data_path"] for t in new_tables.values()]}
+            {
+                "gen": gen,
+                "paths": sorted(
+                    {p for t in new_tables.values() for p in t["data_paths"]}
+                ),
+            }
         )
         live, dead = history[-keep_generations:], history[:-keep_generations]
         merged_extra = dict(prev.get("extra", {})) if prev else {}
@@ -162,9 +205,12 @@ class ParquetSnapshotStore:
         tmp = self.base / "_GENERATION.json.tmp"
         tmp.write_text(json.dumps(manifest))
         os.replace(tmp, self._generation_manifest_path())  # atomic publish
-        for g in dead:  # GC only after the new manifest is durable
-            for d in g["dirs"]:
-                shutil.rmtree(d, ignore_errors=True)
+        # GC only after the new manifest is durable, and only dirs no live
+        # generation still references (append tables share files across gens)
+        live_paths = {p for g in live for p in g["paths"]}
+        dead_paths = {p for g in dead for p in g["paths"]} - live_paths
+        for d in dead_paths:
+            shutil.rmtree(d, ignore_errors=True)
         return manifest
 
     def read_generation(self, spark: SparkSession, name: str) -> DataFrame:
@@ -173,7 +219,7 @@ class ParquetSnapshotStore:
             raise FileNotFoundError(
                 f"table '{name}' has no committed generation in {self.base}"
             )
-        return spark.read.parquet(m["tables"][name]["data_path"])
+        return spark.read.parquet(*_table_paths(m["tables"][name]))
 
 
 class IcebergSnapshotStore:

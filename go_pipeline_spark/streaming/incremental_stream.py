@@ -49,11 +49,15 @@ class StreamingDedup:
         state_dir: str | None = None,
         corpus_dir: str | None = None,
         keep_generations: int = 2,
+        compact_threshold: int = 8,
     ):
         if state_dir is None or corpus_dir is None:
             raise ValueError("streaming dedup requires state_dir and corpus_dir")
         self.inc = IncrementalDedup(
-            cfg, state_dir=state_dir, keep_generations=keep_generations
+            cfg,
+            state_dir=state_dir,
+            keep_generations=keep_generations,
+            compact_threshold=compact_threshold,
         )
         self.corpus_dir = corpus_dir
         self.batches_seen = 0

@@ -78,7 +78,11 @@ def test_replay_gc_and_prior_content_bound(spark, tmp_path):
         corpus_dir=str(tmp_path / "corpus"),
         keep_generations=2,
     )
+    clusters_dir = Path(tmp_path / "state" / "state_clusters")
     sigs_dir = Path(tmp_path / "state" / "state_sigs")
+
+    def _ndirs(p: Path) -> int:
+        return len([d for d in p.iterdir() if d.name.startswith("data-")])
 
     n_batches = 5
     prior_rows = []
@@ -87,9 +91,11 @@ def test_replay_gc_and_prior_content_bound(spark, tmp_path):
         res = sd.process(b, batch_id=k)
         assert res is not None
         prior_rows.append(res.n_prior_content_rows)
-        # GC bound: data dirs per state table never exceed keep_generations
-        n_dirs = len([d for d in sigs_dir.iterdir() if d.name.startswith("data-")])
-        assert n_dirs <= 2, f"batch {k}: {n_dirs} state_sigs generations on disk"
+        # GC bound: a REWRITE table keeps at most keep_generations dirs; an
+        # APPEND table keeps one O(new) delta per batch up to the
+        # compaction threshold (never O(batches) unbounded)
+        assert _ndirs(clusters_dir) <= 2, f"batch {k}: clusters dirs leak"
+        assert _ndirs(sigs_dir) <= 8 + 2, f"batch {k}: sigs dirs leak"
 
     # O(new): corpus grew 60 -> 240 docs across batches 2..5, yet no batch
     # pulled prior content (no cross-batch candidates exist in this corpus)
@@ -151,3 +157,29 @@ def test_corpus_repair_on_replay_hole(spark, tmp_path):
     assert os.path.exists(os.path.join(sd._corpus_batch_dir(0), "_SUCCESS"))
     prior = sd._prior_norm_docs(spark)
     assert prior is not None and prior.count() == 20
+
+
+def test_append_table_compaction_bounds_dirs(spark, tmp_path):
+    """Append tables (state_sigs/state_sha) write O(new) deltas per batch;
+    once a table spans compact_threshold dirs, the commit folds them into
+    one — dirs stay bounded while reads remain complete and correct."""
+    from go_pipeline_spark.plans.incremental import IncrementalDedup
+
+    inc = IncrementalDedup(
+        CFG, state_dir=str(tmp_path / "st"), compact_threshold=3
+    )
+    sigs_dir = Path(tmp_path / "st" / "state_sigs")
+    for k in range(6):
+        b = _unique_docs(spark, k * 30, (k + 1) * 30)
+        inc.run_batch(spark, b)
+        n_dirs = len([d for d in sigs_dir.iterdir() if d.name.startswith("data-")])
+        # live window: <= threshold live deltas + prior generation's refs
+        assert n_dirs <= 3 + 2, f"batch {k}: {n_dirs} dirs"
+        # manifest path list itself stays under the threshold + 1
+        paths = inc._store.generation_manifest()["tables"]["state_sigs"][
+            "data_paths"
+        ]
+        assert len(paths) <= 3
+    got = inc._store.read_generation(spark, "state_sigs")
+    assert got.count() == 180  # every batch's sigs survive compaction
+    assert got.select("doc_id").distinct().count() == 180
