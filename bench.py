@@ -120,6 +120,7 @@ def bench_queries(spark, sf_dir: str):
         "embedding_near_dups": q("embedding_near_dups"),
         "embedding_near_dups_srp": q("embedding_near_dups_srp"),
         "srp_ann_topk": q("srp_ann_topk"),
+        "ivf_ann_topk": q("ivf_ann_topk"),
         "tpch_q1": q("tpch_q1"),
         "join_orders_nation": q("join_orders_nation"),
     }, {
