@@ -98,6 +98,42 @@ def q_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.tumbling_window_counts(load_table(spark, sf_dir, "events"))
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (10-minute duration, 5-minute slide): each event
+    counts in exactly 2 overlapping windows."""
+    return windows.sliding_window_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (Spark session_window, 10-minute gap) —
+    the reset-on-arrival form of the reference's FlushInterval timer.
+    Oracle: lag/cumulative-sum session assignment in plain SQL."""
+    return windows.session_window_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sanity: selective 3-way join + grouped revenue (TPC-H Q3
+    shape; no LIMIT — float-boundary row selection is not bit-stable across
+    engines, and top-k is covered by topk_orders_per_customer)."""
+    cutoff = "1997-06-01"
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "o_orderdate", "revenue")
+    )
+
+
 def q_size_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: FlushSize ≙ size-window batch ids (batch of 100 by event_id)."""
     ev = load_table(spark, sf_dir, "events").select("event_id")
@@ -392,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sha": q_content_sha,
         "lastwins_latest_event": q_lastwins_latest_event,
         "window_counts": q_window_counts,
+        "sliding_window_counts": q_sliding_window_counts,
+        "session_window_counts": q_session_window_counts,
+        "tpch_q3_shape": q_tpch_q3_shape,
         "size_batches": q_size_batches,
         "size_time_batches": q_size_time_batches,
         "token_stats_by_lang": q_token_stats_by_lang,
@@ -590,6 +629,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_window_counts": """
+            WITH hits AS (
+              SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                     event_type
+              FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+                     event_type
+              FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM hits GROUP BY 1, 2
+        """,
+        "session_window_counts": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "tpch_q3_shape": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
         """,
         "size_batches": """
             SELECT event_id,

@@ -39,6 +39,49 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame, duration: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding (hopping) windows: every row lands in duration/slide
+    overlapping windows (Spark's window() with a slide interval — the
+    streaming form takes a watermark exactly like the tumbling variant).
+    One shuffle on (window_start, event_type), partial aggregation map-side;
+    the window replication factor is constant (duration/slide), so cost is
+    a fixed small multiple of the tumbling form at any scale."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), duration, slide).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "10 minutes", key_col: str = "user_id"
+) -> DataFrame:
+    """Gap-based session windows per key (Spark session_window): a session
+    extends while consecutive events arrive strictly within `gap`; the
+    session closes at last_event + gap. The dynamic-window generalization of
+    the reference's FlushInterval timer — the timer RESETS on every arrival
+    instead of firing on a fixed grid. Keyed shuffle + native session
+    aggregation; works identically under Structured Streaming with a
+    watermark."""
+    return (
+        events.groupBy(
+            F.col(key_col), F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """Keyed last-wins over the event stream: the DeduplicationPipeline
     container semantics (/root/reference/pipeline_deduplication.go:81-85)
