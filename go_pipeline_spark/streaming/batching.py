@@ -51,6 +51,31 @@ def windowed_counts_stream(events: DataFrame, interval: str = "5 minutes",
     )
 
 
+def session_window_counts_stream(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows: per-key gap sessions that merge across
+    micro-batches — the reset-on-arrival form of the reference's
+    FlushInterval timer, as a native streaming aggregation (no custom state
+    code). With a watermark (the production append/update form) events
+    arriving later than the watermark are dropped and closed sessions emit
+    finally; watermark=None keeps all state (complete-mode analysis form —
+    required when the source replays out of event-time order, e.g. backfill
+    files)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.col(key_col), F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(key_col, F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
 def lastwins_stream(events: DataFrame) -> DataFrame:
     """Stateful keyed last-wins over an unbounded stream — the exact
     DeduplicationPipeline semantics (map[key] = item, last write wins,

@@ -205,3 +205,29 @@ def test_kafka_source_raises_documented_error_without_jar(spark):
         df = batching.read_kafka_stream(spark, "localhost:9092", "t")
         # force evaluation if construction somehow succeeded
         df.writeStream.format("memory").queryName("k").start()
+
+
+def test_session_windows_stream_matches_batch(spark, event_schema, event_dir):
+    """Session windows must MERGE across micro-batches: an open session fed
+    by a later file extends, and the final (complete-mode) result equals
+    the batch session assignment."""
+    stream = batching.read_event_stream(spark, event_dir, event_schema)
+    # the fixture's files interleave event time across micro-batches
+    # (event_id % 3 split), so the complete-mode no-watermark form is the
+    # correct one — a watermark would mark most of batches 2-3 late
+    agg = batching.session_window_counts_stream(stream, watermark=None)
+    batching.run_stream_to_memory(agg, "sess_out", output_mode="complete")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    from go_pipeline_spark.operators.windows import session_window_counts
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_window_counts(batch).collect()
+    }
+    assert got == expected
