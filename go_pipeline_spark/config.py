@@ -75,6 +75,11 @@ class PipelineConfig:
 
     # --- clustering ---
     cc_max_iterations: int = 50          # large-star/small-star fixpoint bound
+    cc_driver_finish_edges: int = 100_000  # below this many edges the CC tail
+    #                                      finishes with one bounded collect +
+    #                                      union-find instead of more 3-shuffle
+    #                                      rounds; 0 forces the full
+    #                                      distributed fixpoint
 
     # --- lifecycle (≙ DrainOnCancel / FinalFlushOnCloseTimeout, config.go:13-22) ---
     resume: bool = True                  # skip stages with committed snapshots

@@ -109,6 +109,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     driver_finish_edges: int = CC_DRIVER_FINISH_EDGES,
+    on_nonconverged=None,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(doc_id, component) where component is
     the minimum node id in the doc's component. Nodes with no edges are not
@@ -161,14 +162,18 @@ def connected_components(
         prev_sum = cur_sum
     if not converged:
         # a non-converged edge set can yield split/non-minimal components;
-        # never do that silently
-        warnings.warn(
+        # never do that silently. Beyond the warning, callers in a pipeline
+        # context pass on_nonconverged so the condition lands in the metrics
+        # table as an error row — errors-as-data, the engine's own contract
+        # (metrics.py; VERDICT r3 #7).
+        msg = (
             f"connected_components hit max_iterations={max_iterations} "
             f"before the edge-set fixpoint; components may be split. "
-            f"Raise cc_max_iterations.",
-            RuntimeWarning,
-            stacklevel=2,
+            f"Raise cc_max_iterations."
         )
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if on_nonconverged is not None:
+            on_nonconverged(msg)
 
     # After convergence the (u, v) edges form stars: v is the component min.
     assign = (

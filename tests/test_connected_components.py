@@ -78,3 +78,46 @@ def test_two_cliques_bridge(spark):
     clique1 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     clique2 = [(i, j) for i in range(100, 105) for j in range(i + 1, 105)]
     _check(spark, clique1 + clique2 + [(4, 100)])
+
+
+def test_nonconvergence_fires_callback_and_warns(spark):
+    """max_iterations too low on a chain: the fixpoint cannot be reached NOR
+    detected (detection needs two equal consecutive checksums), so the
+    callback must fire — errors-as-data, not just a warning (VERDICT r3 #7)."""
+    events: list[str] = []
+    df = spark.createDataFrame([(i, i + 1) for i in range(60)], "src long, dst long")
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        connected_components(
+            df,
+            max_iterations=1,
+            driver_finish_edges=0,
+            on_nonconverged=events.append,
+        ).collect()
+    assert len(events) == 1 and "max_iterations=1" in events[0]
+
+
+def test_converged_run_does_not_fire_callback(spark):
+    events: list[str] = []
+    df = spark.createDataFrame([(0, i) for i in range(1, 20)], "src long, dst long")
+    connected_components(
+        df, max_iterations=50, driver_finish_edges=0, on_nonconverged=events.append
+    ).collect()
+    assert events == []
+
+
+def test_pipeline_records_nonconvergence_metrics_row(spark):
+    """Pipeline wiring: cc_max_iterations=1 + driver finish disabled ->
+    a clusters_nonconverged metrics row with errors=1."""
+    from go_pipeline_spark.config import PipelineConfig
+    from go_pipeline_spark.corpus import generate_source_files
+    from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+    from go_pipeline_spark.sources.tables import corpus_to_df
+
+    cfg = PipelineConfig(cc_max_iterations=1, cc_driver_finish_edges=0)
+    docs = corpus_to_df(spark, generate_source_files(120, seed=61)).select(
+        "doc_id", "content"
+    )
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        res = DedupPipeline(cfg).run(spark, docs)
+    rows = {r["stage"]: r for r in res.metrics.collect()}
+    assert rows["clusters_nonconverged"]["errors"] == 1

@@ -1,0 +1,93 @@
+"""Flush-mode semantics (O10 + sync mode).
+
+Mirrors /root/reference/tests/pipeline_max_concurrent_flushes_test.go (the
+observed in-flight ceiling equals the configured cap) and
+/root/reference/tests/pipeline_standard_test.go:532-543 (sync mode delivers
+flushes in order).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.corpus import generate_source_files
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import corpus_to_df
+
+CFG = PipelineConfig()
+
+
+class _InflightTracker:
+    """Sink that records the concurrent-invocation high-water mark."""
+
+    def __init__(self, hold_s: float = 0.15):
+        self.lock = threading.Lock()
+        self.inflight = 0
+        self.max_inflight = 0
+        self.calls: list[str] = []
+        self.hold_s = hold_s
+
+    def __call__(self, stage: str, df) -> None:
+        with self.lock:
+            self.inflight += 1
+            self.max_inflight = max(self.max_inflight, self.inflight)
+            self.calls.append(stage)
+        time.sleep(self.hold_s)  # a slow external sink (rate-limited API)
+        with self.lock:
+            self.inflight -= 1
+
+
+def _docs(spark, n=120, seed=41):
+    corpus = generate_source_files(n, seed=seed)
+    return corpus_to_df(spark, corpus).select("doc_id", "content")
+
+
+def test_max_concurrent_flushes_caps_inflight(spark):
+    """With cap=2 and a sink slower than stage production, >= 2 flushes
+    overlap but never more than 2 — the reference's semaphore contract."""
+    sink = _InflightTracker(hold_s=0.25)
+    res = DedupPipeline(CFG, max_concurrent_flushes=2).run(
+        spark, _docs(spark), sink=sink
+    )
+    assert sorted(sink.calls) == sorted(res.stages_run)  # all flushed (drain)
+    assert sink.max_inflight == 2
+
+
+def test_async_flushes_all_delivered_with_cap_one(spark):
+    """cap=1 serializes the async path entirely (in-flight ceiling 1)."""
+    sink = _InflightTracker(hold_s=0.05)
+    res = DedupPipeline(CFG, max_concurrent_flushes=1).run(
+        spark, _docs(spark, n=80, seed=43), sink=sink
+    )
+    assert sorted(sink.calls) == sorted(res.stages_run)
+    assert sink.max_inflight == 1
+
+
+def test_sync_mode_flushes_in_stage_order(spark):
+    """Default (max_concurrent_flushes=None) is the reference's SYNC mode:
+    callbacks run serially IN stage order on the driver thread."""
+    calls: list[str] = []
+
+    def sink(stage: str, df) -> None:
+        calls.append(stage)
+
+    res = DedupPipeline(CFG).run(spark, _docs(spark, n=80, seed=44), sink=sink)
+    assert calls == res.stages_run  # ordered delivery, not just same set
+
+
+def test_async_sink_errors_quarantined_not_fatal(spark):
+    def bad_sink(stage: str, df) -> None:
+        if stage in ("signatures", "verify"):
+            raise RuntimeError(f"async sink exploded at {stage}")
+
+    res = DedupPipeline(CFG, max_concurrent_flushes=3).run(
+        spark, _docs(spark, n=80, seed=45), sink=bad_sink
+    )
+    assert res.clusters.count() == 80  # run survived (O12)
+    q = [r["error"] for r in res.quarantine.collect()]
+    assert sum("async sink exploded" in e for e in q) == 2
+    m = {r["stage"]: r for r in res.metrics.collect()}
+    assert m["signatures_sink_error"]["errors"] == 1
+    assert m["verify_sink_error"]["errors"] == 1

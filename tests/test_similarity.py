@@ -122,3 +122,24 @@ def test_ivf_deterministic_across_calls(spark, emb_df):
         emb_df, queries, dim=DIM, k=3, n_lists=8, n_probe=3
     ).select("query_id", "rank", "neighbor_id").collect()))
     assert a == b
+
+
+def test_srp_udf_gemm_matches_per_vector_reference(spark, emb_df):
+    """The batched-GEMM SRP codes equal the definitional per-vector
+    `planes @ x` computation (VERDICT r3 #5: vectorization must not move a
+    single sign bit — bucket codes feed the driver's recall gates)."""
+    n_bits, n_tables, seed = 6, 4, 7
+    rows = emb_df.select("vec_id", "embedding").collect()
+    udf = similarity.make_srp_udf(DIM, n_bits, n_tables, seed)
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in emb_df.withColumn("codes", udf(F.col("embedding"))).collect()
+    }
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, DIM)).astype(np.float64)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        bits = (planes @ x) > 0
+        expected = (bits @ weights).astype(np.int64).tolist()
+        assert got[r["vec_id"]] == expected, r["vec_id"]
