@@ -139,6 +139,17 @@ class BatchResult:
             df.unpersist()
 
 
+#: the 6 tables of one logical state container (generation-committed together)
+STATE_TABLES = (
+    "state_sha",
+    "state_sigs",
+    "state_buckets",
+    "state_simbuckets",
+    "state_fps",
+    "state_clusters",
+)
+
+
 class IncrementalDedup:
     def __init__(
         self,
@@ -162,6 +173,36 @@ class IncrementalDedup:
         self._store = ParquetSnapshotStore(
             state_dir, uuid.uuid4().hex[:12], cfg.config_hash()
         )
+        self._check_legacy_state()
+
+    def _check_legacy_state(self) -> None:
+        """A state_dir written by the r2 per-table commit scheme (one
+        _COMMIT.json per state table) has no _GENERATION.json; reading it as
+        EMPTY would silently re-dedup an existing deployment from scratch
+        (ADVICE r3). Detect the layout and fail loudly — there is no data
+        loss, just a format the current code refuses to guess about."""
+        import json as _json
+        from pathlib import Path
+
+        if (Path(self.state_dir) / "_GENERATION.json").exists():
+            return
+        legacy = []
+        for t in STATE_TABLES:
+            cj = Path(self.state_dir) / t / "_COMMIT.json"
+            if cj.exists():
+                try:
+                    if _json.loads(cj.read_text()).get("config_hash") == \
+                            self.cfg.config_hash():
+                        legacy.append(t)
+                except (OSError, _json.JSONDecodeError):
+                    legacy.append(t)
+        if legacy:
+            raise RuntimeError(
+                f"legacy per-table state format in {self.state_dir} "
+                f"(tables {legacy} have _COMMIT.json manifests but no "
+                f"_GENERATION.json). Re-run the backfill to migrate, or "
+                f"point state_dir elsewhere to start fresh."
+            )
 
     # -- state access --------------------------------------------------
     # All 6 tables resolve through ONE generation manifest: a crash anywhere
@@ -174,14 +215,26 @@ class IncrementalDedup:
             return self._store.read_generation(spark, name)
         return spark.createDataFrame([], schema)
 
-    def last_stream_batch_id(self) -> int | None:
-        """Highest streaming batch id whose state commit is durable — the
-        replay-idempotence cursor (foreachBatch re-delivers the last batch
-        after a restart; a batch at or below this id must be skipped)."""
+    def last_stream_batch_id(self, app_id: str = "default") -> int | None:
+        """Highest streaming batch id whose state commit is durable FOR THIS
+        LOGICAL QUERY — the replay-idempotence cursor. foreachBatch ids are
+        unique per CHECKPOINT LOCATION, not per state_dir (ADVICE r3): a
+        restarted query with a fresh checkpoint dir restarts ids at 0, so the
+        cursor is keyed by (app_id, batch_id) — the Delta idempotent-write
+        (txnAppId, txnVersion) pattern. Callers bind app_id 1:1 to the
+        checkpoint location; an unknown app_id has no cursor and processes
+        everything normally."""
         m = self._store.generation_manifest()
         if m is None:
             return None
-        return m.get("extra", {}).get("last_stream_batch_id")
+        extra = m.get("extra", {})
+        cursors = extra.get("stream_cursors", {})
+        if app_id in cursors:
+            return cursors[app_id]
+        if app_id == "default":
+            # pre-cursor manifests recorded a single unkeyed id
+            return extra.get("last_stream_batch_id")
+        return None
 
     # prior-content ids small enough to ship as a pushed-down IN filter:
     # the parquet reader then row-group-prunes the corpus scan by doc_id
@@ -196,6 +249,7 @@ class IncrementalDedup:
         prior_docs: DataFrame | None = None,
         prior_norm_docs: DataFrame | None = None,
         stream_batch_id: int | None = None,
+        stream_app_id: str = "default",
     ) -> BatchResult:
         """new_docs: (doc_id long, content string); doc_ids globally unique
         across batches.
@@ -546,11 +600,18 @@ class IncrementalDedup:
                 .alias("ids"),
             )
         )
-        extra = (
-            {"last_stream_batch_id": int(stream_batch_id)}
-            if stream_batch_id is not None
-            else None
-        )
+        extra = None
+        if stream_batch_id is not None:
+            prev_m = self._store.generation_manifest()
+            cursors = dict(
+                (prev_m or {}).get("extra", {}).get("stream_cursors", {})
+            )
+            cursors[stream_app_id] = int(stream_batch_id)
+            # keep the legacy unkeyed field in sync for the default app so
+            # pre-cursor readers keep working
+            extra = {"stream_cursors": cursors}
+            if stream_app_id == "default":
+                extra["last_stream_batch_id"] = int(stream_batch_id)
         self._store.commit_generation(
             tables={
                 "state_buckets": new_state_buckets,

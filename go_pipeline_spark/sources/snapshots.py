@@ -29,6 +29,23 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _write_json_atomic(tmp: Path, final: Path, obj: dict) -> None:
+    """Durable atomic publish: write tmp, fsync it, rename, fsync the dir.
+    Without the fsyncs a power loss after os.replace can leave a truncated
+    manifest on disk (rename is atomic in the namespace, not for data blocks
+    — ADVICE r3)."""
+    with open(tmp, "w") as f:
+        f.write(json.dumps(obj))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+    dir_fd = os.open(final.parent, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
+
+
 def _table_paths(entry: dict | None) -> list[str]:
     """Manifest table entry -> data dir list (handles the pre-append
     single-path form for robustness)."""
@@ -86,9 +103,9 @@ class ParquetSnapshotStore:
             "data_path": str(data_dir),
             "committed_at": time.time(),
         }
-        tmp = out / "_COMMIT.json.tmp"
-        tmp.write_text(json.dumps(manifest))
-        os.replace(tmp, self._manifest_path(stage))  # atomic publish
+        _write_json_atomic(
+            out / "_COMMIT.json.tmp", self._manifest_path(stage), manifest
+        )
         return manifest
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
@@ -123,8 +140,17 @@ class ParquetSnapshotStore:
             return None
         try:
             m = json.loads(mp.read_text())
-        except json.JSONDecodeError:
-            return None
+        except json.JSONDecodeError as e:
+            # a corrupt manifest is NOT the same as an absent one: silently
+            # treating committed state as empty would restart dedup at
+            # generation 1 and re-admit every known duplicate (ADVICE r3).
+            # The fsync'd publish makes this unreachable in normal operation,
+            # so anything here is real damage — fail loudly.
+            raise RuntimeError(
+                f"corrupt generation manifest at {mp}: {e}. Committed state "
+                f"exists but is unreadable; restore the file (or remove the "
+                f"state dir to intentionally start over)."
+            ) from e
         if m.get("config_hash") != self.config_hash:
             return None  # config changed: prior state is not resumable
         return m
@@ -181,6 +207,14 @@ class ParquetSnapshotStore:
                 data_dir = self._new_data_dir(name, gen)
                 delta.write.mode("overwrite").parquet(str(data_dir))
                 new_tables[name] = {"data_paths": prior_paths + [str(data_dir)]}
+        # tables NOT re-committed this call carry forward unchanged: a partial
+        # commit must never drop a table from the manifest (its dirs would be
+        # GC'd once the last referencing generation leaves the keep window —
+        # silent state destruction, ADVICE r3). Their paths also stay in this
+        # generation's path list so reference-based GC keeps them live.
+        for name, entry in prev_tables.items():
+            if name not in new_tables:
+                new_tables[name] = {"data_paths": _table_paths(entry)}
         history = list(prev.get("history", [])) if prev else []
         history.append(
             {
@@ -202,15 +236,30 @@ class ParquetSnapshotStore:
             "history": live,
             "committed_at": time.time(),
         }
-        tmp = self.base / "_GENERATION.json.tmp"
-        tmp.write_text(json.dumps(manifest))
-        os.replace(tmp, self._generation_manifest_path())  # atomic publish
+        _write_json_atomic(
+            self.base / "_GENERATION.json.tmp",
+            self._generation_manifest_path(),
+            manifest,
+        )
         # GC only after the new manifest is durable, and only dirs no live
         # generation still references (append tables share files across gens)
         live_paths = {p for g in live for p in g["paths"]}
         dead_paths = {p for g in dead for p in g["paths"]} - live_paths
         for d in dead_paths:
             shutil.rmtree(d, ignore_errors=True)
+        # orphan sweep (ADVICE r3): a crash between data writes and publish
+        # leaves data-g* dirs referenced by NO manifest — without this they
+        # leak forever, unbounding the keep-last-K disk guarantee. Any
+        # generation-named dir not referenced by the live history is dead:
+        # history always carries every live generation's full path set.
+        # Stage-commit dirs (data-<run_id>-*) are a different namespace and
+        # are never touched.
+        for sub in self.base.iterdir():
+            if not sub.is_dir():
+                continue
+            for d in sub.glob("data-g*"):
+                if d.is_dir() and str(d) not in live_paths:
+                    shutil.rmtree(d, ignore_errors=True)
         return manifest
 
     def read_generation(self, spark: SparkSession, name: str) -> DataFrame:

@@ -50,9 +50,18 @@ class StreamingDedup:
         corpus_dir: str | None = None,
         keep_generations: int = 2,
         compact_threshold: int = 8,
+        app_id: str = "default",
     ):
+        """app_id: identifies the LOGICAL streaming query; bind it 1:1 to the
+        query's checkpoint location. foreachBatch batch ids are unique per
+        checkpoint, not per state_dir — replay skipping keyed only by
+        batch_id would silently drop genuinely-new batches when a query
+        restarts with a fresh checkpoint dir (ADVICE r3). With per-app
+        cursors (the Delta (txnAppId, txnVersion) pattern) a new checkpoint
+        gets a new app_id and processes everything normally."""
         if state_dir is None or corpus_dir is None:
             raise ValueError("streaming dedup requires state_dir and corpus_dir")
+        self.app_id = app_id
         self.inc = IncrementalDedup(
             cfg,
             state_dir=state_dir,
@@ -101,7 +110,7 @@ class StreamingDedup:
         if docs.isEmpty():
             return None
         bid = batch_id if batch_id is not None else self.batches_seen
-        last = self.inc.last_stream_batch_id()
+        last = self.inc.last_stream_batch_id(self.app_id)
         if batch_id is not None and last is not None and batch_id <= last:
             marker = os.path.join(self._corpus_batch_dir(bid), "_SUCCESS")
             if not os.path.exists(marker):
@@ -114,7 +123,8 @@ class StreamingDedup:
             return None
         prior = self._prior_norm_docs(spark)
         res = self.inc.run_batch(
-            spark, docs, prior_norm_docs=prior, stream_batch_id=bid
+            spark, docs, prior_norm_docs=prior, stream_batch_id=bid,
+            stream_app_id=self.app_id,
         )
         self._append_corpus(res.new_norm_docs, bid)
         self.batches_seen += 1

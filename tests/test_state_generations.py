@@ -183,3 +183,93 @@ def test_append_table_compaction_bounds_dirs(spark, tmp_path):
     got = inc._store.read_generation(spark, "state_sigs")
     assert got.count() == 180  # every batch's sigs survive compaction
     assert got.select("doc_id").distinct().count() == 180
+
+
+def test_partial_commit_carries_forward_missing_tables(spark, tmp_path):
+    """A commit listing only SOME tables must not drop the others from the
+    manifest (their dirs would be GC'd out of the keep window — silent state
+    destruction, ADVICE r3)."""
+    store = ParquetSnapshotStore(str(tmp_path / "cf"), "run1", "h")
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    b = spark.createDataFrame([(1, 10)], "k long, n long")
+    store.commit_generation(tables={"ta": a, "tb": b})
+    # gens 2..4 recommit ONLY ta: tb must stay readable and un-GC'd even
+    # after gen 1 leaves the keep-last-2 window
+    for i in range(2, 5):
+        store.commit_generation(
+            tables={"ta": spark.createDataFrame([(i, "a")], "k long, v string")}
+        )
+    m = store.generation_manifest()
+    assert m["gen"] == 4 and set(m["tables"]) == {"ta", "tb"}
+    assert [r["n"] for r in store.read_generation(spark, "tb").collect()] == [10]
+
+
+def test_corrupt_generation_manifest_raises(spark, tmp_path):
+    store = ParquetSnapshotStore(str(tmp_path / "cm"), "run1", "h")
+    store.commit_generation(
+        tables={"t": spark.createDataFrame([(1,)], "k long")}
+    )
+    (tmp_path / "cm" / "_GENERATION.json").write_text("{truncated")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="corrupt generation manifest"):
+        store.generation_manifest()
+
+
+def test_orphaned_data_dirs_swept_on_commit(spark, tmp_path):
+    """data-g* dirs referenced by no live generation (crash between data
+    write and manifest publish) are reclaimed at the next commit."""
+    base = tmp_path / "orph"
+    store = ParquetSnapshotStore(str(base), "run1", "h")
+    store.commit_generation(
+        tables={"t": spark.createDataFrame([(1,)], "k long")}
+    )
+    orphan = base / "t" / "data-g000099-deadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "part-0.parquet").write_bytes(b"junk")
+    # a stage-commit dir (different namespace) must NOT be swept
+    stage_dir = base / "t" / "data-run1-cafe0000"
+    stage_dir.mkdir(parents=True)
+    store.commit_generation(
+        tables={"t": spark.createDataFrame([(2,)], "k long")}
+    )
+    assert not orphan.exists()
+    assert stage_dir.exists()
+    assert store.read_generation(spark, "t").count() == 1  # live data intact
+
+
+def test_stream_cursor_keyed_by_app_id(spark, tmp_path):
+    """Replay skipping is per (app_id, batch_id): a second logical query (new
+    checkpoint => new app_id) starting at batch 0 is NOT treated as a replay
+    of the first query's batch 0 (ADVICE r3 data-loss scenario)."""
+    from go_pipeline_spark.plans.incremental import IncrementalDedup
+
+    inc = IncrementalDedup(CFG, state_dir=str(tmp_path / "cur"))
+    d1 = spark.createDataFrame([(1, "alpha " * 30)], "doc_id long, content string")
+    inc.run_batch(spark, d1, stream_batch_id=7, stream_app_id="appA")
+    assert inc.last_stream_batch_id("appA") == 7
+    assert inc.last_stream_batch_id("appB") is None  # new app: no cursor
+    d2 = spark.createDataFrame([(2, "beta " * 30)], "doc_id long, content string")
+    inc.run_batch(spark, d2, stream_batch_id=0, stream_app_id="appB")
+    assert inc.last_stream_batch_id("appA") == 7  # cursors independent
+    assert inc.last_stream_batch_id("appB") == 0
+    # both batches' docs are in state (appB's batch 0 was processed, not skipped)
+    assert inc._store.read_generation(spark, "state_clusters").count() == 2
+
+
+def test_legacy_per_table_state_raises(spark, tmp_path):
+    """A state_dir in the r2 per-table _COMMIT.json layout must fail loudly,
+    not silently re-dedup from scratch (ADVICE r3)."""
+    import json as _json
+
+    from go_pipeline_spark.plans.incremental import IncrementalDedup
+
+    legacy_dir = tmp_path / "legacy"
+    (legacy_dir / "state_sha").mkdir(parents=True)
+    (legacy_dir / "state_sha" / "_COMMIT.json").write_text(
+        _json.dumps({"config_hash": CFG.config_hash(), "stage": "state_sha"})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="legacy per-table state format"):
+        IncrementalDedup(CFG, state_dir=str(legacy_dir))
