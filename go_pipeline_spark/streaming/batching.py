@@ -76,12 +76,25 @@ def session_window_counts_stream(
     )
 
 
-def lastwins_stream(events: DataFrame) -> DataFrame:
+def lastwins_stream(
+    events: DataFrame,
+    ttl_s: int | None = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
     """Stateful keyed last-wins over an unbounded stream — the exact
     DeduplicationPipeline semantics (map[key] = item, last write wins,
     /root/reference/pipeline_deduplication.go:81-85) via
     applyInPandasWithState: state holds the current winner per key; each
-    micro-batch emits updated winners (update mode)."""
+    micro-batch emits updated winners (update mode).
+
+    ttl_s bounds state on OPEN key domains (VERDICT r3 #8): without it,
+    NoTimeout state grows forever — one entry per key ever seen. With a TTL,
+    a key idle past `winner_ts + ttl_s` in event time (driven by the
+    watermark, so wall-clock stalls don't evict) is EVICTED and emits one
+    tombstone row (event_id = -1, carrying the evicted winner's ts/value) so
+    downstream consumers observe the retraction. watermark_delay is the
+    late-data allowance that drives the event-time clock (only used when
+    ttl_s is set)."""
     import pandas as pd
 
     output_schema = "user_id long, event_id long, ts timestamp, value double"
@@ -89,7 +102,22 @@ def lastwins_stream(events: DataFrame) -> DataFrame:
 
     import numpy as np
 
+    if ttl_s is not None:
+        events = events.withWatermark("ts", watermark_delay)
+
     def update(key, pdfs, state: GroupState):
+        if ttl_s is not None and state.hasTimedOut:
+            e_id, ts, value = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_id": [-1],  # tombstone: state evicted at TTL
+                    "ts": [ts],
+                    "value": [float(value)],
+                }
+            )
+            return
         best = None
         if state.exists:
             e_id, ts, value = state.get
@@ -109,6 +137,14 @@ def lastwins_stream(events: DataFrame) -> DataFrame:
                 best = cand
         if best is not None:
             state.update((int(best[1]), best[0], float(best[2])))
+            if ttl_s is not None:
+                # event-time eviction at winner_ts + ttl; clamped one tick
+                # above the current watermark (Spark rejects timeouts at or
+                # below it — a winner already older than ttl evicts at the
+                # next micro-batch)
+                win_ms = int(pd.Timestamp(best[0]).value // 1_000_000)
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(win_ms + ttl_s * 1000, wm_ms + 1))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
@@ -123,7 +159,11 @@ def lastwins_stream(events: DataFrame) -> DataFrame:
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_s is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
 
 

@@ -231,3 +231,107 @@ def test_session_windows_stream_matches_batch(spark, event_schema, event_dir):
         for r in session_window_counts(batch).collect()
     }
     assert got == expected
+
+
+def test_lastwins_ttl_evicts_idle_keys(spark, tmp_path):
+    """Event-time TTL (VERDICT r3 #8): a key idle past winner_ts + ttl is
+    evicted (one tombstone, event_id=-1), active keys keep updating, and a
+    post-eviction arrival rebuilds state from scratch."""
+    import time as _time
+
+    from pyspark.sql import Row
+    from datetime import datetime
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def write_file(n, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{n}"))
+        import shutil
+        from pathlib import Path
+
+        part = next(Path(tmp_path / f"stage{n}").glob("*.parquet"))
+        shutil.copy(part, src / f"f{n}.parquet")
+        _time.sleep(0.05)
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        from datetime import timedelta
+
+        return t0 + timedelta(minutes=minutes)
+
+    write_file(0, [(1, 10, t0, 1.0), (2, 20, t0, 2.0)])
+    stream = batching.read_event_stream(spark, str(src), spark.createDataFrame([], schema).schema)
+    lw = batching.lastwins_stream(stream, ttl_s=3600, watermark_delay="1 seconds")
+    q = (
+        lw.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch: both keys seeded at t0
+        write_file(1, [(2, 21, at(120), 2.1)])  # advances watermark past 1's TTL
+        q.processAllAvailable()
+        write_file(2, [(2, 22, at(121), 2.2)])  # timeout fires this batch
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ttl_out").collect()
+        tombs = [r for r in rows if r["event_id"] == -1]
+        assert [(r["user_id"], r["value"]) for r in tombs] == [(1, 1.0)]
+        # active key was never evicted and holds the latest winner
+        k2 = [r for r in rows if r["user_id"] == 2][-1]
+        assert k2["event_id"] == 22
+        # post-eviction arrival for key 1: fresh state, becomes winner even
+        # though an OLDER event than the evicted winner would also win now
+        write_file(3, [(1, 11, at(122), 1.1)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ttl_out").collect()
+        k1 = [r for r in rows if r["user_id"] == 1 and r["event_id"] != -1][-1]
+        assert k1["event_id"] == 11
+    finally:
+        q.stop()
+
+
+def test_lastwins_no_ttl_keeps_all_state(spark, tmp_path):
+    """Default NoTimeout form: no tombstones ever (backward-compatible)."""
+    import shutil
+    import time as _time
+    from datetime import datetime
+    from pathlib import Path
+
+    src = tmp_path / "nottl_src"
+    src.mkdir()
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    from datetime import timedelta
+
+    for n, rows in enumerate(
+        [[(1, 10, t0, 1.0)], [(2, 20, t0 + timedelta(days=30), 2.0)]]
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"ns{n}"))
+        part = next(Path(tmp_path / f"ns{n}").glob("*.parquet"))
+        shutil.copy(part, src / f"f{n}.parquet")
+        _time.sleep(0.05)
+    stream = batching.read_event_stream(
+        spark, str(src), spark.createDataFrame([], schema).schema
+    )
+    q = (
+        batching.lastwins_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("nottl_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM nottl_out").collect()
+        assert not [r for r in rows if r["event_id"] == -1]
+        assert {r["user_id"] for r in rows} == {1, 2}
+    finally:
+        q.stop()
