@@ -44,15 +44,34 @@ def _docs(spark, n=120, seed=41):
     return corpus_to_df(spark, corpus).select("doc_id", "content")
 
 
-def test_max_concurrent_flushes_caps_inflight(spark):
-    """With cap=2 and a sink slower than stage production, >= 2 flushes
-    overlap but never more than 2 — the reference's semaphore contract."""
+def test_max_concurrent_flushes_caps_inflight():
+    """The runner's in-flight ceiling EQUALS the cap — the reference's
+    semaphore contract, deterministically: 6 slow submissions against cap=2
+    must overlap (ceiling reaches 2) and never exceed it. Unit-level (no
+    Spark) so the assertion doesn't depend on stage-production timing."""
+    from go_pipeline_spark.plans.dedup_pipeline import _AsyncSinkRunner
+
+    sink = _InflightTracker(hold_s=0.2)
+    runner = _AsyncSinkRunner(sink, max_concurrent=2)
+    for i in range(6):
+        runner.submit(f"stage{i}", None)
+    errors, abandoned = runner.drain()
+    assert errors == [] and abandoned == []
+    assert len(sink.calls) == 6
+    assert sink.max_inflight == 2
+
+
+def test_pipeline_async_flushes_bounded_by_cap(spark):
+    """Pipeline-level: with cap=2, in-flight flushes never exceed 2 and every
+    stage is delivered (the drain guarantee). Whether they actually overlap
+    depends on stage-production speed, so only the ceiling is asserted here;
+    the ceiling-reached direction is pinned by the unit test above."""
     sink = _InflightTracker(hold_s=0.25)
     res = DedupPipeline(CFG, max_concurrent_flushes=2).run(
         spark, _docs(spark), sink=sink
     )
     assert sorted(sink.calls) == sorted(res.stages_run)  # all flushed (drain)
-    assert sink.max_inflight == 2
+    assert 1 <= sink.max_inflight <= 2
 
 
 def test_async_flushes_all_delivered_with_cap_one(spark):
@@ -91,3 +110,39 @@ def test_async_sink_errors_quarantined_not_fatal(spark):
     m = {r["stage"]: r for r in res.metrics.collect()}
     assert m["signatures_sink_error"]["errors"] == 1
     assert m["verify_sink_error"]["errors"] == 1
+
+
+def test_drain_grace_abandons_slow_flushes(spark):
+    """DrainGracePeriod analogue: a sink slower than the grace period is
+    abandoned at the deadline (recorded as <stage>_sink_abandoned), fast
+    flushes complete normally, and run() returns promptly."""
+    import threading as _threading
+
+    done = _threading.Event()
+
+    def slow_sink(stage: str, df) -> None:
+        if stage == "clusters":  # the terminal flush stalls
+            done.wait(timeout=20)
+
+    t0 = time.time()
+    res = DedupPipeline(
+        CFG, max_concurrent_flushes=2, drain_grace_s=1.0
+    ).run(spark, _docs(spark, n=80, seed=46), sink=slow_sink)
+    elapsed_after_run = time.time() - t0
+    done.set()  # release the abandoned worker
+    m = {r["stage"]: r for r in res.metrics.collect()}
+    assert m["clusters_sink_abandoned"]["errors"] == 1
+    assert not any(s.endswith("_sink_error") for s in m)  # abandoned != failed
+    # the run did NOT wait the full 20s for the stalled flush
+    assert elapsed_after_run < 15
+
+
+def test_drain_without_grace_waits_for_all(spark):
+    sink = _InflightTracker(hold_s=0.3)
+    res = DedupPipeline(CFG, max_concurrent_flushes=4).run(
+        spark, _docs(spark, n=80, seed=47), sink=sink
+    )
+    assert sorted(sink.calls) == sorted(res.stages_run)
+    assert not any(
+        r["stage"].endswith("_sink_abandoned") for r in res.metrics.collect()
+    )
