@@ -194,6 +194,65 @@ def make_ivf_udfs(centroids, n_probe: int):
     return assign, probe
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    n_iters: int = 5,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed spherical-k-means (Lloyd) training for the IVF coarse
+    quantizer — the production path ivf_ann_topk's docstring promises.
+
+    DataFrame-native and scale-safe: each round is ONE job — assignment via
+    the Arrow GEMM UDF (max-cosine against the broadcast centroid matrix),
+    then per-list elementwise means as `dim` JVM avg() aggregates under one
+    groupBy(list_id). The shuffle carries only n_lists x dim partial sums
+    (map-side combine), never vectors; the driver holds n_lists x dim
+    floats.
+
+    Init is the k-means||-shaped oversample-then-refine: a deterministic
+    xxhash64 sample of 8*n_lists members (one distributed take), then a
+    driver-side farthest-point sweep picks n_lists spread-out seeds from the
+    tiny candidate set. A plain n_lists-member sample leaves clusters
+    uncovered and Lloyd cannot repair that (empty/duplicated lists converge
+    in place — pinned by the coverage test); farthest-point cannot. Fully
+    deterministic on fixed data. Lists that capture no vectors keep their
+    previous centroid (the standard empty-cluster rule)."""
+    m = max(n_lists, 8 * n_lists)
+    cand_rows = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(m)
+        .collect()
+    )
+    C = np.asarray([list(map(float, r["v"])) for r in cand_rows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    # farthest-point in cosine distance over the candidates: greedy max-min
+    min_sim = Cn @ Cn[0]
+    while len(chosen) < min(n_lists, len(Cn)):
+        nxt = int(np.argmin(min_sim))  # ties -> lowest index: deterministic
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, Cn @ Cn[nxt])
+    cents: list[list[float]] = [C[i].tolist() for i in chosen]
+    for _ in range(n_iters):
+        assign, _ = make_ivf_udfs(cents, 1)
+        assigned = embeddings.select(
+            assign(F.col(vec_col)).alias("list_id"), F.col(vec_col).alias("v")
+        )
+        aggs = [F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+        rows = assigned.groupBy("list_id").agg(*aggs).collect()
+        new = {
+            int(r["list_id"]): [float(r[f"c{i}"]) for i in range(dim)]
+            for r in rows
+        }
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -204,27 +263,38 @@ def ivf_ann_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into n_lists
     inverted lists, probe the n_probe nearest lists per query, exact-cosine
     re-rank the candidates. Candidates per query ~ N * n_probe / n_lists —
     the classic sub-linear ANN trade alongside the SRP path.
 
-    Centroids here are a DETERMINISTIC seeded sample (the n_lists corpus
-    vectors with the smallest xxhash64(id, seed)) rather than k-means: the
-    driver's recall-gate oracle needs bit-stable bucketing, and this
-    sandbox's embeddings are random (no cluster structure for Lloyd
-    iterations to find anyway). At production scale the centroid matrix is
-    trained offline (pyspark.ml KMeans on a sample) and broadcast exactly
-    the same way — only the `centroids` input changes, not this plumbing.
+    Centroid sources, in precedence order: an explicit `centroids` matrix
+    (e.g. trained offline), `train_iters > 0` (runs the in-repo distributed
+    Lloyd trainer, `train_ivf_centroids`), else a DETERMINISTIC seeded
+    sample (the n_lists corpus vectors with the smallest xxhash64(id,
+    seed)). The driver's recall-gate oracle uses the seeded default — it
+    needs bit-stable bucketing and this sandbox's embeddings are random (no
+    cluster structure for Lloyd to find); the trained path is pinned on a
+    clustered corpus in tests/test_similarity.py.
     """
-    cent = (
-        embeddings.select(F.col(vec_col).alias("cvec"))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_lists)
-        .collect()
-    )
-    assign, probe = make_ivf_udfs([r["cvec"] for r in cent], n_probe)
+    if centroids is not None:
+        cents = centroids
+    elif train_iters > 0:
+        cents = train_ivf_centroids(
+            embeddings, dim, n_lists, train_iters, seed, id_col, vec_col
+        )
+    else:
+        cent = (
+            embeddings.select(F.col(vec_col).alias("cvec"))
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_lists)
+            .collect()
+        )
+        cents = [r["cvec"] for r in cent]
+    assign, probe = make_ivf_udfs(cents, n_probe)
 
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")

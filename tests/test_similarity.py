@@ -143,3 +143,94 @@ def test_srp_udf_gemm_matches_per_vector_reference(spark, emb_df):
         bits = (planes @ x) > 0
         expected = (bits @ weights).astype(np.int64).tolist()
         assert got[r["vec_id"]] == expected, r["vec_id"]
+
+
+def _clustered_corpus(spark, n_clusters=20, per=24, spread=0.05):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((n_clusters, DIM)) * 10
+    rows, labels, vid = [], {}, 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = base[c] + rng.standard_normal(DIM) * spread
+            rows.append((vid, v.astype(float).tolist()))
+            labels[vid] = c
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return emb, labels
+
+
+def test_trained_ivf_repairs_seeded_coverage_gaps(spark):
+    """Distributed Lloyd training (spherical k-means): the seeded sample
+    picks 20 random MEMBERS, which with near-certainty leaves some of the 20
+    true clusters without any centroid (those lists absorb 2+ clusters —
+    2x the candidates at scan time); 4 Lloyd rounds migrate the centroids to
+    a 1:1 cluster↔list cover. ANN recall itself stays ~perfect either way on
+    this corpus (cluster-mates co-assign even to a borrowed centroid), so
+    coverage — the list-size balance that governs probe cost — is the
+    property training buys. Deterministic: fixed data + seeded init."""
+    emb, labels = _clustered_corpus(spark)
+    rows = emb.collect()
+    true_centers = {}
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(labels[r["vec_id"]], []).append(
+            np.asarray(r["embedding"])
+        )
+    true_centers = {c: np.mean(vs, axis=0) for c, vs in by_label.items()}
+
+    def coverage(cents):
+        covered = set()
+        for cent in cents:
+            c = np.asarray(cent, dtype=np.float64)
+            cn = c / np.linalg.norm(c)
+            sims = {
+                lab: float(cn @ (t / np.linalg.norm(t)))
+                for lab, t in true_centers.items()
+            }
+            covered.add(max(sims, key=sims.get))
+        return len(covered)
+
+    seeded = (
+        emb.select(F.col("embedding").alias("v"))
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(7)))
+        .limit(20)
+        .collect()
+    )
+    seeded_cov = coverage([r["v"] for r in seeded])
+    trained_cov = coverage(similarity.train_ivf_centroids(emb, DIM, 20, 4))
+    assert trained_cov == 20
+    assert seeded_cov < 20, seeded_cov  # the gap training closes
+    # and recall with trained centroids is ~perfect at n_probe=1
+    queries = emb.where(F.col("vec_id") % 24 == 0)
+    got = similarity.ivf_ann_topk(
+        emb, queries, dim=DIM, k=5, n_lists=20, n_probe=1, train_iters=4
+    ).collect()
+    hits = sum(1 for r in got if labels[r["neighbor_id"]] == labels[r["query_id"]])
+    assert hits >= 95, f"trained in-cluster hits {hits}/100"
+
+
+def test_train_ivf_centroids_recovers_true_centers(spark):
+    """Each trained centroid sits within the spread of ONE true cluster
+    center and all clusters are covered (no collapsed/empty lists)."""
+    emb, labels = _clustered_corpus(spark)
+    cents = similarity.train_ivf_centroids(emb, DIM, n_lists=20, n_iters=4)
+    assert len(cents) == 20
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(labels[r["vec_id"]], []).append(
+            np.asarray(r["embedding"])
+        )
+    true_centers = {c: np.mean(vs, axis=0) for c, vs in by_label.items()}
+    covered = set()
+    for cent in cents:
+        c = np.asarray(cent)
+        cn = c / np.linalg.norm(c)
+        sims = {
+            lab: float(cn @ (t / np.linalg.norm(t)))
+            for lab, t in true_centers.items()
+        }
+        best = max(sims, key=sims.get)
+        assert sims[best] > 0.999, sims[best]  # sits ON a true center
+        covered.add(best)
+    assert len(covered) == 20  # every cluster owns exactly one centroid
