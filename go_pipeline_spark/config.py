@@ -75,11 +75,12 @@ class PipelineConfig:
 
     # --- clustering ---
     cc_max_iterations: int = 50          # large-star/small-star fixpoint bound
-    cc_driver_finish_edges: int = 100_000  # below this many edges the CC tail
-    #                                      finishes with one bounded collect +
-    #                                      union-find instead of more 3-shuffle
-    #                                      rounds; 0 forces the full
-    #                                      distributed fixpoint
+    cc_driver_finish_edges: int = 1_000_000  # below this many edges the CC
+    #                                      tail finishes with one bounded
+    #                                      collect + union-find instead of
+    #                                      more 3-shuffle rounds (16 MB of
+    #                                      longs at the bound); 0 forces the
+    #                                      full distributed fixpoint
 
     # --- lifecycle (≙ DrainOnCancel / FinalFlushOnCloseTimeout, config.go:13-22) ---
     resume: bool = True                  # skip stages with committed snapshots

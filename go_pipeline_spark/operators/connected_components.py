@@ -101,8 +101,12 @@ def _driver_union_find(rows: list) -> list[tuple[int, int]]:
 
 # below this many edges the graph fits trivially on the driver: finishing
 # with one collect + union-find replaces O(log n) tail rounds of 3-shuffle
-# jobs whose data is already tiny (pure scheduler overhead at any core count)
-CC_DRIVER_FINISH_EDGES = 100_000
+# jobs whose data is already tiny (pure scheduler overhead at any core
+# count). 10^6 edges = 16 MB of longs (~200 MB transient through py4j —
+# nothing against a 16g driver); measured: collect+union-find on 60k edges
+# is 1.1s total where ONE distributed round costs 5-7s serial (r4 profile,
+# BENCH/REGRESSION.md CC section)
+CC_DRIVER_FINISH_EDGES = 1_000_000
 
 
 def connected_components(
@@ -127,16 +131,24 @@ def connected_components(
     first = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    # bounded probe (ADVICE r2, tightened r3): ONE limit(threshold+1)
-    # collect answers "empty?", "small enough for the driver finish?" AND
-    # delivers the edges themselves — no separate count job, no second scan
-    # of the upstream edge plan, and driver memory is bounded by
-    # threshold+1 rows of two longs by construction.
-    probe = first.limit(driver_finish_edges + 1).collect()
-    if not probe:
+    # COUNT-then-collect probe (r4; replaces r3's limit(threshold+1) form).
+    # The limit probe was one job on paper but executed as executeTake's
+    # incremental scale-up — 1, 4, 16, 64... partitions, each pass
+    # re-scanning the cold upstream edge DAG at starved parallelism (the r4
+    # local[8] profile shows the passes as ~10 jobs of 4-7s). count() is one
+    # FULL-WIDTH aggregation that materializes the caller's edge persist
+    # once, and the collect that follows only happens when the count is
+    # under the driver bound — same memory guarantee. Wall-neutral in the
+    # lean pipeline (the passes overlapped the edge materialization there)
+    # but strictly better whenever the edge DAG is cold and unpersisted —
+    # the incremental-batch path, and any caller passing a fresh DF.
+    n_edges = first.count()
+    if n_edges == 0:
         return spark.createDataFrame([], "doc_id long, component long")
-    if len(probe) <= driver_finish_edges:
-        pairs = _driver_union_find([(r["u"], r["v"]) for r in probe])
+    if n_edges <= driver_finish_edges:
+        pairs = _driver_union_find(
+            [(r["u"], r["v"]) for r in first.collect()]
+        )
         return spark.createDataFrame(pairs, "doc_id long, component long")
 
     cur = _symmetrize(first).localCheckpoint(eager=True)
