@@ -13,6 +13,14 @@ whose workload changes gets a NEW name (e.g. srp_ann_topk gained its recall
 join in r3 and keeps that r3 definition; the r2 embedding_near_dups_srp
 workload is pinned verbatim above its oracle-gated successor). Round-over-
 round comparisons are only valid name-for-name under this rule.
+
+MEASUREMENT protocol (changed r5, VERDICT r4 #4 — workloads unchanged):
+  - every query runs once COLD first; queries whose cold wall < 5s then get
+    at least 6 total runs (this VM's noise swamps single sub-5s samples);
+  - the reported min is over WARM runs only (runs[1:]): the cold first run
+    pays codegen/cache warmup that is not the steady-state cost. The full
+    runs array (cold included as runs[0]) is always emitted, so the r4-style
+    min-including-cold remains derivable for cross-round comparisons.
 """
 
 from __future__ import annotations
@@ -141,6 +149,7 @@ def bench_queries(spark, sf_dir: str):
         "embedding_near_dups_srp_gated": q("embedding_near_dups_srp_gated"),
         "srp_ann_topk": q("srp_ann_topk"),
         "ivf_ann_topk": q("ivf_ann_topk"),
+        "ivf_trained_topk": q("ivf_trained_topk"),  # NEW r5 (trained quantizer)
         "dedup_source_files": q("dedup_source_files"),
         "tpch_q1": q("tpch_q1"),
         "join_orders_nation": q("join_orders_nation"),
@@ -191,18 +200,27 @@ def main() -> None:
     # min-of-N repeats: this VM's wall-clock noise is documented at up to
     # 2.7x for identical jobs (STATUS.md), so single samples are unusable
     # for round-over-round comparisons. The big corpus gets one fewer
-    # repeat to bound total bench time.
+    # repeat to bound total bench time; sub-5s queries get >= 6 runs so
+    # their min is decidable in-file (VERDICT r4 #4).
     per_query_repeats = {"dedup_synthetic_big": max(1, REPEATS - 1)}
+    small_wall_s = 5.0
+    min_small_runs = 6  # 1 cold + >= 5 warm
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
         n_rep = per_query_repeats.get(name, REPEATS)
         runs: list[float] = []
-        for _ in range(n_rep):
+        t0 = time.perf_counter()
+        fn()  # cold run: always recorded, never the reported min
+        runs.append(round(time.perf_counter() - t0, 3))
+        if runs[0] < small_wall_s:
+            n_rep = max(n_rep, min_small_runs)
+        while len(runs) < n_rep:
             t0 = time.perf_counter()
             fn()
             runs.append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(runs)
+        warm = runs[1:] if len(runs) > 1 else runs
+        timings[name] = min(warm)
         all_runs[name] = runs
 
     total = round(sum(timings.values()), 3)
@@ -231,6 +249,10 @@ def main() -> None:
         "sf": float(sf),
         "cpus": cpus,
         "repeats": REPEATS,
+        "protocol": (
+            "min over warm runs (cold first run recorded as runs[0], "
+            "excluded from min); sub-5s queries get >= 6 runs"
+        ),
         "runs": all_runs,
         "synth_rows": {"dedup_synthetic": SYNTH_ROWS, "dedup_synthetic_big": BIG_SYNTH_ROWS},
         "throughput": throughput,

@@ -1,0 +1,154 @@
+"""Job-timeline profile + broadcast A/B for the lean pipeline (VERDICT r4 #1).
+
+The r4 profile located the non-scaling fixed cost in job-submission +
+broadcast-exchange latency spread across ~70 AQE stage jobs. This script
+makes that decidable: it runs the lean 600k pipeline under one of several
+join-strategy variants with the Spark UI enabled, then reads the REST API
+job timeline and prints ONE JSON line with wall, job count, summed job time,
+and DEAD time (wall minus the union of job intervals — the driver-side
+serial component: planning, AQE re-plans, broadcast collects, py4j).
+
+Variants:
+  baseline  — session defaults (64 MB static broadcast threshold, AQE on)
+  nobcast   — broadcast joins disabled entirely (static + adaptive
+              thresholds -1): every join becomes a shuffle join; fewer
+              blocking driver round-trips, more exchange
+  bcast8m   — thresholds at 8 MB: broadcasts only genuinely tiny sides
+
+Usage: python bench/job_profile.py --variant nobcast --cpus 8 --rows 600000
+Run each variant in its OWN process (fresh JVM) and interleave variants to
+bound the VM drift (STATUS.md: >40% within a day).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: F401  (module-level: pandas-UDF hints resolve)
+
+VARIANTS: dict[str, dict[str, str]] = {
+    "baseline": {},
+    "nobcast": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    },
+    "bcast8m": {
+        "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
+    },
+}
+
+
+def _jobs(spark) -> list[dict]:
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/jobs?status=succeeded"
+    with urllib.request.urlopen(url) as r:
+        return json.load(r)
+
+
+def _interval_union_s(iv: list[tuple[float, float]]) -> float:
+    if not iv:
+        return 0.0
+    iv = sorted(iv)
+    total, cur_lo, cur_hi = 0.0, iv[0][0], iv[0][1]
+    for lo, hi in iv[1:]:
+        if lo > cur_hi:
+            total += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    total += cur_hi - cur_lo
+    return total
+
+
+def _ts(s: str) -> float:
+    # REST timestamps like "2026-08-17T12:34:56.789GMT"
+    from datetime import datetime
+
+    return datetime.strptime(s.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f").timestamp()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", choices=sorted(VARIANTS), default="baseline")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--rows", type=int, default=600_000)
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args()
+
+    from go_pipeline_spark.config import PipelineConfig
+    from go_pipeline_spark.corpus import distributed_docs
+    from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+    from go_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        cores=args.cpus,
+        app_name=f"profile-{args.variant}",
+        extra_conf={"spark.ui.enabled": "true", **VARIANTS[args.variant]},
+    )
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    n_par = int(spark.sparkContext.defaultParallelism)
+    spark.range(0, n_par * 100, 1, n_par).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
+
+    docs = distributed_docs(spark, args.rows, seed=42).persist()
+    docs.count()  # generation outside the timers
+
+    cfg = PipelineConfig()
+    out_reps = []
+    for _ in range(args.repeats):
+        j0 = {j["jobId"] for j in _jobs(spark)}
+        t0 = time.perf_counter()
+        res = DedupPipeline(cfg, mode="lean").run(spark, docs)
+        n_clusters = res.clusters.count()
+        wall = time.perf_counter() - t0
+        res.unpersist()
+        jobs = [j for j in _jobs(spark) if j["jobId"] not in j0]
+        iv = [
+            (_ts(j["submissionTime"]), _ts(j["completionTime"]))
+            for j in jobs
+            if "completionTime" in j
+        ]
+        durs = sorted((hi - lo for lo, hi in iv), reverse=True)
+        busy = _interval_union_s(iv)
+        out_reps.append(
+            {
+                "wall_s": round(wall, 2),
+                "n_jobs": len(jobs),
+                "n_stages": sum(len(j.get("stageIds", [])) for j in jobs),
+                "job_busy_s": round(busy, 2),
+                "dead_s": round(wall - busy, 2),
+                "sum_job_s": round(sum(durs), 2),
+                "top_job_s": [round(d, 2) for d in durs[:8]],
+                "n_clusters": n_clusters,
+            }
+        )
+    print(
+        json.dumps(
+            {
+                "variant": args.variant,
+                "cpus": args.cpus,
+                "rows": args.rows,
+                "reps": out_reps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,22 +136,29 @@ def connected_components(
     # incremental scale-up — 1, 4, 16, 64... partitions, each pass
     # re-scanning the cold upstream edge DAG at starved parallelism (the r4
     # local[8] profile shows the passes as ~10 jobs of 4-7s). count() is one
-    # FULL-WIDTH aggregation that materializes the caller's edge persist
-    # once, and the collect that follows only happens when the count is
-    # under the driver bound — same memory guarantee. Wall-neutral in the
-    # lean pipeline (the passes overlapped the edge materialization there)
-    # but strictly better whenever the edge DAG is cold and unpersisted —
-    # the incremental-batch path, and any caller passing a fresh DF.
+    # FULL-WIDTH aggregation, and the collect that follows only happens when
+    # the count is under the driver bound — same memory guarantee.
+    # The probe PERSISTS first (ADVICE r4): without it, count + collect are
+    # two independent actions that compute the caller's upstream DAG twice
+    # when it arrives unpersisted (the incremental-batch path), and a
+    # nondeterministic upstream could hand collect() an edge set inconsistent
+    # with the counted one. MEMORY_AND_DISK makes both actions — and the
+    # first distributed round below — read one materialization.
+    from pyspark import StorageLevel
+
+    first = first.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = first.count()
     if n_edges == 0:
+        first.unpersist()
         return spark.createDataFrame([], "doc_id long, component long")
     if n_edges <= driver_finish_edges:
-        pairs = _driver_union_find(
-            [(r["u"], r["v"]) for r in first.collect()]
-        )
+        rows = first.collect()
+        first.unpersist()
+        pairs = _driver_union_find([(r["u"], r["v"]) for r in rows])
         return spark.createDataFrame(pairs, "doc_id long, component long")
 
     cur = _symmetrize(first).localCheckpoint(eager=True)
+    first.unpersist()  # checkpoint is materialized; probe cache no longer needed
     prev_sum = None
     converged = False
     for _ in range(max_iterations):

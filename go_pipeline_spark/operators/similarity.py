@@ -168,7 +168,13 @@ def make_ivf_udfs(centroids, n_probe: int):
     centroid matrix — one BLAS call per batch, no per-row Python.
     """
     C = np.asarray(centroids, dtype=np.float64)
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # zero-norm guard (ADVICE r4): train_ivf_centroids feeds Lloyd means
+    # here, and a degenerate near-zero mean row would otherwise divide to
+    # inf/NaN and poison argmax/argsort for every vector in the job — the
+    # same guard the vector side gets below
+    c_norms = np.linalg.norm(C, axis=1, keepdims=True)
+    c_norms[c_norms == 0] = 1.0
+    C = C / c_norms
 
     def _scores(vecs: pd.Series) -> np.ndarray:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])

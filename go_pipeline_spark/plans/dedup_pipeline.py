@@ -69,12 +69,13 @@ class _AsyncSinkRunner:
         self._sink = sink
         self._pool = ThreadPoolExecutor(max_workers=max_concurrent)
         self._lock = threading.Lock()
-        self._futures: list = []
+        # (stage_name, future) pairs — the name rides alongside the future
+        # rather than grafted onto it as an attribute (ADVICE r4)
+        self._futures: list[tuple[str, object]] = []
 
     def submit(self, name: str, df: DataFrame) -> None:
         with self._lock:
-            self._futures.append(self._pool.submit(self._sink, name, df))
-            self._futures[-1]._stage_name = name
+            self._futures.append((name, self._pool.submit(self._sink, name, df)))
 
     def drain(
         self, timeout_s: float | None = None
@@ -90,23 +91,30 @@ class _AsyncSinkRunner:
         abandoned-goroutine semantics on grace expiry)."""
         import time as _time
 
+        import concurrent.futures as _cf
+
         errors: list[tuple[str, Exception]] = []
         abandoned: list[str] = []
         with self._lock:
             futures, self._futures = self._futures, []
         deadline = None if timeout_s is None else _time.monotonic() + timeout_s
-        for fut in futures:
+        for name, fut in futures:
             try:
                 remaining = (
                     None if deadline is None
                     else max(0.0, deadline - _time.monotonic())
                 )
+                # catch concurrent.futures.TimeoutError explicitly: it is
+                # only an ALIAS of builtin TimeoutError on Python >= 3.11;
+                # on 3.8-3.10 catching the builtin would let a grace expiry
+                # escape run(), violating the never-raise sink contract
+                # (ADVICE r4)
                 exc = fut.exception(timeout=remaining)
-            except TimeoutError:
-                abandoned.append(fut._stage_name)
+            except _cf.TimeoutError:
+                abandoned.append(name)
                 continue
             if exc is not None:
-                errors.append((fut._stage_name, exc))
+                errors.append((name, exc))
         self._pool.shutdown(wait=not abandoned)
         return errors, abandoned
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -249,16 +250,31 @@ class ParquetSnapshotStore:
             shutil.rmtree(d, ignore_errors=True)
         # orphan sweep (ADVICE r3): a crash between data writes and publish
         # leaves data-g* dirs referenced by NO manifest — without this they
-        # leak forever, unbounding the keep-last-K disk guarantee. Any
-        # generation-named dir not referenced by the live history is dead:
-        # history always carries every live generation's full path set.
+        # leak forever, unbounding the keep-last-K disk guarantee.
+        # Two guards (ADVICE r4) keep the sweep from destroying live data:
+        #  - membership is tested on Path.resolve() forms on BOTH sides, so a
+        #    restart that spells base_dir differently (symlink vs resolved)
+        #    cannot make committed dirs look orphaned;
+        #  - only dirs whose parsed generation number is STRICTLY below the
+        #    oldest live generation are candidates: data dirs of a newer
+        #    in-flight commit (second store instance mid-commit, manifest not
+        #    yet published) carry gen >= this one and are never touched.
+        # Carried-forward dirs from older generations stay in live_paths, so
+        # the resolved-membership check protects them.
         # Stage-commit dirs (data-<run_id>-*) are a different namespace and
         # are never touched.
+        live_resolved = {str(Path(p).resolve()) for p in live_paths}
+        oldest_live_gen = min(g["gen"] for g in live)
         for sub in self.base.iterdir():
             if not sub.is_dir():
                 continue
             for d in sub.glob("data-g*"):
-                if d.is_dir() and str(d) not in live_paths:
+                if not d.is_dir():
+                    continue
+                m_gen = re.match(r"data-g(\d+)-", d.name)
+                if m_gen is None or int(m_gen.group(1)) >= oldest_live_gen:
+                    continue
+                if str(d.resolve()) not in live_resolved:
                     shutil.rmtree(d, ignore_errors=True)
         return manifest
 

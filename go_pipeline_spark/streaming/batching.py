@@ -91,13 +91,19 @@ def lastwins_stream(
     NoTimeout state grows forever — one entry per key ever seen. With a TTL,
     a key idle past `winner_ts + ttl_s` in event time (driven by the
     watermark, so wall-clock stalls don't evict) is EVICTED and emits one
-    tombstone row (event_id = -1, carrying the evicted winner's ts/value) so
-    downstream consumers observe the retraction. watermark_delay is the
-    late-data allowance that drives the event-time clock (only used when
-    ttl_s is set)."""
+    tombstone row — `retracted = true`, carrying the evicted winner's
+    event_id/ts/value — so downstream consumers observe the retraction.
+    The flag is an explicit boolean column, NOT an in-band sentinel in
+    event_id (ADVICE r4: a legitimate negative event id must stay
+    distinguishable from a retraction). watermark_delay is the late-data
+    allowance that drives the event-time clock (only used when ttl_s is
+    set)."""
     import pandas as pd
 
-    output_schema = "user_id long, event_id long, ts timestamp, value double"
+    output_schema = (
+        "user_id long, event_id long, ts timestamp, value double, "
+        "retracted boolean"
+    )
     state_schema = "event_id long, ts timestamp, value double"
 
     import numpy as np
@@ -112,9 +118,10 @@ def lastwins_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "event_id": [-1],  # tombstone: state evicted at TTL
+                    "event_id": [int(e_id)],  # the retracted winner's id
                     "ts": [ts],
                     "value": [float(value)],
+                    "retracted": [True],  # tombstone: state evicted at TTL
                 }
             )
             return
@@ -151,6 +158,7 @@ def lastwins_stream(
                     "event_id": [int(best[1])],
                     "ts": [best[0]],
                     "value": [float(best[2])],
+                    "retracted": [False],
                 }
             )
 

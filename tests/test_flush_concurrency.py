@@ -146,3 +146,20 @@ def test_drain_without_grace_waits_for_all(spark):
     assert not any(
         r["stage"].endswith("_sink_abandoned") for r in res.metrics.collect()
     )
+
+
+def test_two_sequential_async_runs_on_one_pipeline(spark):
+    """Two run() calls on ONE pipeline object with async sinks: each run
+    gets a fresh runner (the previous drain shut its pool down), both runs
+    deliver every stage, and no state leaks between them (VERDICT r4 #6)."""
+    pipe = DedupPipeline(CFG, max_concurrent_flushes=2)
+    sink1 = _InflightTracker(hold_s=0.05)
+    res1 = pipe.run(spark, _docs(spark, n=80, seed=48), sink=sink1)
+    sink2 = _InflightTracker(hold_s=0.05)
+    res2 = pipe.run(spark, _docs(spark, n=80, seed=49), sink=sink2)
+    assert sorted(sink1.calls) == sorted(res1.stages_run)
+    assert sorted(sink2.calls) == sorted(res2.stages_run)
+    # the second run's sink saw only its own flushes
+    assert len(sink2.calls) == len(res2.stages_run)
+    res1.unpersist()
+    res2.unpersist()

@@ -234,3 +234,29 @@ def test_train_ivf_centroids_recovers_true_centers(spark):
         assert sims[best] > 0.999, sims[best]  # sits ON a true center
         covered.add(best)
     assert len(covered) == 20  # every cluster owns exactly one centroid
+
+
+def test_ivf_udfs_zero_norm_centroid_guarded(spark):
+    """A degenerate all-zero centroid row (possible from a pathological
+    Lloyd mean) must not divide to inf/NaN and poison argmax/argsort for
+    every vector in the job (ADVICE r4): scores against it are 0, so real
+    centroids still win, and probe order stays deterministic."""
+    cents = [[0.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    assign, probe = similarity.make_ivf_udfs(cents, n_probe=2)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0, 0.0]), (1, [0.1, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = (
+        df.select(
+            "vec_id",
+            assign(F.col("embedding")).alias("list_id"),
+            probe(F.col("embedding")).alias("probes"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [r["list_id"] for r in got] == [1, 2]
+    # the zero centroid (cosine 0) never outranks a real one
+    assert got[0]["probes"] == [1, 2]
+    assert got[1]["probes"] == [2, 1]

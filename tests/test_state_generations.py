@@ -218,24 +218,64 @@ def test_corrupt_generation_manifest_raises(spark, tmp_path):
 
 def test_orphaned_data_dirs_swept_on_commit(spark, tmp_path):
     """data-g* dirs referenced by no live generation (crash between data
-    write and manifest publish) are reclaimed at the next commit."""
+    write and manifest publish) are reclaimed once the live window passes
+    their generation — and NEVER before (ADVICE r4: a dir at or above the
+    oldest live generation may belong to a newer in-flight commit from a
+    second store instance, so it must not be touched)."""
     base = tmp_path / "orph"
     store = ParquetSnapshotStore(str(base), "run1", "h")
     store.commit_generation(
         tables={"t": spark.createDataFrame([(1,)], "k long")}
-    )
-    orphan = base / "t" / "data-g000099-deadbeef"
-    orphan.mkdir(parents=True)
-    (orphan / "part-0.parquet").write_bytes(b"junk")
+    )  # gen 1
+    # crash orphan from an old generation: swept once oldest live gen > 1
+    old_orphan = base / "t" / "data-g000001-deadbeef"
+    old_orphan.mkdir(parents=True)
+    (old_orphan / "part-0.parquet").write_bytes(b"junk")
+    # "in-flight" dir at a FUTURE generation (second instance mid-commit,
+    # manifest not yet published): must never be swept
+    inflight = base / "t" / "data-g000099-cafe1111"
+    inflight.mkdir(parents=True)
     # a stage-commit dir (different namespace) must NOT be swept
     stage_dir = base / "t" / "data-run1-cafe0000"
     stage_dir.mkdir(parents=True)
     store.commit_generation(
         tables={"t": spark.createDataFrame([(2,)], "k long")}
-    )
-    assert not orphan.exists()
+    )  # gen 2: live {1,2}, oldest=1 -> g1 orphan still protected
+    assert old_orphan.exists()
+    store.commit_generation(
+        tables={"t": spark.createDataFrame([(3,)], "k long")}
+    )  # gen 3: live {2,3}, oldest=2 -> g1 orphan now sweepable
+    assert not old_orphan.exists()
+    assert inflight.exists()
     assert stage_dir.exists()
     assert store.read_generation(spark, "t").count() == 1  # live data intact
+
+
+def test_orphan_sweep_resolves_symlinked_paths(spark, tmp_path):
+    """Path-spelling robustness (ADVICE r4): manifests written via one
+    spelling of state_dir (symlink) must protect their data dirs when a
+    later commit opens the store via the resolved spelling — membership is
+    compared on Path.resolve() forms, not raw strings."""
+    real = tmp_path / "real_state"
+    real.mkdir()
+    link = tmp_path / "link_state"
+    os.symlink(real, link)
+    # gen 1 committed through the SYMLINK spelling: manifest paths record
+    # .../link_state/...
+    s1 = ParquetSnapshotStore(str(link), "run1", "h")
+    s1.commit_generation(tables={"t": spark.createDataFrame([(1,)], "k long")})
+    # append-table commit through the RESOLVED spelling: gen 2 carries
+    # forward gen-1 paths (still spelled via the symlink) while its own dirs
+    # are spelled via the real path
+    s2 = ParquetSnapshotStore(str(real), "run2", "h")
+    s2.commit_generation(tables={"u": spark.createDataFrame([(2,)], "k long")})
+    s2.commit_generation(tables={"u": spark.createDataFrame([(3,)], "k long")})
+    s2.commit_generation(tables={"u": spark.createDataFrame([(4,)], "k long")})
+    # the carried-forward gen-1 dir of table t (gen number 1 < oldest live)
+    # must have survived every sweep: it is still referenced by the live
+    # manifest, just under a different spelling
+    assert s2.read_generation(spark, "t").count() == 1
+    assert [r["k"] for r in s2.read_generation(spark, "t").collect()] == [1]
 
 
 def test_stream_cursor_keyed_by_app_id(spark, tmp_path):

@@ -235,8 +235,9 @@ def test_session_windows_stream_matches_batch(spark, event_schema, event_dir):
 
 def test_lastwins_ttl_evicts_idle_keys(spark, tmp_path):
     """Event-time TTL (VERDICT r3 #8): a key idle past winner_ts + ttl is
-    evicted (one tombstone, event_id=-1), active keys keep updating, and a
-    post-eviction arrival rebuilds state from scratch."""
+    evicted (one tombstone, retracted=true carrying the evicted winner's
+    event_id — ADVICE r4), active keys keep updating, and a post-eviction
+    arrival rebuilds state from scratch."""
     import time as _time
 
     from pyspark.sql import Row
@@ -280,17 +281,20 @@ def test_lastwins_ttl_evicts_idle_keys(spark, tmp_path):
         write_file(2, [(2, 22, at(121), 2.2)])  # timeout fires this batch
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM ttl_out").collect()
-        tombs = [r for r in rows if r["event_id"] == -1]
-        assert [(r["user_id"], r["value"]) for r in tombs] == [(1, 1.0)]
+        tombs = [r for r in rows if r["retracted"]]
+        # the tombstone carries the EVICTED WINNER's event_id, not a sentinel
+        assert [(r["user_id"], r["event_id"], r["value"]) for r in tombs] == [
+            (1, 10, 1.0)
+        ]
         # active key was never evicted and holds the latest winner
         k2 = [r for r in rows if r["user_id"] == 2][-1]
-        assert k2["event_id"] == 22
+        assert k2["event_id"] == 22 and not k2["retracted"]
         # post-eviction arrival for key 1: fresh state, becomes winner even
         # though an OLDER event than the evicted winner would also win now
         write_file(3, [(1, 11, at(122), 1.1)])
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM ttl_out").collect()
-        k1 = [r for r in rows if r["user_id"] == 1 and r["event_id"] != -1][-1]
+        k1 = [r for r in rows if r["user_id"] == 1 and not r["retracted"]][-1]
         assert k1["event_id"] == 11
     finally:
         q.stop()
@@ -331,7 +335,7 @@ def test_lastwins_no_ttl_keeps_all_state(spark, tmp_path):
     try:
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM nottl_out").collect()
-        assert not [r for r in rows if r["event_id"] == -1]
+        assert not [r for r in rows if r["retracted"]]
         assert {r["user_id"] for r in rows} == {1, 2}
     finally:
         q.stop()
