@@ -43,6 +43,14 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
         "spark.sql.adaptive.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     },
+    # AQE re-plans each query stage with a driver round-trip; with ~70 stage
+    # jobs that is exactly the suspected fixed-cost class. Off = one static
+    # plan per action, fewer (bigger) jobs, no runtime coalesce/skew handling.
+    "noaqe": {"spark.sql.adaptive.enabled": "false"},
+    "noaqe_nobcast": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    },
 }
 
 

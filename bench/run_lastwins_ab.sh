@@ -1,0 +1,27 @@
+#!/bin/bash
+# Same-session worktree A/B for lastwins_10m + small-query controls
+# (VERDICT r4 "what's wrong" #1): r4 tip vs HEAD, interleaved, each run its
+# own process. The headline ns/row number quoted against the reference
+# baseline must come from this protocol, not a single driver bench.
+# Analysis uses the per-run arrays (min over warm runs) so the r4/r5
+# protocol difference (cold-run handling) cannot skew the compare.
+set -u
+cd "$(dirname "$0")/.."
+R4_TIP=${R4_TIP:-c9555c1}
+WT=/tmp/wt_r4_lastwins
+OUT=BENCH/raw/lastwins_ab_r5.jsonl
+mkdir -p BENCH/raw
+git worktree add "$WT" "$R4_TIP" 2>/dev/null || true
+QUERIES=${QUERIES:-"lastwins_10m,window_counts,exact_dup_groups"}
+ROUNDS=${ROUNDS:-4}
+for r in $(seq 1 "$ROUNDS"); do
+  for side in HEAD R4; do
+    dir=.; [ "$side" = R4 ] && dir="$WT"
+    echo "=== round $r side $side ==="
+    ( cd "$dir" && SPARK_GRAFT_BENCH_REPEATS=6 \
+        python bench.py --only "$QUERIES" --cpus 32 2>/dev/null | tail -1 ) \
+      | sed "s/^/{\"side\": \"$side\", \"round\": $r, \"bench\": /; s/\$/}/" \
+      | tee -a "$OUT"
+  done
+done
+echo "done -> $OUT"

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Interleaved fixed-cost study (VERDICT r4 #1): each variant in its own
+# process (fresh JVM), round-robin so VM drift hits all variants equally.
+# Appends one JSON line per run to BENCH/raw/profile_study_r5.jsonl.
+set -u
+cd "$(dirname "$0")/.."
+OUT=BENCH/raw/profile_study_r5.jsonl
+mkdir -p BENCH/raw
+ROUNDS=${ROUNDS:-3}
+CPUS=${CPUS:-8}
+ROWS=${ROWS:-600000}
+VARIANTS=${VARIANTS:-"baseline nobcast bcast8m noaqe noaqe_nobcast"}
+for r in $(seq 1 "$ROUNDS"); do
+  for v in $VARIANTS; do
+    echo "=== round $r variant $v ==="
+    python bench/job_profile.py --variant "$v" --cpus "$CPUS" --rows "$ROWS" \
+      | tail -1 >> "$OUT"
+  done
+done
+echo "done -> $OUT"

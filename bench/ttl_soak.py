@@ -1,0 +1,143 @@
+"""TTL state-bound soak for streaming last-wins (VERDICT r4 #8).
+
+The open-key-domain failure mode: `lastwins_stream` with NoTimeout keeps one
+state row per key EVER seen, so a stream whose keys never repeat (session
+ids, request ids) grows state forever. The r4 TTL path
+(`streaming/batching.py:79`, EventTimeTimeout + tombstones) must bound it.
+
+This harness makes that decidable: a `rate` source mapped so EVERY key is
+unique (user_id = value — the worst case for state growth), run twice:
+  - ttl_s=None  — state rows must grow ~linearly with rows ingested;
+  - ttl_s=K     — state rows must plateau at ~rate x (K + watermark slack),
+                  with numRowsRemoved > 0 showing live eviction.
+
+State size is read from the engine's own accounting: each progress event's
+stateOperators[0] numRowsTotal / numRowsRemoved (no filesystem spelunking).
+Appends the two curves to BENCH/STREAMING_SOAK.md.
+
+Usage: python bench/ttl_soak.py [--rate 2000] [--ttl-s 10] [--secs 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve here)
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run_one(spark, ttl_s, rate, secs, name):
+    from pyspark.sql import functions as F
+
+    from go_pipeline_spark.streaming import batching
+
+    src = batching.read_rate_stream(spark, rows_per_second=rate, num_partitions=4)
+    events = src.select(
+        F.col("value").alias("user_id"),  # unique per row: open key domain
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 1000).cast("double").alias("value"),
+    )
+    lw = batching.lastwins_stream(events, ttl_s=ttl_s, watermark_delay="2 seconds")
+    q = (
+        lw.writeStream.outputMode("update")
+        .format("noop")
+        .queryName(name)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    samples = []  # (t_s, batch_id, rows_in_total, state_rows, removed_total)
+    seen_batches = set()
+    rows_in = 0
+    removed = 0
+    t0 = time.time()
+    try:
+        while time.time() - t0 < secs:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if not p or p["batchId"] in seen_batches:
+                continue
+            seen_batches.add(p["batchId"])
+            rows_in += p.get("numInputRows", 0)
+            ops = p.get("stateOperators") or []
+            if not ops:
+                continue
+            removed += ops[0].get("numRowsRemoved", 0)
+            samples.append(
+                (
+                    round(time.time() - t0, 1),
+                    p["batchId"],
+                    rows_in,
+                    ops[0]["numRowsTotal"],
+                    removed,
+                )
+            )
+    finally:
+        q.stop()
+    return samples
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rate", type=int, default=2000)
+    ap.add_argument("--ttl-s", type=int, default=10)
+    ap.add_argument("--secs", type=int, default=60)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from go_pipeline_spark.session import get_spark
+
+    spark = get_spark(cores=args.cpus, app_name="ttl-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    nottl = run_one(spark, None, args.rate, args.secs, "soak_nottl")
+    ttl = run_one(spark, args.ttl_s, args.rate, args.secs, "soak_ttl")
+    spark.stop()
+
+    def fmt(samples):
+        lines = ["| t (s) | batch | rows ingested | state rows | rows evicted (cum) |",
+                 "|---|---|---|---|---|"]
+        for t, b, rin, srows, rem in samples:
+            lines.append(f"| {t} | {b} | {rin} | {srows} | {rem} |")
+        return "\n".join(lines)
+
+    # decidability summary: growth slope of the tail half of each curve
+    def tail_slope(samples):
+        half = samples[len(samples) // 2 :]
+        if len(half) < 2:
+            return float("nan")
+        dt = half[-1][0] - half[0][0]
+        return (half[-1][3] - half[0][3]) / dt if dt else float("nan")
+
+    out = [
+        "",
+        f"## TTL state-bound soak (round 5) — open key domain, rate={args.rate}/s, "
+        f"local[{args.cpus}]",
+        "",
+        "Every key unique (worst case). `numRowsTotal` from the engine's own "
+        "stateOperators accounting.",
+        "",
+        f"### ttl_s=None ({args.secs}s) — tail growth "
+        f"{tail_slope(nottl):.0f} state rows/s (linear, ≈ ingest rate)",
+        "",
+        fmt(nottl),
+        "",
+        f"### ttl_s={args.ttl_s} ({args.secs}s) — tail growth "
+        f"{tail_slope(ttl):.0f} state rows/s (bounded ⇔ ≈0)",
+        "",
+        fmt(ttl),
+        "",
+    ]
+    doc = REPO / "BENCH" / "STREAMING_SOAK.md"
+    doc.write_text(doc.read_text() + "\n".join(out) + "\n")
+    print(f"nottl tail slope {tail_slope(nottl):.0f} rows/s; "
+          f"ttl tail slope {tail_slope(ttl):.0f} rows/s; appended to {doc}")
+
+
+if __name__ == "__main__":
+    main()
