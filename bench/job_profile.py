@@ -34,7 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pandas as pd  # noqa: F401  (module-level: pandas-UDF hints resolve)
 
 VARIANTS: dict[str, dict[str, str]] = {
+    # NOTE: the r5 study ran when the session default was a 64 MB broadcast
+    # threshold; its winner (bcast8m) became the session default afterward,
+    # so "baseline" now ≡ bcast8m and "bcast64m" reproduces the old default.
     "baseline": {},
+    "bcast64m": {
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    },
     "nobcast": {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
@@ -50,6 +57,10 @@ VARIANTS: dict[str, dict[str, str]] = {
     "noaqe_nobcast": {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+    },
+    "noaqe_bcast8m": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     },
 }
 

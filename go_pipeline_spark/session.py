@@ -62,7 +62,22 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 8 MB broadcast ceiling (r5 fixed-cost study, BENCH/REGRESSION.md):
+        # the old 64 MB threshold made Spark broadcast medium-size sides
+        # (signature/content maps at 600k docs) — each one a BLOCKING driver
+        # collect + rebuild + per-core memory copy. At 8 MB those joins
+        # become shuffles that parallelize cleanly (local[32] 600k pipeline:
+        # 94.8/98.2s vs 111.2/122.7s baseline, interleaved own-process A/B)
+        # while AQE stays on for skew-join safety — disabling AQE outright
+        # measured worse at 32 cores despite 69→6 jobs. At 100 TB the same
+        # logic holds harder: a >8 MB broadcast per executor from a hot
+        # driver is a scale liability; genuinely tiny post-filter sides
+        # still broadcast, adaptively too.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(8 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
