@@ -123,12 +123,14 @@ def main() -> None:
         "stateOperators accounting.",
         "",
         f"### ttl_s=None ({args.secs}s) — tail growth "
-        f"{tail_slope(nottl):.0f} state rows/s (linear, ≈ ingest rate)",
+        f"{tail_slope(nottl):.0f} state rows/s vs ingest {args.rate}/s "
+        "(state ≈ every key ever seen)",
         "",
         fmt(nottl),
         "",
         f"### ttl_s={args.ttl_s} ({args.secs}s) — tail growth "
-        f"{tail_slope(ttl):.0f} state rows/s (bounded ⇔ ≈0)",
+        f"{tail_slope(ttl):.0f} state rows/s vs ingest {args.rate}/s "
+        f"(bounded: plateau target ≈ rate × (ttl + watermark + batch dur))",
         "",
         fmt(ttl),
         "",
