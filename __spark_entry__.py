@@ -40,7 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_pipeline_spark.config import PipelineConfig  # noqa: E402
 from go_pipeline_spark.functions import textstats  # noqa: E402
-from go_pipeline_spark.operators import similarity, windows  # noqa: E402
+from go_pipeline_spark.operators import decontaminate, similarity, windows  # noqa: E402
+from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators.dedup import with_content_sha  # noqa: E402
 from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline  # noqa: E402
 from go_pipeline_spark.sources.tables import load_table  # noqa: E402
@@ -568,6 +569,52 @@ def q_dedup_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile token-n-gram overlap rule,
+    n=8 here because testdata docs average ~54 tokens): per contaminated
+    doc, how many DISTINCT benchmark n-grams it contains. The benchmark set
+    is derived from the corpus itself — the 8-gram at token positions 3..10
+    of every doc with doc_id % 37 == 0 and >= 10 tokens — so the oracle
+    rebuilds it verbatim and the overlap is non-vacuous (the source docs
+    hit their own gram; the testdata's repeated token runs add genuine
+    cross-document hits). Corpus side never shuffles for the match
+    (benchmark broadcast; see operators/decontaminate.py)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = d.where((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 10)).select(
+        F.array_join(F.slice(toks, 3, 8), " ").alias("gram")
+    )
+    return decontaminate.benchmark_ngram_hits(d, bench, n=8)
+
+
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time-correct attribution): each click event
+    joined to the same user's most recent view at-or-before it. Runs the
+    union + running-window form (ONE shuffle per side on user_id, no
+    theta-join — operators/asof.py); DuckDB's native ASOF LEFT JOIN is the
+    oracle. Ties are absent in testdata ((user_id, ts) unique per type) but
+    the operator breaks them deterministically by view_event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", F.col("value").alias("click_value")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        how="left",
+        right_tiebreak="view_event_id",
+    ).select("event_id", "user_id", "click_value", "view_event_id", "view_value")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -603,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_trained_topk": q_ivf_trained_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_srp_gated": q_embedding_near_dups_srp_gated,
+        "decontamination": q_decontamination,
+        "asof_click_view": q_asof_click_view,
     }
 
 
@@ -994,5 +1043,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS src, b.vec_id AS dst
             FROM r a JOIN r b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "decontamination": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            bench AS (
+              SELECT DISTINCT array_to_string(list_slice(ts, 3, 10), ' ') AS gram
+              FROM toks WHERE doc_id % 37 = 0 AND len(ts) >= 10
+            ),
+            pos AS (
+              SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+              FROM toks WHERE len(ts) >= 8
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+              FROM pos
+            )
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bench b USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "asof_click_view": """
+            SELECT c.event_id, c.user_id, c.value AS click_value,
+                   v.event_id AS view_event_id, v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
         """,
     }

@@ -1,0 +1,112 @@
+"""As-of join: attach to each left row the latest right row at-or-before it.
+
+The time-series primitive the reference's windowed buffers gesture at but
+never provide (its batches order by arrival within one process —
+/root/reference/pipeline_impl.go:173-215); in a distributed engine the same
+"most recent state as of t" question must be answered per key across the
+whole table. Classic uses in a training-data pipeline: click→last-view
+attribution, joining slowly-changing metadata (license, repo visibility) to
+file snapshots, point-in-time-correct feature joins.
+
+Spark-first shape — the UNION + RUNNING-WINDOW form, not a join:
+
+    tag left rows 1 / right rows 0, union on (key, ts, tag), then
+    last(right_payload, ignorenulls) over
+        partitionBy(key) orderBy(ts, tag, tiebreak)
+        rowsBetween(unboundedPreceding, currentRow)
+    and keep the left rows.
+
+Why this survives 100 TB where the naive forms don't:
+  * an inequality theta-join (l.ts >= r.ts) plans as BroadcastNestedLoop or
+    a cartesian per key — O(|L|·|R|) per key, dead at scale;
+  * groupBy(left_id) over a range-banded join duplicates every left row
+    once per candidate right row before aggregating it back down.
+  The union form is ONE shuffle of each side on the key, one sort within
+  the partition, and a running aggregate Spark evaluates incrementally
+  (UnboundedPreceding→CurrentRow frames are O(n) streaming, not O(n²)).
+  Skew: a hot key lands in one partition — if a single key's history
+  exceeds a partition, pre-bucket by coarse time range and as-of join
+  within buckets carrying the previous bucket's closing state (the same
+  decomposition the incremental pipeline uses for O(new) batches).
+
+Tie semantics: at equal timestamps, `strict=False` (default) lets a right
+row at exactly left.ts match (v.ts <= l.ts — DuckDB/pandas `merge_asof`
+default); `strict=True` requires v.ts < l.ts. Among right rows tied on
+(key, ts), the max of `right_tiebreak` wins deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, the latest right row with right_ts <= left_ts
+    (``strict=True``: <) sharing the ``on`` keys.
+
+    Output: all left columns, plus every right column except the keys
+    (right's ts column included, so callers can see the matched time).
+    ``how='left'`` keeps unmatched left rows with nulls; ``'inner'`` drops
+    them. Left/right non-key column names must be disjoint — rename before
+    calling (explicit beats suffix magic in a pipeline).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    lcols = [c for c in left.columns if c not in on]
+    rcols = [c for c in right.columns if c not in on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"left/right column collision: {sorted(overlap)}")
+
+    # at equal ts: <= needs the right row to sort BEFORE the left row
+    # (so the running last() at the left row has seen it); < needs AFTER.
+    l_tag, r_tag = (1, 0) if not strict else (0, 1)
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+
+    lu = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(l_tag).alias("_tag"),
+        F.lit(0).alias("_tb"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    ru = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(r_tag).alias("_tag"),
+        tb.alias("_tb"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*rcols).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_tag", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        lu.unionByName(ru)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_tag") == l_tag)
+    )
+    if how == "inner":
+        carried = carried.where(F.col("_match").isNotNull())
+    return carried.select(
+        *on,
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_match.{c}").alias(c) for c in rcols],
+    )

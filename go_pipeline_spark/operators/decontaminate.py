@@ -1,0 +1,102 @@
+"""Benchmark decontamination: token-n-gram overlap against an eval set.
+
+The standard LLM training-data hygiene operator (the GPT-3 / Pile
+"13-gram overlap" rule, n configurable): a training document is
+contaminated if any n consecutive tokens of it appear as n consecutive
+tokens of any benchmark/eval document. The reference library has no
+analogue — this belongs to the training-pipeline operator set the engine
+adds on top (SURVEY.md LLM-ops table).
+
+Spark-first shape for 100 TB:
+  * the BENCHMARK side is small by construction (eval suites are
+    10^5–10^6 n-grams) → broadcast; the corpus side never shuffles for
+    the match itself — n-gram generation is pure JVM higher-order
+    functions (sequence → transform(slice → array_join)), exploded and
+    broadcast-hash-joined. The only shuffle in the whole plan is the
+    final per-doc hit count on doc_id.
+  * the join key is the gram STRING, exact by construction (no
+    hash-collision accounting). If the benchmark side ever outgrows
+    broadcast, hash grams to 64-bit xxhash64 on both sides, prefilter
+    the corpus with a Bloom filter of benchmark hashes, and verify the
+    string on the surviving sliver — same plan shape, one extra filter.
+  * documents shorter than n tokens produce no grams (F.sequence over an
+    empty range) and can never be contaminated, matching the definition.
+
+Tokenization is a literal split on a single space — deliberately the
+dumbest possible rule so that the oracle (DuckDB string_split) and any
+reimplementation agree byte-for-byte; normalize upstream (the pipeline's
+`normalize_content`) if smarter tokens are wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_ngrams(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "gram",
+) -> DataFrame:
+    """(id_col, out_col): every position's space-joined token n-gram.
+
+    One row per position (not distinct — callers that count docs should
+    distinct on (id, gram)). All JVM-side: split → sequence → slice →
+    array_join → explode.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(grams).alias(out_col)
+    )
+
+
+def benchmark_ngram_hits(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_col: str = "gram",
+) -> DataFrame:
+    """(id_col, n_hits): per contaminated doc, how many DISTINCT benchmark
+    n-grams it contains. Docs with zero hits are absent (filter-side ops
+    anti-join on this result).
+
+    ``bench_grams`` is a (gram_col) DataFrame — typically produced by
+    running :func:`token_ngrams` over the eval set — and is broadcast.
+    """
+    grams = token_ngrams(docs, n, text_col, id_col, gram_col).dropDuplicates(
+        [id_col, gram_col]
+    )
+    bench = F.broadcast(bench_grams.select(gram_col).dropDuplicates())
+    return (
+        grams.join(bench, gram_col)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The filter form: ``docs`` minus every contaminated document.
+
+    Anti-joins on the hit set, so the pass-through side keeps all input
+    columns untouched; the contaminated-id side is tiny relative to the
+    corpus and broadcasts.
+    """
+    hits = benchmark_ngram_hits(docs, bench_grams, n, text_col, id_col)
+    return docs.join(
+        F.broadcast(hits.select(id_col)), id_col, "left_anti"
+    )

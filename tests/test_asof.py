@@ -1,0 +1,107 @@
+"""As-of join: pandas merge_asof as the reference implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 300
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_l),
+            "lts": rng.integers(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+            "lval": rng.standard_normal(n_l).round(3),
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_r),
+            "rts": rng.integers(0, 1000, n_r).astype("int64"),
+            "rid": np.arange(n_r, dtype="int64"),
+            "rval": rng.standard_normal(n_r).round(3),
+        }
+    )
+    # guarantee equal-timestamp collisions so the <=/< distinction is hit
+    rp.loc[:20, "rts"] = lp.loc[:20, "lts"].to_numpy()
+    rp.loc[:20, "k"] = lp.loc[:20, "k"].to_numpy()
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+    return lp, rp, left, right
+
+
+def _expected(lp, rp, strict):
+    """merge_asof can't break (k, ts) ties by rid, so do it by hand."""
+    out = {}
+    for row in lp.itertuples():
+        best = None
+        for r in rp.itertuples():
+            if r.k != row.k:
+                continue
+            if (r.rts > row.lts) if not strict else (r.rts >= row.lts):
+                continue
+            if best is None or (r.rts, r.rid) > (best.rts, best.rid):
+                best = r
+        out[row.lid] = (best.rid, best.rval) if best else (None, None)
+    return out
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_reference(spark, sides, strict):
+    lp, rp, left, right = sides
+    got = asof_join(
+        left,
+        right,
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        strict=strict,
+        right_tiebreak="rid",
+    ).collect()
+    exp = _expected(lp, rp, strict)
+    assert len(got) == len(lp)  # how='left' keeps every left row
+    for r in got:
+        assert (r["rid"], r["rval"]) == exp[r["lid"]], r["lid"]
+
+
+def test_asof_inner_drops_unmatched(spark, sides):
+    lp, rp, left, right = sides
+    exp = _expected(lp, rp, strict=False)
+    got = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", how="inner",
+        right_tiebreak="rid",
+    ).collect()
+    n_matched = sum(1 for v in exp.values() if v[0] is not None)
+    assert len(got) == n_matched
+    assert all(r["rid"] is not None for r in got)
+
+
+def test_asof_rejects_column_collision(spark, sides):
+    _, _, left, right = sides
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(
+            left.withColumnRenamed("lval", "rval"),
+            right,
+            on=["k"],
+            left_ts="lts",
+            right_ts="rts",
+        )
+
+
+def test_asof_single_shuffle_plan(spark, sides):
+    """The union+window form must plan ONE exchange per side on the key —
+    no BroadcastNestedLoop / cartesian (what a naive theta-join becomes)."""
+    _, _, left, right = sides
+    plan = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan

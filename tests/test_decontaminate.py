@@ -1,0 +1,79 @@
+"""Benchmark decontamination: planted-overlap corpus with a hand oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import decontaminate as dc
+
+BENCH_GRAM = "alpha beta gamma"  # n=3
+DOCS = [
+    # doc 0: contains the benchmark 3-gram mid-document
+    (0, "zero one alpha beta gamma two three"),
+    # doc 1: clean — has the tokens but never consecutively
+    (1, "alpha one beta two gamma three alpha beta"),
+    # doc 2: the gram twice + a second benchmark gram once -> 2 DISTINCT hits
+    (2, "alpha beta gamma x alpha beta gamma y delta epsilon zeta"),
+    # doc 3: shorter than n tokens -> can never be contaminated
+    (3, "alpha beta"),
+    # doc 4: gram at the very start and very end (boundary positions)
+    (4, "alpha beta gamma mid delta epsilon zeta"),
+]
+BENCH = [(BENCH_GRAM,), ("delta epsilon zeta",)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "gram string")
+    return docs, bench
+
+
+def test_token_ngrams_positions(spark, corpus):
+    docs, _ = corpus
+    got = (
+        dc.token_ngrams(docs.where(F.col("doc_id") == 0), n=3)
+        .orderBy("gram")
+        .collect()
+    )
+    # 7 tokens -> 5 positions, in order
+    grams = sorted(r["gram"] for r in got)
+    assert len(grams) == 5
+    assert BENCH_GRAM in grams
+    assert "zero one alpha" in grams
+
+
+def test_hits_count_distinct_benchmark_grams(spark, corpus):
+    docs, bench = corpus
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in dc.benchmark_ngram_hits(docs, bench, n=3).collect()
+    }
+    # doc 2 repeats the first gram but hits are DISTINCT grams: 2, not 3
+    assert got == {0: 1, 2: 2, 4: 2}
+
+
+def test_decontaminate_filters_and_preserves_columns(spark, corpus):
+    docs, bench = corpus
+    survivors = dc.decontaminate(docs, bench, n=3)
+    assert survivors.columns == docs.columns
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3]
+
+
+def test_short_docs_produce_no_grams(spark, corpus):
+    docs, _ = corpus
+    assert dc.token_ngrams(docs.where(F.col("doc_id") == 3), n=3).count() == 0
+
+
+def test_bench_side_is_broadcast(spark, corpus):
+    """The corpus side must never shuffle for the match: the benchmark
+    join plans as a broadcast hash join."""
+    docs, bench = corpus
+    plan = (
+        dc.benchmark_ngram_hits(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
