@@ -151,6 +151,8 @@ def bench_queries(spark, sf_dir: str):
         "ivf_ann_topk": q("ivf_ann_topk"),
         "ivf_trained_topk": q("ivf_trained_topk"),  # NEW r5 (trained quantizer)
         "dedup_source_files": q("dedup_source_files"),
+        "decontamination": q("decontamination"),  # NEW r5 (n-gram overlap)
+        "asof_click_view": q("asof_click_view"),  # NEW r5 (as-of join)
         "tpch_q1": q("tpch_q1"),
         "join_orders_nation": q("join_orders_nation"),
     }, {
