@@ -40,7 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_pipeline_spark.config import PipelineConfig  # noqa: E402
 from go_pipeline_spark.functions import textstats  # noqa: E402
-from go_pipeline_spark.operators import decontaminate, similarity, windows  # noqa: E402
+from go_pipeline_spark.operators import (  # noqa: E402
+    decontaminate,
+    sampling,
+    similarity,
+    windows,
+)
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators.dedup import with_content_sha  # noqa: E402
 from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline  # noqa: E402
@@ -615,6 +620,40 @@ def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "click_value", "view_event_id", "view_value")
 
 
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sample (operators/sampling.py): keep the
+    ~10% of documents whose sha256(seed ␟ doc_id) 8-hex prefix falls under
+    round(0.1*2^32). Unlike df.sample(), membership is a pure function of
+    the row — stable under repartitioning, retries, and cluster size —
+    which is exactly what lets DuckDB evaluate the identical predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, ["doc_id"], 0.1, seed=1).select(
+        "doc_id", "lang"
+    )
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota sample (domain-mixing primitive): at most 50 docs
+    per lang, chosen in deterministic hash order of doc_id. Exact form =
+    one shuffle on lang + row_number; the prefilter hot-group form is
+    pinned row-identical by tests/test_sampling.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.quota_per_group(d, ["lang"], 50, ["doc_id"], seed=2).select(
+        "doc_id", "lang"
+    )
+
+
+def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment by cumulative hash thresholds
+    (80/10/10): a row never migrates between splits across runs or corpus
+    re-snapshots. Emits per-(split, lang) counts."""
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5
+    )
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -652,6 +691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_srp_gated": q_embedding_near_dups_srp_gated,
         "decontamination": q_decontamination,
         "asof_click_view": q_asof_click_view,
+        "hash_sample_docs": q_hash_sample_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "train_test_split_counts": q_train_test_split_counts,
     }
 
 
@@ -1071,5 +1113,37 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        # thresholds are round(frac * 16^8) as 8 lowercase hex chars —
+        # equal-length hex orders like the integers it encodes, so both
+        # engines compare strings, no 64-bit arithmetic involved
+        "hash_sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(sha256(concat_ws(chr(31), '1',
+                    CAST(doc_id AS VARCHAR))), 1, 8) < '1999999a'
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substring(sha256(concat_ws(chr(31), '2',
+                                 CAST(doc_id AS VARCHAR))), 1, 8), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 50
+        """,
+        "train_test_split_counts": """
+            WITH h AS (
+              SELECT lang,
+                     substring(sha256(concat_ws(chr(31), '5',
+                       CAST(doc_id AS VARCHAR))), 1, 8) AS hx
+              FROM documents
+            )
+            SELECT CASE WHEN hx < 'cccccccd' THEN 'train'
+                        WHEN hx < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n_docs
+            FROM h GROUP BY 1, 2
         """,
     }

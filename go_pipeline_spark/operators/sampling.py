@@ -1,0 +1,206 @@
+"""Deterministic content-hash sampling, splits, and per-group quotas.
+
+Training-data pipelines sample constantly — corpus down-sampling, per-domain
+quota mixing, train/val/test splits — and at 100 TB the sampling decision
+must be a PURE FUNCTION OF THE ROW, never of execution:
+
+  * `df.sample(fraction)` draws from a per-partition RNG stream, so the
+    selected set changes under repartitioning, AQE re-plans, speculative
+    task retries, and cluster size — a retried task can silently emit a
+    different sample than the attempt it replaced. At 10^12 rows some task
+    WILL retry.
+  * a hash-of-content decision (`h(key) < fraction`) is reproducible
+    forever: the same row is in the same split on every run, any cluster,
+    any engine — which is also what makes the DuckDB oracle possible, and
+    what keeps train/test membership stable as the corpus is re-snapshotted
+    (a row that was test never leaks into train on the next build).
+
+Mechanics: the first 8 hex chars of sha256(seed ␟ key...) are compared
+lexicographically against `round(fraction * 16^8)` formatted as 8 hex
+chars — hex strings of equal length order identically to the integers
+they encode, so both Spark and any SQL oracle evaluate the identical
+predicate with no 64-bit arithmetic (which DuckDB would trap on overflow).
+The filter is a row-local predicate: no shuffle, pushes past column
+pruning, cost ≈ one sha256 per row on the scan.
+
+The quota operator (`quota_per_group`) is the per-domain mixing primitive
+("at most n docs per language/domain"): deterministic top-n per group in
+hash order. The exact form is one shuffle on the group key + row_number.
+For hot groups (one domain = 30% of the corpus) the sort of that group
+lands in one task, so `prefilter=True` runs the two-phase form: count per
+group (partial-agg shuffle of counters only), derive each group's
+approximate n-th-smallest hash as a threshold (hashes are uniform, so the
+n-th of cnt is ≈ n/cnt of the key space, oversampled 4x), keep only rows
+under the threshold (map-side, prunes ~everything), and run the exact
+row_number on the sliver. Groups where the estimate undershot (detected by
+comparing kept counts against min(n, cnt)) are rescued with an exact pass
+over just those groups — correctness never depends on the estimate.
+
+No reference analogue (the library has no sampling surface); this belongs
+to the LLM-pipeline operator set layered on top (SURVEY.md LLM-ops table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 8 hex chars = 32 bits of the sha256; fractions quantize to k / 2^32.
+_HEX_DIGITS = 8
+_SPACE = 16**_HEX_DIGITS
+_SEP = "\x1f"
+
+
+def hash_hex(keys: list[str], seed: int = 0):
+    """First 8 hex chars of sha256(seed ␟ key ␟ ...), as a Column.
+
+    Keys are cast to string; NULL keys are skipped by concat_ws in both
+    Spark and DuckDB (document keys as non-null, or coalesce upstream).
+    """
+    parts = [F.lit(str(seed))] + [F.col(k).cast("string") for k in keys]
+    return F.substring(F.sha2(F.concat_ws(_SEP, *parts), 256), 1, _HEX_DIGITS)
+
+
+def _threshold_hex(fraction: float) -> str:
+    thr = int(round(fraction * _SPACE))
+    thr = max(0, min(_SPACE, thr))
+    # 16^8 itself would format to 9 chars and break the equal-length
+    # lexicographic ordering; callers special-case fraction >= 1.
+    return format(min(thr, _SPACE - 1) if thr < _SPACE else _SPACE, "08x")
+
+
+def hash_sample(
+    df: DataFrame, keys: list[str], fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic sample: keep rows with hash_hex(keys) < fraction.
+
+    Quantized to k/2^32 (exact for any fraction expressible there). The
+    same (keys, seed) row is kept on every run regardless of partitioning,
+    retries, or cluster size.
+    """
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.where(F.lit(False))
+    return df.where(hash_hex(keys, seed) < F.lit(_threshold_hex(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    keys: list[str],
+    weights: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by cumulative hash
+    thresholds (e.g. {"train": 0.8, "val": 0.1, "test": 0.1}).
+
+    Weights are normalized to sum 1; the last split absorbs the rounding
+    remainder so every row is assigned. Membership is stable across runs
+    and corpus re-snapshots — a row never migrates between splits.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = hash_hex(keys, seed)
+    names = list(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])  # fallback: last split takes the remainder
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        conds.append((name, _threshold_hex(cum)))
+    # build CASE WHEN h < t1 THEN s1 WHEN h < t2 THEN s2 ... ELSE last
+    case = None
+    for name, thr in conds:
+        branch = (h < F.lit(thr), F.lit(name))
+        case = F.when(*branch) if case is None else case.when(*branch)
+    out = expr if case is None else case.otherwise(expr)
+    return df.withColumn(out_col, out)
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_keys: list[str],
+    n: int,
+    tiebreak: list[str],
+    seed: int = 0,
+    prefilter: bool = False,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Deterministic quota sample: at most n rows per group, chosen in
+    hash order of the tiebreak keys (uniform, content-stable).
+
+    exact form (default): ONE shuffle on the group keys + row_number —
+    the right plan whenever no single group dwarfs its task. prefilter
+    form: see module docstring — hot groups are pre-pruned map-side by an
+    estimated hash threshold; an exact rescue pass covers any group where
+    the estimate undershot, so results are identical to the exact form
+    (pinned by pytest equivalence).
+    """
+    if n <= 0:
+        return df.where(F.lit(False))
+    h = hash_hex(tiebreak, seed)
+    order = [h.asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*group_keys).orderBy(*order)
+
+    def exact(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
+    if not prefilter:
+        return exact(df)
+
+    counts = df.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("__cnt"))
+    # n-th smallest of cnt uniform 32-bit hashes ≈ (n/cnt) * 2^32;
+    # oversample so undershoot is rare (rescued exactly below, never lost).
+    thr = F.when(
+        F.col("__cnt") <= F.lit(int(n * oversample)), F.lit("ffffffff")
+    ).otherwise(
+        F.lpad(
+            # conv emits UPPERCASE hex; sha2 emits lowercase — lower() so
+            # the lexicographic compare stays numeric
+            F.lower(
+                F.conv(
+                    F.least(
+                        F.lit(float(_SPACE - 1)),
+                        F.ceil(
+                            F.lit(float(_SPACE) * n * oversample) / F.col("__cnt")
+                        ),
+                    )
+                    .cast("long")
+                    .cast("string"),
+                    10,
+                    16,
+                )
+            ),
+            _HEX_DIGITS,
+            "0",
+        )
+    )
+    counts = counts.withColumn("__thr", thr)
+    sliver = (
+        df.join(F.broadcast(counts), on=group_keys, how="inner")
+        .where(h <= F.col("__thr"))
+        .drop("__cnt", "__thr")
+    )
+    kept = exact(sliver)
+    # rescue: any group whose sliver didn't reach min(n, cnt) re-runs exact
+    # on the full group (estimate undershot — rare by construction)
+    got = kept.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("__got"))
+    short = (
+        counts.join(got, on=group_keys, how="left")
+        .where(
+            F.coalesce(F.col("__got"), F.lit(0))
+            < F.least(F.lit(n), F.col("__cnt"))
+        )
+        .select(*group_keys)
+    )
+    ok = kept.join(F.broadcast(short), on=group_keys, how="left_anti")
+    rescued = exact(df.join(F.broadcast(short), on=group_keys, how="inner"))
+    return ok.unionByName(rescued)

@@ -1,0 +1,173 @@
+"""Deterministic hash sampling / splits / per-group quotas.
+
+The load-bearing properties: the decision is a pure function of the row
+(stable under repartitioning — the thing df.sample() does NOT give you),
+it matches an independent Python sha256 reference bit-for-bit, and the
+prefilter quota form is row-identical to the exact form even when the
+threshold estimate is forced to undershoot (rescue path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    quota_per_group,
+)
+
+SEP = "\x1f"
+
+
+def _ref_hex(seed: int, *keys) -> str:
+    payload = SEP.join([str(seed)] + [str(k) for k in keys])
+    return hashlib.sha256(payload.encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_sample_matches_python_reference(spark, ids_df):
+    frac = 0.25
+    got = {
+        r.doc_id for r in hash_sample(ids_df, ["doc_id"], frac, seed=7).collect()
+    }
+    thr = format(int(round(frac * 16**8)), "08x")
+    want = {i for i in range(5000) if _ref_hex(7, i) < thr}
+    assert got == want
+    # uniform hash => fraction lands near 0.25
+    assert 0.2 < len(got) / 5000 < 0.3
+
+
+def test_hash_sample_stable_under_repartition(spark, ids_df):
+    a = {r.doc_id for r in hash_sample(ids_df, ["doc_id"], 0.1, seed=3).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(
+            ids_df.repartition(17, "doc_id"), ["doc_id"], 0.1, seed=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hash_sample_edges(spark, ids_df):
+    assert hash_sample(ids_df, ["doc_id"], 1.0).count() == 5000
+    assert hash_sample(ids_df, ["doc_id"], 0.0).count() == 0
+
+
+def test_hash_sample_seed_changes_selection(spark, ids_df):
+    a = {r.doc_id for r in hash_sample(ids_df, ["doc_id"], 0.2, seed=1).collect()}
+    b = {r.doc_id for r in hash_sample(ids_df, ["doc_id"], 0.2, seed=2).collect()}
+    assert a != b
+    # independence: overlap near 0.2 * 0.2 of the corpus
+    assert len(a & b) < 0.5 * min(len(a), len(b))
+
+
+def test_hash_split_partition_of_unity(spark, ids_df):
+    out = hash_split(
+        ids_df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # every row exactly one split
+    assert counts["train"] > 3700 and counts["val"] > 300 and counts["test"] > 300
+    # membership is a pure row function: recompute == first run
+    again = hash_split(
+        ids_df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5
+    )
+    assert (
+        out.join(again.withColumnRenamed("split", "split2"), "doc_id")
+        .where(F.col("split") != F.col("split2"))
+        .count()
+        == 0
+    )
+
+
+def test_hash_split_matches_python_reference(spark, ids_df):
+    out = {
+        r.doc_id: r.split
+        for r in hash_split(
+            ids_df, ["doc_id"], {"a": 0.5, "b": 0.5}, seed=9
+        ).collect()
+    }
+    thr = format(int(round(0.5 * 16**8)), "08x")
+    for i in range(0, 5000, 97):
+        assert out[i] == ("a" if _ref_hex(9, i) < thr else "b")
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # group 'hot' holds 80% of rows; a few tiny groups (< n) exercise the
+    # keep-everything branch
+    return spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3200, F.lit("hot"))
+        .when(F.col("id") < 3960, F.concat(F.lit("g"), (F.col("id") % 8)))
+        .otherwise(F.lit("tiny"))
+        .alias("grp"),
+    )
+
+
+def _rows(df):
+    return sorted((r.grp, r.doc_id) for r in df.collect())
+
+
+def test_quota_exact_per_group_counts(spark, skewed_df):
+    out = quota_per_group(skewed_df, ["grp"], 50, ["doc_id"], seed=1)
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.grp: r.n for r in skewed_df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for g, size in sizes.items():
+        assert counts.get(g, 0) == min(50, size)
+
+
+def test_quota_exact_matches_python_reference(spark, skewed_df):
+    out = quota_per_group(skewed_df, ["grp"], 3, ["doc_id"], seed=4)
+    rows = [(r.grp, r.doc_id) for r in skewed_df.collect()]
+    want = set()
+    by_grp: dict[str, list] = {}
+    for g, i in rows:
+        by_grp.setdefault(g, []).append(i)
+    for g, members in by_grp.items():
+        members.sort(key=lambda i: (_ref_hex(4, i), i))
+        want |= {(g, i) for i in members[:3]}
+    assert set(_rows(out)) == want
+
+
+def test_quota_prefilter_identical_to_exact(spark, skewed_df):
+    exact = quota_per_group(skewed_df, ["grp"], 40, ["doc_id"], seed=2)
+    pre = quota_per_group(
+        skewed_df, ["grp"], 40, ["doc_id"], seed=2, prefilter=True
+    )
+    assert _rows(exact) == _rows(pre)
+
+
+def test_quota_prefilter_rescue_path_still_exact(spark, skewed_df):
+    """oversample≈1 makes the threshold undershoot with probability ~1/2
+    per group — the rescue pass must restore exactness anyway."""
+    exact = quota_per_group(skewed_df, ["grp"], 25, ["doc_id"], seed=6)
+    pre = quota_per_group(
+        skewed_df,
+        ["grp"],
+        25,
+        ["doc_id"],
+        seed=6,
+        prefilter=True,
+        oversample=1.0,
+    )
+    assert _rows(exact) == _rows(pre)
+
+
+def test_quota_n_zero_and_plan_shape(spark, skewed_df):
+    assert quota_per_group(skewed_df, ["grp"], 0, ["doc_id"]).count() == 0
+    # exact form: single shuffle on the group key, no cartesian
+    plan = quota_per_group(skewed_df, ["grp"], 5, ["doc_id"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
