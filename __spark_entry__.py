@@ -42,6 +42,7 @@ from go_pipeline_spark.config import PipelineConfig  # noqa: E402
 from go_pipeline_spark.functions import textstats  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     decontaminate,
+    repetition,
     sampling,
     similarity,
     windows,
@@ -654,6 +655,26 @@ def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (operators/repetition.py): the
+    MassiveText/Gopher duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and fraction of chars in the most frequent word bigram —
+    each a per-doc aggregate whose only shuffle keys are (doc_id, unit),
+    so the plan is perfectly parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = repetition.line_repetition_stats(d)
+    grams = repetition.top_ngram_stats(d, 2)
+    return lines.join(grams, "doc_id")
+
+
+def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter form at the Gopher paper's published cutoffs (dup-line 0.30,
+    dup-line-chars 0.20, top-bigram-chars 0.20): survivors only, via a
+    left-anti join on the per-doc reject set."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition.repetition_filter(d).select("doc_id", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -694,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "train_test_split_counts": q_train_test_split_counts,
+        "repetition_stats": q_repetition_stats,
+        "gopher_repetition_filter": q_gopher_repetition_filter,
     }
 
 
@@ -1145,5 +1168,112 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    lang, count(*) AS n_docs
             FROM h GROUP BY 1, 2
+        """,
+        # lines = newline-split non-empty; tokens = whitespace-split
+        # non-empty; definitions documented in operators/repetition.py
+        "repetition_stats": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)),
+                            x -> len(x) > 0)) AS line
+              FROM documents
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2
+            ), la AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     count(*) AS nd,
+                     CAST(sum((cnt - 1) * len(line)) AS BIGINT) AS dup_chars,
+                     CAST(sum(cnt * len(line)) AS BIGINT) AS tot_chars
+              FROM lc GROUP BY 1
+            ), t AS (
+              SELECT doc_id, len(text) AS doc_chars,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, doc_chars, toks[i] || ' ' || toks[i + 1] AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2
+            ), gc AS (
+              SELECT doc_id, doc_chars, gram, count(*) AS cnt
+              FROM g GROUP BY 1, 2, 3
+            ), gr AS (
+              SELECT doc_id, gram, cnt, doc_chars,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM gc
+            )
+            SELECT d.doc_id,
+                   COALESCE(la.n_lines, 0) AS n_lines,
+                   ROUND(CASE WHEN la.n_lines > 0
+                         THEN (la.n_lines - la.nd) / CAST(la.n_lines AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN la.tot_chars > 0
+                         THEN la.dup_chars / CAST(la.tot_chars AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_line_char_frac,
+                   g1.gram AS top_gram,
+                   COALESCE(ROUND(g1.cnt * len(g1.gram)
+                            / CAST(g1.doc_chars AS DOUBLE), 6), 0.0)
+                     AS top_gram_char_frac
+            FROM documents d
+            LEFT JOIN la ON d.doc_id = la.doc_id
+            LEFT JOIN (SELECT * FROM gr WHERE rn = 1) g1
+              ON d.doc_id = g1.doc_id
+        """,
+        "gopher_repetition_filter": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)),
+                            x -> len(x) > 0)) AS line
+              FROM documents
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2
+            ), la AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     count(*) AS nd,
+                     CAST(sum((cnt - 1) * len(line)) AS BIGINT) AS dup_chars,
+                     CAST(sum(cnt * len(line)) AS BIGINT) AS tot_chars
+              FROM lc GROUP BY 1
+            ), t AS (
+              SELECT doc_id, len(text) AS doc_chars,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, doc_chars, toks[i] || ' ' || toks[i + 1] AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2
+            ), gc AS (
+              SELECT doc_id, doc_chars, gram, count(*) AS cnt
+              FROM g GROUP BY 1, 2, 3
+            ), gr AS (
+              SELECT doc_id, gram, cnt, doc_chars,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM gc
+            ), stats AS (
+              SELECT d.doc_id,
+                     ROUND(CASE WHEN la.n_lines > 0
+                           THEN (la.n_lines - la.nd)
+                                / CAST(la.n_lines AS DOUBLE)
+                           ELSE 0.0 END, 6) AS dup_line_frac,
+                     ROUND(CASE WHEN la.tot_chars > 0
+                           THEN la.dup_chars / CAST(la.tot_chars AS DOUBLE)
+                           ELSE 0.0 END, 6) AS dup_line_char_frac,
+                     COALESCE(ROUND(g1.cnt * len(g1.gram)
+                              / CAST(g1.doc_chars AS DOUBLE), 6), 0.0)
+                       AS top_gram_char_frac
+              FROM documents d
+              LEFT JOIN la ON d.doc_id = la.doc_id
+              LEFT JOIN (SELECT * FROM gr WHERE rn = 1) g1
+                ON d.doc_id = g1.doc_id
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+            WHERE NOT (s.dup_line_frac > 0.30
+                       OR s.dup_line_char_frac > 0.20
+                       OR s.top_gram_char_frac > 0.20)
         """,
     }

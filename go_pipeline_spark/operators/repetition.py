@@ -1,0 +1,180 @@
+"""Within-document repetition signals (MassiveText / Gopher-style filters).
+
+LLM corpora are full of machine-generated boilerplate whose tell is
+*internal* repetition — the same line repeated hundreds of times, one
+navigation bigram making up half the characters. The Gopher/MassiveText
+quality rules threshold on exactly these per-document fractions
+(duplicate-line fraction, duplicate-line *character* fraction, fraction
+of characters in the most frequent word n-gram); this module computes
+them as corpus-scale DataFrame transforms. The reference library has no
+analogue — this belongs to the training-pipeline operator set the engine
+layers on top (SURVEY.md LLM-ops table).
+
+Spark-first shape for 100 TB:
+  * every signal is computed per document, so the ONLY shuffle key ever
+    used is (doc_id, unit) — perfectly parallel, no global state, no
+    skew beyond a single pathological document (and a document's units
+    hash-spread across partitions during the count, so even a 10 GB
+    repeated-line document only re-converges at the per-doc aggregate).
+  * line counting uses explode → partial-aggregating groupBy rather than
+    O(L²) higher-order `filter` scans inside a row: map-side combine
+    collapses each partition's duplicate lines before the exchange, so
+    the shuffle volume is the *distinct* lines per partition, and the
+    arithmetic stays in whole-stage codegen.
+  * the top-n-gram pass reuses the decontamination gram generator shape
+    (split → sequence → slice → array_join, all JVM) and resolves the
+    per-doc argmax with a (cnt DESC, gram ASC) row_number — deterministic
+    under any partitioning.
+  * documents with no qualifying units (no non-empty lines / fewer than
+    n tokens) are re-attached by a left join with zero fractions, so the
+    output is total over the input — a filter can threshold without
+    special-casing empties.
+
+Definitions (documented because thresholds only make sense against a
+fixed definition):
+  * lines = newline-split segments with empty segments dropped;
+    dup_line_frac       = (n_lines - n_distinct_lines) / n_lines
+    dup_line_char_frac  = chars in occurrences AFTER THE FIRST of each
+                          repeated line / chars in all lines
+  * tokens = whitespace-split non-empty; the top n-gram is the most
+    frequent n-token gram (space-rejoined), and
+    top_ngram_char_frac = cnt(top_gram) * len(top_gram) / len(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _nonempty(arr):
+    return F.filter(arr, lambda x: F.length(x) > F.lit(0))
+
+
+def line_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, n_lines, dup_line_frac, dup_line_char_frac) per input row.
+
+    One shuffle on (id, line) with map-side combine, one on id; fractions
+    are 0.0 for documents with no non-empty lines.
+    """
+    lines = _nonempty(F.split(F.col(text_col), "\n"))
+    per_line = (
+        df.select(F.col(id_col), F.explode(lines).alias("__line"))
+        .groupBy(id_col, "__line")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum((F.col("__cnt") - 1) * F.length("__line")).alias("__dup_chars"),
+        F.sum(F.col("__cnt") * F.length("__line")).alias("__tot_chars"),
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.round(
+            F.when(
+                F.col("n_lines") > 0,
+                (F.col("n_lines") - F.col("__nd"))
+                / F.col("n_lines").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                F.col("__tot_chars") > 0,
+                F.col("__dup_chars") / F.col("__tot_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, top_gram, top_gram_char_frac): the most frequent n-token
+    gram per document and the fraction of the document's characters it
+    accounts for (cnt * len(gram) / len(text)).
+
+    Ties break to the lexicographically smallest gram — deterministic
+    under any partitioning. Documents with fewer than n tokens get
+    (NULL, 0.0).
+    """
+    toks = _nonempty(F.split(F.col(text_col), "\\s+"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.length(text_col).alias("__doc_chars"),
+            F.when(F.size(toks) >= n, grams).alias("__grams"),
+        )
+        .where(F.col("__grams").isNotNull())
+        .select(id_col, "__doc_chars", F.explode("__grams").alias("__gram"))
+    )
+    counted = exploded.groupBy(id_col, "__doc_chars", "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__cnt"), F.asc("__gram")
+    )
+    top = (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__gram").alias("top_gram"),
+            F.round(
+                F.col("__cnt")
+                * F.length("__gram")
+                / F.col("__doc_chars").cast("double"),
+                6,
+            ).alias("top_gram_char_frac"),
+        )
+    )
+    out = df.select(id_col).join(top, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        "top_gram",
+        F.coalesce("top_gram_char_frac", F.lit(0.0)).alias(
+            "top_gram_char_frac"
+        ),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_char_frac: float = 0.20,
+) -> DataFrame:
+    """The filter form: drop documents failing any repetition threshold
+    (defaults are the Gopher paper's published cutoffs for these rules).
+
+    Pass-through keeps all input columns; the reject set is computed
+    per-doc and the surviving ids join back broadcast-free on doc_id
+    (both sides already hash-partitioned by the aggregates).
+    """
+    lines = line_repetition_stats(df, id_col, text_col)
+    grams = top_ngram_stats(df, 2, id_col, text_col)
+    bad = (
+        lines.join(grams, id_col)
+        .where(
+            (F.col("dup_line_frac") > max_dup_line_frac)
+            | (F.col("dup_line_char_frac") > max_dup_line_char_frac)
+            | (F.col("top_gram_char_frac") > max_top_bigram_char_frac)
+        )
+        .select(id_col)
+    )
+    return df.join(bad, id_col, "left_anti")

@@ -1,0 +1,84 @@
+"""Within-document repetition stats: hand-computed fractions, empty-doc
+totality, deterministic tie-break, and the Gopher-threshold filter form."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators import repetition
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_stats_hand_computed(spark):
+    # non-empty lines [a, b, a, c]: 4 lines, 3 distinct -> dup_line_frac
+    # 1/4; one repeated char ('a' again) over 4 line-chars -> 0.25
+    df = _docs(spark, [(1, "a\nb\na\n\nc")])
+    row = repetition.line_repetition_stats(df).collect()[0]
+    assert row.n_lines == 4
+    assert row.dup_line_frac == pytest.approx(0.25)
+    assert row.dup_line_char_frac == pytest.approx(0.25)
+
+
+def test_line_stats_empty_and_whitespace_docs_total(spark):
+    df = _docs(spark, [(1, ""), (2, "\n\n\n"), (3, "x")])
+    rows = {r.doc_id: r for r in repetition.line_repetition_stats(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    for i in (1, 2):
+        assert rows[i].n_lines == 0
+        assert rows[i].dup_line_frac == 0.0
+        assert rows[i].dup_line_char_frac == 0.0
+    assert rows[3].n_lines == 1 and rows[3].dup_line_frac == 0.0
+
+
+def test_line_char_frac_weights_by_length(spark):
+    # lines [looong, looong, x]: dup chars = 6 (second 'looong'),
+    # total = 13 -> 6/13; line frac = (3-2)/3
+    df = _docs(spark, [(1, "looong\nlooong\nx")])
+    row = repetition.line_repetition_stats(df).collect()[0]
+    assert row.dup_line_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert row.dup_line_char_frac == pytest.approx(6 / 13, abs=1e-6)
+
+
+def test_top_bigram_tie_breaks_lexicographic(spark):
+    # tokens [x y x y x]: "x y" x2 and "y x" x2 -> tie -> "x y" (lex min);
+    # frac = 2 * len("x y") / len(text) = 6/9
+    df = _docs(spark, [(1, "x y x y x")])
+    row = repetition.top_ngram_stats(df, 2).collect()[0]
+    assert row.top_gram == "x y"
+    assert row.top_gram_char_frac == pytest.approx(6 / 9, abs=1e-6)
+
+
+def test_top_bigram_short_doc_is_null_zero(spark):
+    df = _docs(spark, [(1, "solo"), (2, "")])
+    rows = {r.doc_id: r for r in repetition.top_ngram_stats(df, 2).collect()}
+    assert rows[1].top_gram is None and rows[1].top_gram_char_frac == 0.0
+    assert rows[2].top_gram is None and rows[2].top_gram_char_frac == 0.0
+
+
+def test_top_ngram_splits_on_any_whitespace(spark):
+    # tabs/newlines are token separators; bigram "a b" appears twice
+    df = _docs(spark, [(1, "a\tb\na b c")])
+    row = repetition.top_ngram_stats(df, 2).collect()[0]
+    assert row.top_gram == "a b"
+
+
+def test_repetition_filter_drops_spam_keeps_clean(spark):
+    spam_lines = "buy now\n" * 50 + "unique closing line"
+    clean = "the quick brown fox jumps over the lazy dog and keeps going"
+    df = _docs(spark, [(1, spam_lines), (2, clean)])
+    kept = repetition.repetition_filter(df)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_filter_passes_all_columns_through(spark):
+    # long enough that no single bigram trivially dominates the char count
+    text = "the quick brown fox jumps over one lazy dog near a quiet river"
+    df = spark.createDataFrame(
+        [(1, text, "en")], "doc_id long, text string, lang string"
+    )
+    out = repetition.repetition_filter(df)
+    assert out.columns == ["doc_id", "text", "lang"]
+    assert out.count() == 1
