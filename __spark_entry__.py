@@ -42,6 +42,7 @@ from go_pipeline_spark.config import PipelineConfig  # noqa: E402
 from go_pipeline_spark.functions import textstats  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     decontaminate,
+    packing,
     repetition,
     sampling,
     similarity,
@@ -675,6 +676,20 @@ def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition.repetition_filter(d).select("doc_id", "lang")
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): shard docs into 4 hash
+    buckets, greedily pack each bucket into 4096-char bins in hash order
+    (one window cumsum, no sequential scan), and emit per-bin audit stats.
+    The bin assignment is a pure function of the corpus — identical on
+    any cluster size or partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = packing.pack_docs(d, "n_chars", budget=4096, n_buckets=4, seed=3)
+    return packing.bin_stats(packed, "n_chars", 4096).select(
+        "bucket", "bin", "n_docs",
+        F.col("total_weight").alias("total_chars"), "overflow",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -717,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split_counts": q_train_test_split_counts,
         "repetition_stats": q_repetition_stats,
         "gopher_repetition_filter": q_gopher_repetition_filter,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -1275,5 +1291,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (s.dup_line_frac > 0.30
                        OR s.dup_line_char_frac > 0.20
                        OR s.top_gram_char_frac > 0.20)
+        """,
+        # bucket = first sha-nibble mod 4 (strpos table lookup); start =
+        # running-sum offset in (hash, doc_id) order; bin = start // 4096
+        "pack_documents": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     substring(sha256(concat_ws(chr(31), '3',
+                       CAST(doc_id AS VARCHAR))), 1, 8) AS hx
+              FROM documents
+            ), b AS (
+              SELECT doc_id, n_chars, hx,
+                     CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                          % 4 AS BIGINT) AS bucket
+              FROM h
+            ), c AS (
+              SELECT bucket, n_chars,
+                     CAST(sum(n_chars) OVER (
+                            PARTITION BY bucket ORDER BY hx, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT)
+                       AS start
+              FROM b
+            ), p AS (
+              SELECT bucket, n_chars, start,
+                     CAST(floor(start / 4096.0) AS BIGINT) AS bin
+              FROM c
+            )
+            SELECT bucket, bin, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   GREATEST(CAST(0 AS BIGINT),
+                            CAST(max(start + n_chars)
+                                 - 4096 * (max(bin) + 1) AS BIGINT))
+                     AS overflow
+            FROM p GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,101 @@
+"""Deterministic sequence packing: assign documents to fixed-budget bins.
+
+Training-batch construction packs variable-length documents into
+fixed-token-budget sequences ("packing" in the GPT/T5 data-prep sense).
+At 100 TB the assignment must be (a) a pure function of the corpus — the
+same doc lands in the same bin on every run, any cluster — and (b) free
+of any global sequential scan. The reference library has no analogue;
+this belongs to the training-pipeline operator set the engine layers on
+top (SURVEY.md LLM-ops table).
+
+Spark-first shape:
+  * a GLOBAL greedy first-fit is inherently sequential (bin boundaries
+    depend on every earlier doc), so we shard first: each doc hashes to
+    one of ``n_buckets`` independent buckets, and packing runs per bucket.
+    Bins are identified by (bucket, bin) and never cross buckets — the
+    standard shards-then-pack trade. Each bucket is one window partition;
+    at 10^12 docs you raise n_buckets to ≳ the shuffle width so every
+    task packs its own bucket (the driver query uses a small count to
+    keep the oracle readable).
+  * within a bucket, docs are ordered by their content hash (uniform,
+    content-stable — reuses `sampling.hash_hex`), a running-sum window
+    computes each doc's START offset, and the bin is
+    floor(start / budget). One shuffle (the window exchange), no
+    iteration, no driver participation.
+  * semantics: "contiguous greedy fill with boundary overflow" — a doc
+    whose span straddles a budget boundary belongs to the bin where it
+    STARTS, so a bin can exceed the budget by at most max(weight)-1.
+    This is the packing rule that is expressible as one window cumsum
+    (and therefore auditable by a SQL oracle); exact first-fit-decreasing
+    is NP-hard shuffling for a ~1% density win nobody takes at corpus
+    scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.sampling import hash_hex
+
+
+def pack_docs(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    id_keys: list[str] | None = None,
+    n_buckets: int = 16,
+    seed: int = 0,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Input columns + (bucket, bin, start): the doc's pack assignment.
+
+    bucket = first-nibble of hash_hex(id_keys, seed) mod n_buckets
+    (n_buckets <= 16 so one hex char suffices and any SQL oracle can
+    reproduce it with a strpos table lookup); within a bucket, docs are
+    ordered by (hash, id_keys) — or by ``order_by`` when given (tests use
+    an explicit position column to hand-check the arithmetic) — and
+    bin = floor(start / budget) where start is the running-sum offset.
+    """
+    if not 1 <= n_buckets <= 16:
+        raise ValueError("n_buckets must be in 1..16 (single-nibble bucketing)")
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    keys = id_keys or ["doc_id"]
+    h = hash_hex(keys, seed)
+    out = df.withColumn("__h", h).withColumn(
+        "bucket",
+        (F.conv(F.substring("__h", 1, 1), 16, 10).cast("long") % n_buckets),
+    )
+    order = (
+        [F.col(c).asc() for c in order_by]
+        if order_by
+        else [F.col("__h").asc()] + [F.col(k).asc() for k in keys]
+    )
+    w = Window.partitionBy("bucket").orderBy(*order)
+    out = out.withColumn(
+        "start",
+        F.sum(weight_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col(weight_col),
+    )
+    return out.withColumn(
+        "bin", F.floor(F.col("start") / F.lit(float(budget)))
+    ).drop("__h")
+
+
+def bin_stats(packed: DataFrame, weight_col: str, budget: int) -> DataFrame:
+    """(bucket, bin, n_docs, total_weight, overflow): audit view — overflow
+    is how far the bin's boundary-straddling last doc runs past the
+    budget (bounded by max(weight) - 1 by construction)."""
+    return packed.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("total_weight"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.max(F.col("start") + F.col(weight_col)) - F.lit(budget) * (
+                F.max("bin") + 1
+            ),
+        ).alias("overflow"),
+    )
