@@ -690,6 +690,21 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain-mixture resampling (operators/sampling.py
+    weighted_repeat): en up-sampled to 2.25 epochs, de down-sampled to
+    0.5, everything else 1 epoch — the fractional epoch decided per-row
+    by content hash, so the mixture is exact-in-expectation AND
+    deterministic. Emits per-(lang, epoch) counts."""
+    d = load_table(spark, sf_dir, "documents")
+    rep = sampling.weighted_repeat(
+        d, ["doc_id"], "lang", {"en": 2.25, "de": 0.5}, seed=4
+    )
+    return rep.groupBy("lang", F.col("epoch").cast("long").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -733,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "gopher_repetition_filter": q_gopher_repetition_filter,
         "pack_documents": q_pack_documents,
+        "domain_mixture_counts": q_domain_mixture_counts,
     }
 
 
@@ -1324,5 +1340,28 @@ def oracle_sql() -> dict[str, str]:
                                  - 4096 * (max(bin) + 1) AS BIGINT))
                      AS overflow
             FROM p GROUP BY 1, 2
+        """,
+        # n_copies = floor(w) + (hash < frac(w) threshold); thresholds are
+        # round(frac * 2^32) in hex: 2.25 -> base 2 + '40000000',
+        # 0.5 -> base 0 + '80000000', default 1.0 -> base 1 + never
+        "domain_mixture_counts": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     substring(sha256(concat_ws(chr(31), '4',
+                       CAST(doc_id AS VARCHAR))), 1, 8) AS hx
+              FROM documents
+            ), n AS (
+              SELECT lang,
+                     (CASE WHEN lang = 'en' THEN 2
+                           WHEN lang = 'de' THEN 0 ELSE 1 END
+                      + CASE WHEN hx < (CASE WHEN lang = 'en' THEN '40000000'
+                                             WHEN lang = 'de' THEN '80000000'
+                                             ELSE '00000000' END)
+                             THEN 1 ELSE 0 END) AS n_copies
+              FROM h
+            )
+            SELECT lang, CAST(i AS BIGINT) AS epoch, count(*) AS n_docs
+            FROM n, unnest(generate_series(1, n_copies)) AS u(i)
+            GROUP BY 1, 2
         """,
     }

@@ -121,6 +121,63 @@ def hash_split(
     return df.withColumn(out_col, out)
 
 
+def weighted_repeat(
+    df: DataFrame,
+    keys: list[str],
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    seed: int = 0,
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: each row is emitted
+    floor(w) or ceil(w) times (w = its domain's target epoch count), with
+    the fractional epoch decided by the row's content hash — so exactly a
+    ~frac(w) fraction of the domain gets the extra copy, stable across
+    runs, partitionings, and cluster sizes. This is the "epochs per
+    domain" knob of LLM data-mixture recipes (e.g. up-sample a small
+    high-quality domain to 2.25 epochs, down-sample boilerplate to 0.5).
+
+    Output = input columns + ``out_col`` (copy index 1..n); rows whose
+    n_copies is 0 are dropped (down-sampling). The weights dict compiles
+    to a JVM CASE expression — right for the usual dozens of domains; a
+    weights TABLE at larger cardinality would broadcast-join instead,
+    same plan shape. No shuffle: the explode is map-side.
+    """
+    import math
+
+    def parts(w: float) -> tuple[int, str]:
+        if w < 0:
+            raise ValueError("weights must be >= 0")
+        base = int(math.floor(w))
+        frac = w - base
+        return base, _threshold_hex(frac) if frac > 0 else "0" * _HEX_DIGITS
+
+    h = hash_hex(keys, seed)
+    d_base, d_thr = parts(default_weight)
+    base_case = thr_case = None
+    for dom, w in weights.items():
+        b, t = parts(w)
+        cond = F.col(domain_col) == F.lit(dom)
+        base_case = (
+            F.when(cond, F.lit(b))
+            if base_case is None
+            else base_case.when(cond, F.lit(b))
+        )
+        thr_case = (
+            F.when(cond, F.lit(t))
+            if thr_case is None
+            else thr_case.when(cond, F.lit(t))
+        )
+    base = base_case.otherwise(F.lit(d_base)) if base_case is not None else F.lit(d_base)
+    thr = thr_case.otherwise(F.lit(d_thr)) if thr_case is not None else F.lit(d_thr)
+    n = base + F.when(h < thr, F.lit(1)).otherwise(F.lit(0))
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    return df.withColumn(out_col, F.explode(seq))
+
+
 def quota_per_group(
     df: DataFrame,
     group_keys: list[str],

@@ -18,6 +18,7 @@ from go_pipeline_spark.operators.sampling import (
     hash_sample,
     hash_split,
     quota_per_group,
+    weighted_repeat,
 )
 
 SEP = "\x1f"
@@ -171,3 +172,57 @@ def test_quota_n_zero_and_plan_shape(spark, skewed_df):
     plan = quota_per_group(skewed_df, ["grp"], 5, ["doc_id"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---- weighted domain-mixture resampling -------------------------------------
+
+
+def _mix_df(spark):
+    rows = [(i, "a" if i < 200 else ("b" if i < 300 else "c")) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, dom string")
+
+
+def test_weighted_repeat_integer_weight_exact_copies(spark):
+    df = _mix_df(spark)
+    out = weighted_repeat(df, ["doc_id"], "dom", {"a": 2.0}, seed=1)
+    a = [r for r in out.collect() if r.dom == "a"]
+    assert len(a) == 400  # 200 docs x 2 epochs
+    assert {r.epoch for r in a} == {1, 2}
+    # default weight 1.0: everything else exactly once
+    rest = [r for r in out.collect() if r.dom != "a"]
+    assert len(rest) == 200 and {r.epoch for r in rest} == {1}
+
+
+def test_weighted_repeat_fractional_matches_reference_hash(spark):
+    df = _mix_df(spark)
+    out = weighted_repeat(df, ["doc_id"], "dom", {"b": 0.5}, seed=3)
+    got_b = sorted(r.doc_id for r in out.collect() if r.dom == "b")
+    # 0.5 -> threshold 0x80000000: exactly the docs whose reference hash
+    # falls in the lower half of the space, computed independently
+    want = sorted(
+        i for i in range(200, 300) if _ref_hex(3, i) < "80000000"
+    )
+    assert got_b == want
+    assert 30 <= len(want) <= 70  # sanity: roughly half
+
+
+def test_weighted_repeat_zero_weight_drops_domain(spark):
+    df = _mix_df(spark)
+    out = weighted_repeat(df, ["doc_id"], "dom", {"c": 0.0}, seed=2)
+    assert not [r for r in out.collect() if r.dom == "c"]
+
+
+def test_weighted_repeat_invariant_under_repartitioning(spark):
+    df = _mix_df(spark)
+    w = {"a": 2.25, "b": 0.5}
+    one = sorted(
+        (r.doc_id, r.epoch)
+        for r in weighted_repeat(df, ["doc_id"], "dom", w, seed=9).collect()
+    )
+    two = sorted(
+        (r.doc_id, r.epoch)
+        for r in weighted_repeat(
+            df.repartition(17), ["doc_id"], "dom", w, seed=9
+        ).collect()
+    )
+    assert one == two
