@@ -49,7 +49,10 @@ from go_pipeline_spark.operators import (  # noqa: E402
     windows,
 )
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
-from go_pipeline_spark.operators.dedup import with_content_sha  # noqa: E402
+from go_pipeline_spark.operators.dedup import (  # noqa: E402
+    global_line_dedup,
+    with_content_sha,
+)
 from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline  # noqa: E402
 from go_pipeline_spark.sources.tables import load_table  # noqa: E402
 
@@ -705,6 +708,15 @@ def q_domain_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup with document reconstruction
+    (operators/dedup.py global_line_dedup): the C4/RefinedWeb rule — a
+    line survives only at its first (doc, position) occurrence anywhere
+    in the corpus; documents are rebuilt from their surviving lines."""
+    d = load_table(spark, sf_dir, "documents")
+    return global_line_dedup(d)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -749,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_filter": q_gopher_repetition_filter,
         "pack_documents": q_pack_documents,
         "domain_mixture_counts": q_domain_mixture_counts,
+        "global_line_dedup": q_global_line_dedup,
     }
 
 
@@ -1363,5 +1376,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(i AS BIGINT) AS epoch, count(*) AS n_docs
             FROM n, unnest(generate_series(1, n_copies)) AS u(i)
             GROUP BY 1, 2
+        """,
+        # keeper = first (doc_id, pos) occurrence of each non-empty line
+        # corpus-wide; docs rebuilt from surviving lines in position order
+        "global_line_dedup": """
+            WITH x AS (
+              SELECT doc_id, i AS pos, lines[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                    FROM documents) t,
+                   unnest(generate_series(1, len(lines))) AS u(i)
+              WHERE len(lines[i]) > 0
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM x
+            ), r AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                     count(*) AS n_lines_kept
+              FROM k WHERE rn = 1 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.text_dedup, '') AS text_dedup,
+                   CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
         """,
     }

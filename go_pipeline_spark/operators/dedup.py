@@ -85,3 +85,64 @@ def exact_dup_edges(
         .where(F.col(id_col) != F.col("src"))
         .select("src", F.col(id_col).alias("dst"))
     )
+
+
+def global_line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide exact line dedup with document reconstruction (the
+    C4/RefinedWeb rule: a line that appears anywhere else in the corpus
+    survives only at its FIRST occurrence, ordered by (doc, position);
+    every later copy is cut out of its document).
+
+    Output: one row per input document — (id_col, text_dedup,
+    n_lines_kept); documents whose every line was cut elsewhere come back
+    with text_dedup = '' so the result stays total over the input.
+
+    Plan shape for 100 TB: posexplode lines → groupBy(line) picking
+    min(struct(doc, pos)) — an AGGREGATE, not a window, so map-side
+    partial aggregation collapses each partition's copies of a hot line
+    ("}", boilerplate headers) before the exchange — → left-semi join of
+    the exploded lines against the keeper set on (line, doc, pos) →
+    groupBy(doc) rebuild via array_sort + array_join. Three shuffles
+    total, each keyed to stay skew-safe under AQE (the only hot key is
+    the line itself, 1:1 against a single keeper row — no row explosion).
+    For corpora where line text is long, substitute sha2(line) as the
+    shuffle/join key and carry the text alongside; same plan.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(lines).alias("__pos", "__line"))
+        .where(F.length("__line") > 0)
+    )
+    keepers = exploded.groupBy("__line").agg(
+        F.min(F.struct(id_col, "__pos")).alias("__first")
+    )
+    kept = exploded.join(
+        keepers.select(
+            "__line",
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.__pos").alias("__pos"),
+        ),
+        ["__line", id_col, "__pos"],
+        "left_semi",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )

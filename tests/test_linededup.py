@@ -1,0 +1,21 @@
+from go_pipeline_spark.operators.dedup import global_line_dedup
+
+def test_first_occurrence_survives_later_copies_cut(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nshared"), (2, "shared\nbeta"), (3, "shared")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in global_line_dedup(df).collect()}
+    assert out[1].text_dedup == "alpha\nshared"
+    assert out[2].text_dedup == "beta"
+    assert out[3].text_dedup == "" and out[3].n_lines_kept == 0
+
+def test_within_doc_duplicate_lines_keep_first(spark):
+    df = spark.createDataFrame([(1, "x\ny\nx")], "doc_id long, text string")
+    row = global_line_dedup(df).collect()[0]
+    assert row.text_dedup == "x\ny" and row.n_lines_kept == 2
+
+def test_order_preserved_and_empty_lines_dropped(spark):
+    df = spark.createDataFrame([(1, "c\n\nb\n\na")], "doc_id long, text string")
+    row = global_line_dedup(df).collect()[0]
+    assert row.text_dedup == "c\nb\na"
