@@ -115,15 +115,26 @@ def global_line_dedup(
         df.select(F.col(id_col), F.posexplode(lines).alias("__pos", "__line"))
         .where(F.length("__line") > 0)
     )
-    keepers = exploded.groupBy("__line").agg(
-        F.min(F.struct(id_col, "__pos")).alias("__first")
+    # two-level keeper selection instead of min(struct(...)): any agg with
+    # a struct-typed buffer (min over a struct, min_by OF a struct) is not
+    # hash-aggregable — Catalyst falls back to SortAggregate, a full sort
+    # of every exploded line. Level 1 — min pos per (line, doc) — is a
+    # plain codegen HashAggregate that also collapses within-doc copies
+    # before the wide exchange; level 2 keeps both aggregate buffers
+    # ATOMIC (min(doc) + min_by(pos, doc), long/int buffers only) so it
+    # stays a HashAggregate too. doc is unique per line after level 1, so
+    # the min_by ordering is tie-free and deterministic.
+    keepers = (
+        exploded.groupBy("__line", id_col)
+        .agg(F.min("__pos").alias("__pos"))
+        .groupBy("__line")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by("__pos", F.col(id_col)).alias("__pos"),
+        )
     )
     kept = exploded.join(
-        keepers.select(
-            "__line",
-            F.col(f"__first.{id_col}").alias(id_col),
-            F.col("__first.__pos").alias("__pos"),
-        ),
+        keepers,
         ["__line", id_col, "__pos"],
         "left_semi",
     )
