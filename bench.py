@@ -155,6 +155,12 @@ def bench_queries(spark, sf_dir: str):
         "asof_click_view": q("asof_click_view"),  # NEW r5 (as-of join)
         "tpch_q1": q("tpch_q1"),
         "join_orders_nation": q("join_orders_nation"),
+        # NEW r5 (LLM data-prep set): corpus line dedup, repetition
+        # filters, sequence packing, deterministic hash sampling
+        "global_line_dedup": q("global_line_dedup"),
+        "repetition_stats": q("repetition_stats"),
+        "pack_documents": q("pack_documents"),
+        "hash_sample_docs": q("hash_sample_docs"),
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -47,14 +47,20 @@ def token_ngrams(
     distinct on (id, gram)). All JVM-side: split → sequence → slice →
     array_join → explode.
     """
-    toks = F.split(F.col(text_col), " ")
+    # materialize the token array as a column first: inlining the split
+    # expression into the per-position lambda would re-tokenize the row
+    # for every slice (O(tokens²) splits per doc — the same pathology
+    # measured 15x on repetition.py's gram path). CollapseProject keeps a
+    # non-cheap multi-referenced alias materialized.
+    toks_df = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).where(F.size("__toks") >= n)
+    t = F.col("__toks")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
     )
-    return df.where(F.size(toks) >= n).select(
-        F.col(id_col), F.explode(grams).alias(out_col)
-    )
+    return toks_df.select(F.col(id_col), F.explode(grams).alias(out_col))
 
 
 def benchmark_ngram_hits(

@@ -107,19 +107,33 @@ def top_ngram_stats(
     under any partitioning. Documents with fewer than n tokens get
     (NULL, 0.0).
     """
-    toks = _nonempty(F.split(F.col(text_col), "\\s+"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    exploded = (
-        df.select(
-            F.col(id_col),
-            F.length(text_col).alias("__doc_chars"),
-            F.when(F.size(toks) >= n, grams).alias("__grams"),
+    # materialize the token array ONCE as a column before any gram math:
+    # inlining the split+filter expression into the per-position lambda
+    # makes every slice re-tokenize the row (O(tokens²) regex splits per
+    # doc — measured 15x slower at sf0.1). CollapseProject keeps a
+    # non-cheap multi-referenced alias materialized, so __toks is built
+    # one time per row.
+    toks_df = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("__doc_chars"),
+        _nonempty(F.split(F.col(text_col), "\\s+")).alias("__toks"),
+    ).where(F.size("__toks") >= n)
+    t = F.col("__toks")
+    if n == 2:
+        # O(tokens): zip the array against its shift instead of slicing
+        # per position (slice-per-position is O(tokens²) array copies)
+        grams = F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
-        .where(F.col("__grams").isNotNull())
-        .select(id_col, "__doc_chars", F.explode("__grams").alias("__gram"))
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    exploded = toks_df.select(
+        id_col, "__doc_chars", F.explode(grams).alias("__gram")
     )
     counted = exploded.groupBy(id_col, "__doc_chars", "__gram").agg(
         F.count(F.lit(1)).alias("__cnt")
