@@ -717,6 +717,26 @@ def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_line_dedup(d)
 
 
+def q_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 end-to-end composition over the NEW LLM data-prep operator
+    set, chained the way a corpus build would run them: Gopher repetition
+    filter (drop machine-generated boilerplate) -> corpus-wide exact line
+    dedup with document reconstruction over the survivors -> deterministic
+    50% hash sample -> per-lang doc/char/line accounting. Every stage is a
+    pure function of the corpus, so the whole flow is reproducible on any
+    cluster size."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = repetition.repetition_filter(d)
+    rebuilt = global_line_dedup(clean)
+    sampled = sampling.hash_sample(rebuilt, ["doc_id"], 0.5, seed=11)
+    joined = sampled.join(d.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text_dedup")).alias("total_chars"),
+        F.sum("n_lines_kept").alias("total_lines"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -762,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "domain_mixture_counts": q_domain_mixture_counts,
         "global_line_dedup": q_global_line_dedup,
+        "prep_pipeline_v2": q_prep_pipeline_v2,
     }
 
 
@@ -1401,5 +1422,94 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.text_dedup, '') AS text_dedup,
                    CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
             FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        """,
+        # composition oracle: survivors = the gopher filter SQL; line
+        # keepers computed over SURVIVORS ONLY (dedup runs after the
+        # filter); 0.5 sample threshold = '80000000' at seed 11
+        "prep_pipeline_v2": """
+            WITH l0 AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)),
+                            x -> len(x) > 0)) AS line
+              FROM documents
+            ), lc0 AS (
+              SELECT doc_id, line, count(*) AS cnt FROM l0 GROUP BY 1, 2
+            ), la0 AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     count(*) AS nd,
+                     CAST(sum((cnt - 1) * len(line)) AS BIGINT) AS dup_chars,
+                     CAST(sum(cnt * len(line)) AS BIGINT) AS tot_chars
+              FROM lc0 GROUP BY 1
+            ), t0 AS (
+              SELECT doc_id, len(text) AS doc_chars,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents
+            ), g0 AS (
+              SELECT doc_id, doc_chars, toks[i] || ' ' || toks[i + 1] AS gram
+              FROM t0, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2
+            ), gc0 AS (
+              SELECT doc_id, doc_chars, gram, count(*) AS cnt
+              FROM g0 GROUP BY 1, 2, 3
+            ), gr0 AS (
+              SELECT doc_id, gram, cnt, doc_chars,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM gc0
+            ), stats AS (
+              SELECT d.doc_id,
+                     ROUND(CASE WHEN la0.n_lines > 0
+                           THEN (la0.n_lines - la0.nd)
+                                / CAST(la0.n_lines AS DOUBLE)
+                           ELSE 0.0 END, 6) AS dup_line_frac,
+                     ROUND(CASE WHEN la0.tot_chars > 0
+                           THEN la0.dup_chars / CAST(la0.tot_chars AS DOUBLE)
+                           ELSE 0.0 END, 6) AS dup_line_char_frac,
+                     COALESCE(ROUND(g1.cnt * len(g1.gram)
+                              / CAST(g1.doc_chars AS DOUBLE), 6), 0.0)
+                       AS top_gram_char_frac
+              FROM documents d
+              LEFT JOIN la0 ON d.doc_id = la0.doc_id
+              LEFT JOIN (SELECT * FROM gr0 WHERE rn = 1) g1
+                ON d.doc_id = g1.doc_id
+            ), survivors AS (
+              SELECT d.* FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+              WHERE NOT (s.dup_line_frac > 0.30
+                         OR s.dup_line_char_frac > 0.20
+                         OR s.top_gram_char_frac > 0.20)
+            ), x AS (
+              SELECT doc_id, i AS pos, lines[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                    FROM survivors) t,
+                   unnest(generate_series(1, len(lines))) AS u(i)
+              WHERE len(lines[i]) > 0
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM x
+            ), r AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                     count(*) AS n_lines_kept
+              FROM k WHERE rn = 1 GROUP BY 1
+            ), rebuilt AS (
+              SELECT s.doc_id,
+                     COALESCE(r.text_dedup, '') AS text_dedup,
+                     CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT)
+                       AS n_lines_kept
+              FROM survivors s LEFT JOIN r ON s.doc_id = r.doc_id
+            ), sampled AS (
+              SELECT * FROM rebuilt
+              WHERE substring(sha256(concat_ws(chr(31), '11',
+                      CAST(doc_id AS VARCHAR))), 1, 8) < '80000000'
+            )
+            SELECT d.lang, count(*) AS n_docs,
+                   CAST(sum(len(s.text_dedup)) AS BIGINT) AS total_chars,
+                   CAST(sum(s.n_lines_kept) AS BIGINT) AS total_lines
+            FROM sampled s JOIN documents d ON s.doc_id = d.doc_id
+            GROUP BY 1
         """,
     }
