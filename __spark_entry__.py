@@ -597,6 +597,21 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate.benchmark_ngram_hits(d, bench, n=8)
 
 
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-broadcast escalation path for decontamination: corpus
+    grams prefiltered through a broadcast Bloom BITSET of the benchmark
+    grams (3 map-side word-joins, bit_or-packed words), exact string
+    verify on the sliver. Same benchmark derivation as `decontamination`
+    and — false negatives being impossible — the same oracle; the two
+    queries going green together pins the equivalence at driver level."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = d.where((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 10)).select(
+        F.array_join(F.slice(toks, 3, 8), " ").alias("gram")
+    )
+    return decontaminate.benchmark_ngram_hits_bloom(d, bench, n=8)
+
+
 def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time-correct attribution): each click event
     joined to the same user's most recent view at-or-before it. Runs the
@@ -773,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_srp_gated": q_embedding_near_dups_srp_gated,
         "decontamination": q_decontamination,
+        "decontamination_bloom": q_decontamination_bloom,
         "asof_click_view": q_asof_click_view,
         "hash_sample_docs": q_hash_sample_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
@@ -1176,6 +1192,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
         """,
         "decontamination": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            bench AS (
+              SELECT DISTINCT array_to_string(list_slice(ts, 3, 10), ' ') AS gram
+              FROM toks WHERE doc_id % 37 = 0 AND len(ts) >= 10
+            ),
+            pos AS (
+              SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+              FROM toks WHERE len(ts) >= 8
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+              FROM pos
+            )
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bench b USING (gram)
+            GROUP BY g.doc_id
+        """,
+        # bloom path is exact-equivalent by construction (no false negatives)
+        "decontamination_bloom": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS ts FROM documents
             ),

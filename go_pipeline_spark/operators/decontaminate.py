@@ -89,6 +89,90 @@ def benchmark_ngram_hits(
     )
 
 
+def bloom_bitset(
+    bench_grams: DataFrame,
+    gram_col: str = "gram",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """(__w, __bits) Bloom bitset over the benchmark grams: every gram
+    sets ``n_hashes`` bits (xxhash64 with distinct seeds, mod n_bits),
+    packed 64 bits per word via the `bit_or` aggregate. n_bits/64 words
+    max — at the documented escalation scale (10^8 benchmark grams,
+    n_bits=2^32) that is a 512 MB table ONLY if every word is touched;
+    in practice ~n_hashes·|grams| distinct words, still broadcastable
+    far beyond where the raw gram strings stop being.
+    """
+    g = bench_grams.select(gram_col).dropDuplicates()
+    parts = []
+    for i in range(n_hashes):
+        bit = F.pmod(F.xxhash64(F.col(gram_col), F.lit(seed + i)), F.lit(n_bits))
+        parts.append(g.select(bit.alias("__bit")))
+    bits = parts[0]
+    for p in parts[1:]:
+        bits = bits.unionByName(p)
+    return (
+        bits.select(
+            F.floor(F.col("__bit") / 64).cast("long").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+
+
+def benchmark_ngram_hits_bloom(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_col: str = "gram",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Same result as :func:`benchmark_ngram_hits` (pinned by pytest and
+    a shared driver oracle), via the documented beyond-broadcast plan:
+    the corpus side is prefiltered against a broadcast Bloom BITSET of
+    the benchmark grams — ``n_hashes`` map-side broadcast joins on the
+    word index, each keeping only grams whose bit is set — and only the
+    surviving sliver (true hits + ~(1-e^{-kn/m})^k false positives) pays
+    the exact string verify. False negatives are impossible (a present
+    gram has all its bits set), so correctness never depends on the
+    bitset parameters; they only tune how much the prefilter prunes.
+    """
+    grams = token_ngrams(docs, n, text_col, id_col, gram_col).dropDuplicates(
+        [id_col, gram_col]
+    )
+    bitset = F.broadcast(
+        bloom_bitset(bench_grams, gram_col, n_bits, n_hashes, seed)
+    )
+    cand = grams
+    for i in range(n_hashes):
+        bit = F.pmod(F.xxhash64(F.col(gram_col), F.lit(seed + i)), F.lit(n_bits))
+        cand = (
+            cand.withColumn("__bit", bit)
+            .withColumn("__w", F.floor(F.col("__bit") / 64).cast("long"))
+            .withColumn(
+                "__m",
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"),
+            )
+            .join(bitset, "__w")
+            .where(F.col("__bits").bitwiseAND(F.col("__m")) != 0)
+            .drop("__bit", "__w", "__m", "__bits")
+        )
+    bench = F.broadcast(bench_grams.select(gram_col).dropDuplicates())
+    return (
+        cand.join(bench, gram_col)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench_grams: DataFrame,

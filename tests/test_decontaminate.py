@@ -77,3 +77,51 @@ def test_bench_side_is_broadcast(spark, corpus):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---- Bloom-prefilter escalation path ----------------------------------------
+
+
+def _bloom_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "z z a b c d x y w v"),
+            (3, "totally unrelated words here only friend"),
+            (4, "a b c d q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c d",)], "gram string")
+    return docs, bench
+
+
+def test_bloom_hits_equal_exact_hits(spark):
+    docs, bench = _bloom_corpus(spark)
+    exact = dc.benchmark_ngram_hits(docs, bench, n=4)
+    bloom = dc.benchmark_ngram_hits_bloom(docs, bench, n=4)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, bloom.collect())
+    )
+
+
+def test_bloom_no_false_negatives_even_with_tiny_bitset(spark):
+    # n_bits=64 forces heavy collisions: the prefilter keeps junk, but the
+    # exact verify still yields the identical hit set
+    docs, bench = _bloom_corpus(spark)
+    exact = dc.benchmark_ngram_hits(docs, bench, n=4)
+    bloom = dc.benchmark_ngram_hits_bloom(
+        docs, bench, n=4, n_bits=64, n_hashes=2
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, bloom.collect())
+    )
+
+
+def test_bloom_bitset_shape_and_prefilter_prunes(spark):
+    docs, bench = _bloom_corpus(spark)
+    bs = dc.bloom_bitset(bench, n_bits=1 << 12, n_hashes=3)
+    rows = bs.collect()
+    # one gram, 3 hashes -> at most 3 distinct words, all within range
+    assert 1 <= len(rows) <= 3
+    assert all(0 <= r["__w"] < (1 << 12) // 64 for r in rows)
