@@ -43,6 +43,7 @@ from go_pipeline_spark.functions import textstats  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     decontaminate,
     packing,
+    redact,
     repetition,
     sampling,
     similarity,
@@ -752,6 +753,47 @@ def q_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/redact.py): emails / IPv4s / key-shaped
+    secrets planted deterministically from doc_id (the raw corpus has
+    none — verified corpus-wide), then counted and redacted with the
+    RE2-compatible rule set. Pure scan-side regexp work — no shuffle, no
+    Python; the oracle replants the identical strings and runs the
+    identical patterns through DuckDB's RE2."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" token_secretvalue0123456789"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = redact.redact(redact.pii_counts(planted))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_secret",
+        F.length("text_redacted").alias("redacted_len"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -799,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_counts": q_domain_mixture_counts,
         "global_line_dedup": q_global_line_dedup,
         "prep_pipeline_v2": q_prep_pipeline_v2,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -1549,5 +1592,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(s.n_lines_kept) AS BIGINT) AS total_lines
             FROM sampled s JOIN documents d ON s.doc_id = d.doc_id
             GROUP BY 1
+        """,
+        # identical planted strings + identical RE2-safe patterns; group-0
+        # extraction and the 'g' replace flag match Spark's semantics
+        "pii_redaction": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.7' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' token_secretvalue0123456789' ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b(?:sk|key|token)_[A-Za-z0-9]{16,}\\b'))
+                     AS BIGINT) AS n_secret,
+                   CAST(len(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g'),
+                       '\\b(?:sk|key|token)_[A-Za-z0-9]{16,}\\b',
+                       '<SECRET>', 'g')) AS BIGINT) AS redacted_len
+            FROM planted
         """,
     }

@@ -1,0 +1,73 @@
+"""PII detection and redaction over text columns.
+
+Training corpora scrub emails, IP addresses, phone-ish numbers, and
+key-shaped secrets before anything else sees the data. At 100 TB this
+must be a pure scan-side transform: every rule here is a JVM
+`regexp_extract_all` / `regexp_replace` over the text column — no
+shuffle, no Python, whole-stage-codegen friendly, and the counts push
+into the same projection as the scan.
+
+Pattern discipline: every default pattern is RE2-compatible (no
+lookaround, no backreferences) so the identical string runs on Spark
+(java.util.regex), DuckDB (RE2) and most other engines — which is what
+makes the redaction auditable by an independent oracle. Counting uses
+group 0 (the full match) explicitly: Spark's extract-all defaults to
+group 1, DuckDB's to group 0 — relying on either default silently
+miscounts patterns containing groups.
+
+No reference analogue; part of the LLM data-prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+# kind -> (pattern, replacement) — ordered dict: redaction applies in
+# this order (earlier rules must not produce text a later rule matches)
+DEFAULT_RULES: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "secret": (r"\b(?:sk|key|token)_[A-Za-z0-9]{16,}\b", "<SECRET>"),
+}
+
+
+def pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Input + one ``n_<kind>`` long column per rule (match count)."""
+    rules = DEFAULT_RULES if rules is None else rules
+    out = df
+    for kind, (pat, _) in rules.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long"),
+        )
+    return out
+
+
+def redact_text(
+    col: Column, rules: dict[str, tuple[str, str]] | None = None
+) -> Column:
+    """Column expression: ``col`` with every rule's matches replaced by
+    its placeholder, applied in rule order."""
+    rules = DEFAULT_RULES if rules is None else rules
+    out = col
+    for _, (pat, rep) in rules.items():
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    rules: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Input + ``out_col`` with all rule matches replaced. Idempotent for
+    the default rules (placeholders match no rule)."""
+    return df.withColumn(out_col, redact_text(F.col(text_col), rules))

@@ -1,0 +1,44 @@
+"""PII detection/redaction: hand-counted planted strings, idempotence,
+and count/redaction agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import redact
+
+
+def _df(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_counts_hand_checked(spark):
+    text = (
+        "mail a.b%x@foo-bar.example.com or C@D.io, host 10.0.255.7 then "
+        "192.168.1.1; key token_abcdef0123456789AB end"
+    )
+    row = redact.pii_counts(_df(spark, text)).collect()[0]
+    assert row.n_email == 2
+    assert row.n_ipv4 == 2
+    assert row.n_secret == 1
+
+
+def test_clean_text_counts_zero_and_roundtrips(spark):
+    text = "no personal data here, just words and 3.14 constants"
+    row = redact.redact(redact.pii_counts(_df(spark, text))).collect()[0]
+    assert (row.n_email, row.n_ipv4, row.n_secret) == (0, 0, 0)
+    assert row.text_redacted == text
+
+
+def test_redaction_replaces_all_and_is_idempotent(spark):
+    text = "x@y.zw and x@y.zw at 1.2.3.4"
+    out = redact.redact(_df(spark, text))
+    once = out.collect()[0].text_redacted
+    assert once == "<EMAIL> and <EMAIL> at <IP>"
+    twice = redact.redact(out, text_col="text_redacted", out_col="t2")
+    assert twice.collect()[0].t2 == once
+
+
+def test_secret_requires_min_length(spark):
+    row = redact.pii_counts(_df(spark, "token_short sk_0123456789abcdef")).collect()[0]
+    assert row.n_secret == 1  # sk_ has 16 chars, token_short too short
