@@ -73,10 +73,14 @@ def get_spark(
         # logic holds harder: a >8 MB broadcast per executor from a hot
         # driver is a scale liability; genuinely tiny post-filter sides
         # still broadcast, adaptively too.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+        # env override exists for A/B studies only (bench/)
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "8")) * 1024 * 1024),
+        )
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
-            str(8 * 1024 * 1024),
+            str(int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "8")) * 1024 * 1024),
         )
     )
     for k, v in (extra_conf or {}).items():
