@@ -226,3 +226,32 @@ def test_weighted_repeat_invariant_under_repartitioning(spark):
         ).collect()
     )
     assert one == two
+
+
+def test_hash_sample_is_streaming_compatible(spark, tmp_path):
+    """hash_sample is a stateless row-local predicate, so the identical
+    operator runs unchanged on a streaming source and selects the exact
+    same rows the batch form selects — the property that makes sampled
+    ingestion safe under micro-batch replays."""
+    from go_pipeline_spark.streaming import batching
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    d = tmp_path / "docs"
+    df.coalesce(2).write.mode("overwrite").parquet(str(d))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    sampled = hash_sample(stream, ["doc_id"], 0.3, seed=5)
+    assert sampled.isStreaming
+    batching.run_stream_to_memory(sampled, "sample_out", output_mode="append")
+    got = sorted(
+        r.doc_id for r in spark.sql("SELECT * FROM sample_out").collect()
+    )
+    want = sorted(
+        r.doc_id for r in hash_sample(df, ["doc_id"], 0.3, seed=5).collect()
+    )
+    assert got == want and 40 <= len(want) <= 140
