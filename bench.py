@@ -161,6 +161,9 @@ def bench_queries(spark, sf_dir: str):
         "repetition_stats": q("repetition_stats"),
         "pack_documents": q("pack_documents"),
         "hash_sample_docs": q("hash_sample_docs"),
+        "decontamination_bloom": q("decontamination_bloom"),
+        "pii_redaction": q("pii_redaction"),
+        "prep_pipeline_v2": q("prep_pipeline_v2"),
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,
