@@ -42,6 +42,7 @@ from go_pipeline_spark.config import PipelineConfig  # noqa: E402
 from go_pipeline_spark.functions import textstats  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     decontaminate,
+    familiarity,
     packing,
     redact,
     repetition,
@@ -794,6 +795,17 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency familiarity (operators/familiarity.py): bigram
+    counts learned from the corpus in-plan, every doc scored by the
+    average corpus count of its bigrams — the distributed, oracle-exact
+    analogue of CCNet's LM-quality signal. Integer aggregates + one final
+    division keep the score bit-stable under any partitioning."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = familiarity.bigram_model(d)
+    return familiarity.familiarity_scores(d, model)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -842,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_line_dedup": q_global_line_dedup,
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
+        "familiarity_scores": q_familiarity_scores,
     }
 
 
@@ -1630,5 +1643,35 @@ def oracle_sql() -> dict[str, str]:
                        '\\b(?:sk|key|token)_[A-Za-z0-9]{16,}\\b',
                        '<SECRET>', 'g')) AS BIGINT) AS redacted_len
             FROM planted
+        """,
+        # same positional bigram derivation as the decontamination oracle;
+        # integer sum + one division = order-independent, exact at 6dp
+        "familiarity_scores": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), pos AS (
+              SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM toks WHERE len(ts) >= 2
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ts, i, i + 1), ' ') AS gram
+              FROM pos
+            ), model AS (
+              SELECT gram, count(*) AS n FROM grams GROUP BY 1
+            ), scored AS (
+              SELECT g.doc_id,
+                     count(*) AS n_grams,
+                     count(m.n) AS model_hits,
+                     sum(COALESCE(m.n, 0)) AS total
+              FROM grams g LEFT JOIN model m USING (gram)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(s.model_hits, 0) AS BIGINT) AS model_hits,
+                   ROUND(CASE WHEN s.n_grams > 0
+                         THEN s.total / CAST(s.n_grams AS DOUBLE)
+                         ELSE 0.0 END, 6) AS familiarity
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
     }

@@ -1,0 +1,88 @@
+"""Corpus-frequency familiarity scoring (CCNet-style quality signal).
+
+CCNet/fastText-era pipelines score documents by how typical their
+language is of a reference corpus (KenLM perplexity); the distributed,
+oracle-auditable form of the same signal is a CORPUS-DERIVED n-gram
+frequency model: count every token bigram across the reference corpus,
+then score each document by the average corpus count of its bigrams.
+Boilerplate and fluent text score high; gibberish, wrong-language and
+byte-noise documents score near zero. The model is "trained" and applied
+in one plan — no external artifacts.
+
+Numeric discipline: the score is computed as TWO INTEGER aggregates
+(sum of corpus counts over the doc's grams, and the gram count) with a
+single final division — never a sum of floating-point terms. Spark sums
+doubles in partition order, which is nondeterministic across runs and
+differs from any oracle's order; integer sums are exact and
+order-independent, so the score is bit-stable and SQL-reproducible.
+This is also why the operator deliberately does NOT ship a log-prob
+variant: sum-of-ln() floats would be order-sensitive; rank-order of the
+scores (what filters threshold on) is preserved without it.
+
+Scale shape: the model is a (gram, count) aggregate of the corpus — the
+same shuffle the repetition/decontamination ops pay. Scoring joins doc
+grams to the model on the gram string; the model of a 100 TB corpus does
+NOT broadcast, so this is a shuffle join on gram with AQE skew handling
+(hot grams are exactly the high-count ones, 1:1 with a single model row
+— no explosion). For a bounded reference model (the usual case: model on
+a quality slice), pass ``broadcast_model=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.decontaminate import token_ngrams
+
+
+def bigram_model(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(gram, n) corpus bigram counts — every occurrence counted (not
+    per-doc distinct), one shuffle with map-side combine."""
+    grams = token_ngrams(corpus, 2, text_col, id_col)
+    return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def familiarity_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """(id_col, n_grams, model_hits, familiarity) per input row.
+
+    familiarity = sum(model count of each of the doc's bigrams, 0 when
+    absent) / n_grams, rounded to 6dp at the very end; docs with < 2
+    tokens get (0, 0, 0.0). ``model_hits`` counts the doc's gram
+    positions found in the model — a coverage signal filters can use
+    alongside the magnitude.
+    """
+    grams = token_ngrams(docs, 2, text_col, id_col)
+    m = model.select("gram", "n")
+    if broadcast_model:
+        m = F.broadcast(m)
+    scored = (
+        grams.join(m, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("n").alias("model_hits"),
+            F.sum(F.coalesce("n", F.lit(0))).alias("__total"),
+        )
+    )
+    out = docs.select(id_col).join(scored, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("model_hits", F.lit(0)).alias("model_hits"),
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("__total") / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("familiarity"),
+    )

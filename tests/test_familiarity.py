@@ -1,0 +1,73 @@
+"""Corpus-frequency familiarity: hand-computed scores, totality over
+short docs, self-scoring rank order, and broadcast/shuffle plan parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators import familiarity
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_computed_scores(spark):
+    corpus = _df(spark, [(1, "a b a b"), (2, "a b c")])
+    # corpus bigrams: "a b" x3 (two from doc1, one from doc2),
+    # "b a" x1, "b c" x1
+    model = familiarity.bigram_model(corpus)
+    counts = {r.gram: r.n for r in model.collect()}
+    assert counts == {"a b": 3, "b a": 1, "b c": 1}
+    docs = _df(spark, [(10, "a b c"), (11, "z q w")])
+    got = {
+        r.doc_id: r
+        for r in familiarity.familiarity_scores(docs, model).collect()
+    }
+    # doc10 grams: "a b"(3), "b c"(1) -> (3+1)/2 = 2.0, hits 2/2
+    assert got[10].n_grams == 2 and got[10].model_hits == 2
+    assert got[10].familiarity == pytest.approx(2.0)
+    # doc11 grams unseen -> 0.0
+    assert got[11].model_hits == 0 and got[11].familiarity == 0.0
+
+
+def test_short_docs_total_with_zeros(spark):
+    corpus = _df(spark, [(1, "x y")])
+    model = familiarity.bigram_model(corpus)
+    docs = _df(spark, [(2, "solo"), (3, "")])
+    rows = {
+        r.doc_id: r
+        for r in familiarity.familiarity_scores(docs, model).collect()
+    }
+    assert set(rows) == {2, 3}
+    for r in rows.values():
+        assert (r.n_grams, r.model_hits, r.familiarity) == (0, 0, 0.0)
+
+
+def test_corpus_scores_itself_above_gibberish(spark):
+    corpus = _df(
+        spark,
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        + [(100, "zxqj vwpk qqnm llrt")],
+    )
+    model = familiarity.bigram_model(corpus)
+    scores = {
+        r.doc_id: r.familiarity
+        for r in familiarity.familiarity_scores(corpus, model).collect()
+    }
+    assert scores[0] > 5 * scores[100]
+
+
+def test_broadcast_and_shuffle_forms_identical(spark):
+    corpus = _df(spark, [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{i % 3}") for i in range(60)])
+    model = familiarity.bigram_model(corpus)
+    a = sorted(map(tuple, familiarity.familiarity_scores(corpus, model).collect()))
+    b = sorted(
+        map(
+            tuple,
+            familiarity.familiarity_scores(
+                corpus, model, broadcast_model=True
+            ).collect(),
+        )
+    )
+    assert a == b
