@@ -1,0 +1,73 @@
+"""Quota sampling at skew: exact one-shuffle form vs hot-group prefilter.
+
+The exact form of `quota_per_group` sorts each group inside one task; a
+hot group (here 40% of a 10M-row corpus) serializes on that task. The
+prefilter form pays one count-only aggregate + a map-side hash threshold
+that discards ~everything outside the quota before the sort. This harness
+measures both on the same skewed corpus and asserts row-identity.
+
+Usage: python bench/quota_bench.py [--rows 10000000] [--repeat 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_pipeline_spark.operators.sampling import quota_per_group  # noqa: E402
+from go_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark()
+    # 40% of rows land in group 0; the rest spread over 10k groups
+    df = (
+        spark.range(args.rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 5 <= 1, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)) + 1)
+            .alias("grp"),
+        )
+        .persist()
+    )
+    df.count()  # materialize outside timers
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    t_exact = timed(lambda: quota_per_group(df, ["grp"], args.n, ["doc_id"]))
+    t_pre = timed(
+        lambda: quota_per_group(
+            df, ["grp"], args.n, ["doc_id"], prefilter=True
+        )
+    )
+    a = quota_per_group(df, ["grp"], args.n, ["doc_id"]).count()
+    b = quota_per_group(df, ["grp"], args.n, ["doc_id"], prefilter=True).count()
+    print(
+        f'{{"rows": {args.rows}, "n": {args.n}, "exact_s": {t_exact}, '
+        f'"prefilter_s": {t_pre}, "rows_exact": {a}, "rows_prefilter": {b}}}'
+    )
+    assert a == b, "prefilter must be row-identical to exact"
+
+
+if __name__ == "__main__":
+    main()
