@@ -47,6 +47,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
     redact,
     repetition,
     sampling,
+    semdedup,
     similarity,
     windows,
 )
@@ -806,6 +807,16 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return familiarity.familiarity_scores(d, model)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): embedding-space dedup — assign every
+    vector to its nearest of the 16 lowest-id seed vectors (map-only literal
+    expression), then prune any doc with a lower-id same-cluster neighbor at
+    cosine >= 0.3. Integer-quantized arithmetic makes every decision
+    bit-identical to the DuckDB oracle with zero float tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup.semdedup(emb, n_seeds=16, tau2_x100=9)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -855,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
         "familiarity_scores": q_familiarity_scores,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1673,5 +1685,60 @@ def oracle_sql() -> dict[str, str]:
                          THEN s.total / CAST(s.n_grams AS DOUBLE)
                          ELSE 0.0 END, 6) AS familiarity
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        # integer-exact SemDeDup: quantize q=round(x*1024) (exact power-of-2
+        # scaling), int64 dots/norms (order-independent), cosine = dot /
+        # sqrt(nn_a*nn_b) in IEEE double from equal integers (bit-identical
+        # on both engines), tau decision pure integer (100*dot^2 >= 9*nn*nn)
+        "semdedup": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, qv,
+                     CAST(list_sum(list_transform(qv, x -> x * x))
+                          AS BIGINT) AS nn
+              FROM q
+            ), nz AS (SELECT * FROM n WHERE nn > 0
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     qv AS sv, nn AS sn
+              FROM nz WHERE vec_id < 16
+            ), sims AS (
+              SELECT e.vec_id, s.cid,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, len(e.qv)),
+                       i -> e.qv[i] * s.sv[i])) AS BIGINT) AS dot,
+                     e.nn AS nn, s.sn AS sn
+              FROM nz e CROSS JOIN seeds s
+            ), assign AS (
+              SELECT vec_id, cid AS cluster_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY CAST(dot AS DOUBLE)
+                                  / sqrt(CAST(nn * sn AS DOUBLE)) DESC,
+                                  cid ASC) AS rk
+                FROM sims) WHERE rk = 1
+            ), j AS (
+              SELECT aa.vec_id AS a_id,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, len(na.qv)),
+                       i -> na.qv[i] * nb.qv[i])) AS BIGINT) AS dot,
+                     na.nn AS a_nn, nb.nn AS b_nn
+              FROM assign aa
+              JOIN assign ab
+                ON aa.cluster_id = ab.cluster_id AND ab.vec_id < aa.vec_id
+              JOIN nz na ON na.vec_id = aa.vec_id
+              JOIN nz nb ON nb.vec_id = ab.vec_id
+            ), dups AS (
+              SELECT DISTINCT a_id FROM j
+              WHERE dot > 0 AND 100 * dot * dot >= 9 * a_nn * b_nn
+            )
+            SELECT a.vec_id AS vec_id, CAST(a.cluster_id AS INT) AS cluster_id,
+                   (d.a_id IS NOT NULL) AS is_dup
+            FROM assign a LEFT JOIN dups d ON a.vec_id = d.a_id
         """,
     }

