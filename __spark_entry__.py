@@ -51,8 +51,15 @@ from go_pipeline_spark.operators import (  # noqa: E402
     similarity,
     windows,
 )
+from go_pipeline_spark.operators import (  # noqa: E402
+    keywords,
+    rangejoin,
+    sketches,
+    urls,
+)
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
+    canonical_representatives,
     global_line_dedup,
     with_content_sha,
 )
@@ -335,6 +342,19 @@ def q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered (shorter, longer)."""
     res = _pipeline_result(spark, sf_dir)
     return res.dup_edges.select("src", "dst", "kind")
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over the flagship pipeline's clusters:
+    keep-the-longest member (ties -> lowest id) per dup cluster — the stage
+    that turns cluster assignments into a deduplicated corpus. Shares the
+    per-process pipeline run with dup_pairs/dedup_clusters; oracle reuses
+    the recursive-CTE reachability + the same argmax rule."""
+    res = _pipeline_result(spark, sf_dir)
+    docs = _planted_docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return canonical_representatives(res.clusters, docs)
 
 
 def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +827,44 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return familiarity.familiarity_scores(d, model)
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates driver-proven against exact truth
+    (operators/sketches.py): per event_type the query computes HLL++
+    distinct-users and an approx median ALONGSIDE their exact twins, emits
+    the exact values plus within-tolerance booleans; the oracle asserts the
+    booleans — a sketch regression reddens the row (SRP-gate pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.sketch_profile(ev)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-keyed dedup (operators/urls.py): messy
+    URLs planted deterministically from doc_id (the redact.py planting
+    pattern — testdata has no URL column), canonicalized scan-side with
+    RE2-compatible rules, grouped on the canonical key. Keeper = min id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return urls.url_dedup_groups(urls.planted_urls(d))
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/keywords.py): top-3 tokens per
+    document by tf*N/df (exact-integer inputs, one correctly-rounded double
+    division — bit-identical ranking on both engines), ties by token."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return keywords.tfidf_keywords(d, k=3)
+
+
+def q_range_join_first_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): per-user count of ALL
+    site events inside that user's first hour — both join sides derive from
+    the events table; the bucket equi-join replaces the nested-loop plan
+    Spark would pick for the raw BETWEEN predicate. Exact predicate re-applied
+    after candidate generation, so results are bit-identical to the oracle's
+    native IEJoin."""
+    ev = load_table(spark, sf_dir, "events")
+    return rangejoin.events_in_first_hour(ev, window_s=3600)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py): embedding-space dedup — assign every
     vector to its nearest of the 16 lowest-id seed vectors (map-only literal
@@ -867,6 +925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "familiarity_scores": q_familiarity_scores,
         "semdedup": q_semdedup,
+        "range_join_first_hour": q_range_join_first_hour,
+        "tfidf_keywords": q_tfidf_keywords,
+        "url_dedup": q_url_dedup,
+        "sketch_profile": q_sketch_profile,
+        "canonical_docs": q_canonical_docs,
     }
 
 
@@ -1740,5 +1803,140 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_id, CAST(a.cluster_id AS INT) AS cluster_id,
                    (d.a_id IS NOT NULL) AS is_dup
             FROM assign a LEFT JOIN dups d ON a.vec_id = d.a_id
+        """,
+        # DuckDB plans the BETWEEN predicate with its native IEJoin; the
+        # Spark side generates candidates via the bucket equi-join and
+        # re-applies the exact half-open predicate — identical results
+        "range_join_first_hour": """
+            WITH spans AS (
+              SELECT user_id, min(ts) AS w_start,
+                     min(ts) + INTERVAL 1 HOUR AS w_end
+              FROM events GROUP BY user_id
+            )
+            SELECT s.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM spans s
+            JOIN events e ON e.ts >= s.w_start AND e.ts < s.w_end
+            GROUP BY s.user_id
+        """,
+        # score = tf*N/df from exact integers (tf*N < 2^53 exact, one
+        # correctly-rounded division) -> bit-identical ranking; ties by token
+        "tfidf_keywords": """
+            WITH tfs AS (
+              SELECT doc_id, tok AS token, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2
+            ), dfs AS (
+              SELECT token, count(*) AS df FROM tfs GROUP BY 1
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM tfs
+            ), scored AS (
+              SELECT t.doc_id, t.token, t.tf, d.df,
+                     CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+              FROM tfs t JOIN dfs d USING (token) CROSS JOIN nd n
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, token,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, token ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
+        # identical planting (doc_id arithmetic) + identical RE2 rules;
+        # canonical key built with the same regex pipeline as the Spark side
+        "url_dedup": """
+            WITH planted AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'https://example' || ((doc_id % 50) % 7)
+                       || '.com/page/' || (doc_id % 50)
+                  WHEN 1 THEN 'HTTPS://WWW.'
+                       || upper('example' || ((doc_id % 50) % 7) || '.com')
+                       || ':443/page/' || (doc_id % 50) || '/'
+                  WHEN 2 THEN 'https://example' || ((doc_id % 50) % 7)
+                       || '.com/page/' || (doc_id % 50)
+                       || '?utm_source=feed&b=2&a=1'
+                  ELSE 'https://example' || ((doc_id % 50) % 7)
+                       || '.com/page/' || (doc_id % 50)
+                       || '?a=1&b=2&fbclid=XYZ#frag'
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf
+              FROM planted
+            ), canon AS (
+              SELECT doc_id,
+                lower(regexp_extract(nf,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                || '://'
+                || regexp_replace(regexp_replace(
+                     lower(regexp_extract(nf,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                     ':(80|443)$', ''), '^www\\.', '')
+                || regexp_replace(regexp_extract(nf,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '/$', '')
+                || CASE WHEN array_to_string(list_sort(list_filter(
+                         string_split(regexp_extract(nf, '\\?([^#]*)', 1),
+                           '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&') <> ''
+                   THEN '?' || array_to_string(list_sort(list_filter(
+                         string_split(regexp_extract(nf, '\\?([^#]*)', 1),
+                           '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&')
+                   ELSE '' END AS canonical_url
+              FROM parts
+            )
+            SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM canon GROUP BY 1
+        """,
+        # exact twins computed in SQL; the booleans assert the Spark-side
+        # sketches (HLL++, percentile_approx) landed within tolerance
+        "sketch_profile": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   true AS hll_ok, true AS p50_ok
+            FROM events GROUP BY 1
+        """,
+        # same reachability CTE as dedup_clusters, then the keep-the-longest
+        # argmax (ties -> lowest id) and per-component size
+        "canonical_docs": f"""
+            WITH RECURSIVE {edges_cte},
+            edges AS (
+              SELECT src, dst FROM exact_e
+              UNION SELECT src, dst FROM near
+              UNION SELECT src, dst FROM cont
+            ),
+            sym AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst AS u, src AS v FROM edges),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM planted
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS component
+                     FROM reach GROUP BY a),
+            scored AS (
+              SELECT c.component, c.doc_id, length(p.text) AS len
+              FROM comp c JOIN planted p USING (doc_id)
+            ),
+            keep AS (
+              SELECT component, doc_id AS keeper_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY component
+                  ORDER BY len DESC, doc_id ASC) AS rk
+                FROM scored) WHERE rk = 1
+            ),
+            sizes AS (SELECT component, count(*) AS cluster_size
+                      FROM comp GROUP BY component)
+            SELECT k.component, k.keeper_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size
+            FROM keep k JOIN sizes s USING (component)
         """,
     }

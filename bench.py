@@ -166,6 +166,11 @@ def bench_queries(spark, sf_dir: str):
         "prep_pipeline_v2": q("prep_pipeline_v2"),
         "familiarity_scores": q("familiarity_scores"),
         "semdedup": q("semdedup"),  # NEW r5 (embedding-space dedup)
+        "range_join_first_hour": q("range_join_first_hour"),  # NEW r5
+        "tfidf_keywords": q("tfidf_keywords"),  # NEW r5
+        "url_dedup": q("url_dedup"),  # NEW r5
+        "sketch_profile": q("sketch_profile"),  # NEW r5
+        "canonical_docs": q("canonical_docs"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

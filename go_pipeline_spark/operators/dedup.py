@@ -157,3 +157,44 @@ def global_line_dedup(
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         )
     )
+
+
+def canonical_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    content_col: str = "content",
+) -> DataFrame:
+    """-> (component, keeper_id, cluster_size): one representative per dup
+    cluster, keep-the-longest rule (most complete duplicate survives; the
+    convention crawl pipelines use when near-dups differ by truncation),
+    ties to the lowest id.
+
+    Per-cluster argmax runs as a row_number window that Spark >= 3.5
+    executes with WindowGroupLimit (map-side partial top-1 — a hot mega-
+    cluster never funnels through one task before the limit applies; the
+    quota_per_group de-skew finding, BENCH/REGRESSION.md r5).
+    """
+    from pyspark.sql import Window
+
+    scored = clusters.join(
+        docs.select(
+            F.col(id_col), F.length(F.col(content_col)).alias("__len")
+        ),
+        on=id_col,
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.desc("__len"), F.asc(id_col)
+    )
+    sizes = clusters.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    keepers = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(component_col, F.col(id_col).alias("keeper_id"))
+    )
+    return keepers.join(sizes, on=component_col).select(
+        component_col, "keeper_id", "cluster_size"
+    )

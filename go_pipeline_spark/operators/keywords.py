@@ -1,0 +1,83 @@
+"""TF-IDF keyword extraction: top-k characteristic tokens per document.
+
+The search-indexing / topic-tagging primitive of a training-data pipeline:
+term frequency comes from the document, document frequency from the whole
+corpus, both computed in ONE plan (the familiarity-scoring pattern,
+operators/familiarity.py, extended with a per-doc top-k).
+
+Numerics discipline (the repo rule: no partition-order-dependent floats):
+tf, df and N are exact integer aggregates; the ranking score is the single
+IEEE-double expression  tf * N / df  evaluated from exactly-equal integers
+(tf*N < 2^53 exact; one correctly-rounded division) — bit-identical on the
+JVM and in DuckDB, so the per-doc top-k ordering (score DESC, token ASC)
+is deterministic and oracle-provable with no tolerance.  Classic idf uses
+ln(N/df); ln is monotone, so ranking by N/df ranks identically while
+staying in the exact-arithmetic envelope — the emitted score is the raw
+ratio (callers wanting log-scaled output apply ln at the edge).
+
+Scale shape: tokenize map-side -> one shuffle to (doc, token) counts ->
+token-keyed join against the (token, df) aggregate (AQE handles hot stop
+words; they rank LOW anyway — high df) -> per-doc top-k window, which
+Spark >= 3.5 executes as WindowGroupLimit (map-side partial top-k, no full
+sort of the posting list; the same de-skew finding as quota_per_group,
+BENCH/REGRESSION.md r5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doc_term_freqs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, tf): whitespace tokens, empty tokens dropped."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    return toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, rank, token, tf, df, score): top-k tokens per doc by
+    tf * N / df (ties -> token ascending). N = number of docs with at
+    least one token (a doc with no tokens has no keywords on either
+    engine)."""
+    tfs = doc_term_freqs(docs, text_col=text_col, id_col=id_col)
+    # tfs is unique on (doc, token) by construction, so df is a plain count
+    dfs = tfs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tfs.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tfs.join(dfs, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            "tf",
+            "df",
+            "score",
+        )
+    )

@@ -1,0 +1,105 @@
+"""Bucketed range join: point-in-interval joins without a nested loop.
+
+Spark has no native range-join strategy: `points JOIN ranges ON p BETWEEN
+s AND e` plans as BroadcastNestedLoopJoin when one side is small and as a
+CartesianProduct otherwise — O(|P| * |R|) comparisons, a scale-killer when
+both sides are large.  (Databricks Runtime ships a range-join *hint*; open-
+source Spark does not.)  This operator is the standard equi-join
+reformulation used by every engine that lacks an interval index:
+
+  1. pick a bucket width w (≈ the typical interval span, so an interval
+     covers ~1-2 buckets);
+  2. points map to bucket floor(p/w) — map-side, no blow-up;
+  3. intervals EXPLODE to every bucket they overlap,
+     floor(s/w) .. floor(e/w) — blow-up = span/w, bounded by choosing w;
+  4. shuffle equi-join on the bucket id, then re-apply the EXACT interval
+     predicate (the bucket join is candidate generation only, so bucketing
+     precision never affects results).
+
+At 100 TB both sides stay distributed (one shuffle each, AQE handles a hot
+bucket the same way it handles any skewed equi-key; a pathologically long
+interval is capped by w — its explode factor is its span, which is the
+honest cost of the query).  The join predicate itself runs on the ORIGINAL
+typed columns (timestamps compare as exact integers), so results are
+bit-identical to the naive form — pinned by pytest and by the DuckDB
+oracle (DuckDB plans the same query with its native IEJoin).
+
+Time units: callers pass timestamp columns; bucketing uses unix_micros
+(exact int64), widths are given in seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _epoch_us(c: str) -> F.Column:
+    """unix_micros for TIMESTAMP and TIMESTAMP_NTZ alike (parquet loads as
+    NTZ). The NTZ->TS cast is monotone and applied identically to points
+    and ranges, which is all the BUCKETING needs — the exact join predicate
+    runs on the original columns, so the cast never affects results."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_ts: str,
+    range_start: str,
+    range_end: str,
+    bucket_width_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every range row with start <= p < end.
+
+    Column names must be disjoint between the two inputs (standard join
+    hygiene; rename upstream).  Returns points ⋈ ranges with all columns
+    from both sides.  Half-open [start, end): end is exclusive, matching
+    window-operator semantics elsewhere in the repo (operators/windows.py).
+    """
+    w = int(bucket_width_s) * 1_000_000  # micros
+    p = points.withColumn(
+        "_bkt", F.floor(_epoch_us(point_ts) / F.lit(w))
+    )
+    r = (
+        ranges.where(F.col(range_end) > F.col(range_start))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(_epoch_us(range_start) / F.lit(w)),
+                    F.floor((_epoch_us(range_end) - 1) / F.lit(w)),
+                )
+            ),
+        )
+    )
+    joined = p.join(r, on="_bkt", how=how).where(
+        (F.col(point_ts) >= F.col(range_start))
+        & (F.col(point_ts) < F.col(range_end))
+    )
+    return joined.drop("_bkt")
+
+
+def events_in_first_hour(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """-> (user_id, n_events): how much TOTAL site activity (all users)
+    happened inside each user's first `window_s` seconds — the driver
+    query exercising the bucketed range join with BOTH sides derived from
+    the large events table (ranges = one per user, points = every event).
+    """
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("w_start"),
+    ).select(
+        F.col("user_id").alias("span_user"),
+        "w_start",
+        (F.col("w_start") + F.make_interval(secs=F.lit(window_s))).alias(
+            "w_end"
+        ),
+    )
+    pts = events.select(F.col("ts").alias("p_ts"))
+    j = bucketed_range_join(
+        pts, spans, "p_ts", "w_start", "w_end", bucket_width_s=window_s
+    )
+    return j.groupBy(F.col("span_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -1,0 +1,73 @@
+"""Sketch aggregates (HLL++, KLL-ish quantiles) with exactness gates.
+
+At 100 TB the cardinality / quantile questions a pipeline asks hourly
+("how many distinct users per segment", "p50/p99 payload size") cannot
+afford exact distinct-counts or full sorts, so the production path is the
+sketch: `approx_count_distinct` (HyperLogLog++, map-side mergeable, one
+int per partition crossing the wire) and `percentile_approx` (a mergeable
+quantile sketch).  Sketches are approximate, which is exactly why they
+need a correctness gate in this repo's driver harness: the query computes
+BOTH the sketch and the exact answer, emits the exact value plus a boolean
+"sketch was within tolerance", and the DuckDB oracle asserts the boolean
+is true — any regression in the sketch path (seed, rsd, merge) flips the
+flag and reddens the row (the SRP-recall-gate pattern,
+__spark_entry__.py q_embedding_near_dups_srp_gated).
+
+Both Spark sketches are deterministic for fixed input (fixed hash seeds),
+so the gate is stable, not flaky.  The exact twins are affordable at
+driver scale only — that asymmetry is the point: the gate runs at sf0.01,
+the sketch alone runs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_profile(
+    events: DataFrame,
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    distinct_rel_tol: float = 0.10,
+    quantile_rel_tol: float = 0.05,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """-> (group, n_events, n_users, p50, hll_ok, p50_ok) per group.
+
+    n_users / p50 are EXACT (count_distinct, interpolated median rounded
+    to 6dp — the familiarity-scores rounding discipline); hll_ok / p50_ok
+    assert the sketch twin landed within the relative tolerance.
+    """
+    # count_distinct next to the imperative-buffer aggregates (percentile,
+    # HLL) forces the Expand rewrite and every buffer pays the doubled-row
+    # stream: measured 4.1s combined vs 0.79s split at sf0.1/local[32]
+    # (each aggregate alone: 0.3s). Two aggregates + a group-key join (rows
+    # = #groups, broadcast by AQE) is the fast shape.
+    plain = events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct(F.col(user_col), rsd=rsd).alias("_hll"),
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_p50_exact"),
+        F.percentile_approx(F.col(value_col), F.lit(0.5), F.lit(10000)).alias(
+            "_p50_approx"
+        ),
+    )
+    dist = events.groupBy(group_col).agg(
+        F.count_distinct(F.col(user_col)).alias("n_users")
+    )
+    agg = plain.join(dist, on=group_col)
+    return agg.select(
+        F.col(group_col),
+        "n_events",
+        "n_users",
+        F.round(F.col("_p50_exact"), 6).alias("p50"),
+        (
+            F.abs(F.col("_hll") - F.col("n_users"))
+            <= distinct_rel_tol * F.col("n_users")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
+            <= quantile_rel_tol * F.abs(F.col("_p50_exact"))
+        ).alias("p50_ok"),
+    )

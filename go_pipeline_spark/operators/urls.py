@@ -1,0 +1,118 @@
+"""URL canonicalization + URL-keyed deduplication (web-crawl prep).
+
+Crawl corpora carry the same page under many URL spellings; URL-keyed
+dedup is the cheapest rung of the dedup ladder (before content sha,
+operators/dedup.py) because it needs no content read at all.  The
+canonicalizer applies the standard equivalence rules (RFC 3986 §6 plus the
+tracking-param conventions every crawl pipeline uses):
+
+  * scheme and host lowercase; leading ``www.`` dropped
+  * default ports ``:80`` / ``:443`` dropped
+  * fragment (``#...``) dropped
+  * tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``)
+  * surviving query params sorted (order-insensitive equivalence)
+  * trailing ``/`` on the path dropped (``/a/`` == ``/a``)
+
+Everything is scan-side JVM string/array expressions (regexp_extract /
+filter / array_sort / concat) — no shuffle, no Python, and every regex is
+RE2-compatible so the DuckDB oracle replays the identical rules (the
+operators/redact.py parity discipline).  The dedup itself is one
+hash-aggregate on the canonical key: keeper = min doc_id, the same
+first-occurrence rule as exact_dup_groups.
+
+At 100 TB: canonicalization is embarrassingly parallel; the aggregate
+shuffles (canonical_url, doc_id) only — bytes per row ~100, and hot keys
+(a URL crawled millions of times) are exactly what AQE skew-split handles
+on an aggregation key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RX = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+
+def canonicalize_url(col: F.Column) -> F.Column:
+    """Canonical form of a URL column — pure scan-side expressions."""
+    # split off fragment first; then query; scheme://host[:port]/path
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RX),
+    )
+    qcanon = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (canonical_url, n_docs, keeper_id): one row per canonical URL,
+    keeper = lowest id (first-occurrence rule, cf. exact_dup_groups)."""
+    return (
+        df.select(
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def planted_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic messy-URL column derived from doc_id (the redact.py
+    planting pattern: testdata has no URL column, so the driver query
+    plants one reproducibly on BOTH engines).  Ids sharing doc_id % 50
+    canonicalize to the same URL via different spellings."""
+    i = F.col(id_col)
+    g = i % 50  # canonical group
+    spelling = i % 4
+    base = F.concat(F.lit("example"), (g % 7).cast("string"), F.lit(".com"))
+    path = F.concat(F.lit("/page/"), g.cast("string"))
+    url = (
+        F.when(
+            spelling == 0,
+            F.concat(F.lit("https://"), base, path),
+        )
+        .when(
+            spelling == 1,
+            F.concat(F.lit("HTTPS://WWW."), F.upper(base), F.lit(":443"), path, F.lit("/")),
+        )
+        .when(
+            spelling == 2,
+            F.concat(
+                F.lit("https://"), base, path,
+                F.lit("?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), base, path,
+                F.lit("?a=1&b=2&fbclid=XYZ#frag"),
+            )
+        )
+    )
+    return docs.select(F.col(id_col), url.alias("url"))

@@ -72,3 +72,47 @@ def test_exact_dup_edges_link_to_min(spark):
     for e in edges:
         assert e["src"] == e["dst"] % 5
         assert e["src"] < e["dst"]
+
+
+def test_canonical_representatives_keep_longest(spark):
+    from go_pipeline_spark.operators.dedup import canonical_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest one"), (3, "mid-length"), (9, "x")],
+        "doc_id long, content string",
+    )
+    got = {
+        r.component: (r.keeper_id, r.cluster_size)
+        for r in canonical_representatives(clusters, docs).collect()
+    }
+    assert got == {1: (2, 3), 9: (9, 1)}
+
+
+def test_canonical_representatives_tie_lowest_id(spark):
+    from go_pipeline_spark.operators.dedup import canonical_representatives
+
+    clusters = spark.createDataFrame(
+        [(5, 1), (4, 1)], "doc_id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(5, "aaaa"), (4, "bbbb")], "doc_id long, content string"
+    )
+    got = canonical_representatives(clusters, docs).collect()
+    assert got[0].keeper_id == 4
+
+
+def test_canonical_representatives_uses_window_group_limit(spark):
+    from go_pipeline_spark.operators.dedup import canonical_representatives
+
+    clusters = spark.createDataFrame([(1, 1)], "doc_id long, component long")
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, content string")
+    plan = (
+        canonical_representatives(clusters, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

@@ -1,0 +1,59 @@
+"""TF-IDF keywords: hand-computed scores/ranks, tie-break order, empty-doc
+totality, and the WindowGroupLimit top-k plan assertion."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators import keywords
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_computed(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+    )
+    got = {
+        (r.doc_id, r.rank): (r.token, r.tf, r.df, r.score)
+        for r in keywords.tfidf_keywords(docs, k=2).collect()
+    }
+    # N=3. doc1: apple tf2 df1 -> 6.0; banana tf1 df2 -> 1.5
+    assert got[(1, 1)] == ("apple", 2, 1, pytest.approx(6.0))
+    assert got[(1, 2)] == ("banana", 1, 2, pytest.approx(1.5))
+    # doc3: cherry tf3 df2 -> 4.5; date tf1 df1 -> 3.0
+    assert got[(3, 1)] == ("cherry", 3, 2, pytest.approx(4.5))
+    assert got[(3, 2)] == ("date", 1, 1, pytest.approx(3.0))
+    # doc2: banana tf1 df2 -> 1.5 ties cherry tf1 df2 -> 1.5: token ASC
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+
+
+def test_empty_docs_have_no_keywords_and_shrink_n(spark):
+    docs = _df(spark, [(1, "x"), (2, ""), (3, "  ")])
+    rows = keywords.tfidf_keywords(docs, k=3).collect()
+    assert [(r.doc_id, r.token) for r in rows] == [(1, "x")]
+    # N counts only docs with tokens: score = 1*1/1
+    assert rows[0].score == pytest.approx(1.0)
+
+
+def test_k_bounds_output(spark):
+    docs = _df(spark, [(1, "a b c d e f")])
+    assert keywords.tfidf_keywords(docs, k=3).count() == 3
+
+
+def test_topk_plan_uses_window_group_limit(spark):
+    docs = _df(spark, [(1, "a b"), (2, "b c")])
+    plan = (
+        keywords.tfidf_keywords(docs, k=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

@@ -1,0 +1,111 @@
+"""Bucketed range join: equivalence with the naive theta-join, half-open
+boundary semantics, bucket-straddling intervals, empty/degenerate ranges,
+and the no-nested-loop plan assertion."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import rangejoin
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _points(spark, secs):
+    return spark.createDataFrame(
+        [(i, _ts(s)) for i, s in enumerate(secs)], "pid long, p_ts timestamp"
+    )
+
+
+def _ranges(spark, rows):
+    return spark.createDataFrame(
+        [(i, _ts(a), _ts(b)) for i, (a, b) in enumerate(rows)],
+        "rid long, w_start timestamp, w_end timestamp",
+    )
+
+
+def test_matches_naive_theta_join(spark):
+    # points every 7 min over 3 h; ranges of assorted widths and offsets,
+    # several straddling the 1800 s bucket boundary
+    pts = _points(spark, range(0, 10800, 420))
+    rngs = _ranges(
+        spark,
+        [(0, 600), (550, 2000), (1795, 1805), (3600, 3600), (9000, 12000)],
+    )
+    got = sorted(
+        (r.pid, r.rid)
+        for r in rangejoin.bucketed_range_join(
+            pts, rngs, "p_ts", "w_start", "w_end", bucket_width_s=1800
+        ).collect()
+    )
+    want = sorted(
+        (r.pid, r.rid)
+        for r in pts.join(
+            rngs,
+            (F.col("p_ts") >= F.col("w_start"))
+            & (F.col("p_ts") < F.col("w_end")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_half_open_boundaries(spark):
+    pts = _points(spark, [100, 200])
+    rngs = _ranges(spark, [(100, 200)])
+    got = [
+        r.pid
+        for r in rangejoin.bucketed_range_join(
+            pts, rngs, "p_ts", "w_start", "w_end", bucket_width_s=60
+        ).collect()
+    ]
+    assert got == [0]  # start inclusive, end exclusive
+
+
+def test_empty_and_inverted_ranges_drop(spark):
+    pts = _points(spark, [10])
+    rngs = _ranges(spark, [(10, 10), (20, 5)])
+    out = rangejoin.bucketed_range_join(
+        pts, rngs, "p_ts", "w_start", "w_end", bucket_width_s=60
+    ).collect()
+    assert out == []
+
+
+def test_no_nested_loop_in_plan(spark):
+    pts = _points(spark, [0, 100])
+    rngs = _ranges(spark, [(0, 50)])
+    plan = (
+        rangejoin.bucketed_range_join(
+            pts, rngs, "p_ts", "w_start", "w_end", bucket_width_s=60
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_events_in_first_hour_hand_checked(spark):
+    # user 1 first at t=0; user 2 first at t=1800. events at
+    # 0,600,1800,3599,3600 (u1 window [0,3600)), u2 window [1800,5400)
+    rows = [
+        (1, _ts(0)),
+        (1, _ts(600)),
+        (2, _ts(1800)),
+        (1, _ts(3599)),
+        (2, _ts(3600)),
+        (2, _ts(5400)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.user_id: r.n_events
+        for r in rangejoin.events_in_first_hour(ev).collect()
+    }
+    # u1 window catches 0,600,1800,3599 = 4; u2 window [1800,5400) catches
+    # 1800,3599,3600 = 3 (5400 excluded)
+    assert got == {1: 4, 2: 3}

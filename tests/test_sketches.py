@@ -1,0 +1,56 @@
+"""Sketch profile: exact columns hand-checked, gates true on honest data,
+gates FALSE when the tolerance is impossible (proving the gate actually
+bites), determinism across runs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from go_pipeline_spark.operators import sketches
+
+
+def _events(spark, rows):
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + dt.timedelta(seconds=i), u, et, float(v), "")
+        for i, (u, et, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_exact_columns_hand_checked(spark):
+    rows = [(1, "a", 10.0), (1, "a", 20.0), (2, "a", 30.0), (3, "b", 5.0)]
+    got = {r.event_type: r for r in sketches.sketch_profile(_events(spark, rows)).collect()}
+    assert got["a"].n_events == 3 and got["a"].n_users == 2
+    assert got["a"].p50 == 20.0
+    assert got["b"].n_events == 1 and got["b"].n_users == 1
+    assert got["b"].p50 == 5.0
+    assert all(r.hll_ok and r.p50_ok for r in got.values())
+
+
+def test_even_count_median_interpolates(spark):
+    rows = [(1, "a", 10.0), (2, "a", 20.0)]
+    got = sketches.sketch_profile(_events(spark, rows)).collect()[0]
+    assert got.p50 == 15.0
+
+
+def test_gate_bites_when_tolerance_impossible(spark):
+    # zero tolerance: HLL estimate of 500 distinct users will not equal
+    # the exact count, so the gate must go false
+    rows = [(u, "a", float(u)) for u in range(500)]
+    got = sketches.sketch_profile(
+        _events(spark, rows), distinct_rel_tol=0.0
+    ).collect()[0]
+    assert got.n_users == 500 and not got.hll_ok
+
+
+def test_deterministic_across_runs(spark):
+    rows = [(u % 37, "a", float(u % 11)) for u in range(300)]
+    df = _events(spark, rows)
+    a = sorted(map(tuple, sketches.sketch_profile(df).collect()))
+    b = sorted(map(tuple, sketches.sketch_profile(df).collect()))
+    assert a == b

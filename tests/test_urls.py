@@ -1,0 +1,85 @@
+"""URL canonicalization rules one-by-one, group/keeper semantics, and the
+single-exchange plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import urls
+
+
+def _canon(spark, raw):
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    return [
+        r.c for r in df.select(urls.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_rules(spark):
+    cases = {
+        "HTTPS://WWW.Example.COM:443/a/": "https://example.com/a",
+        "http://example.com:80/x": "http://example.com/x",
+        "http://example.com:8080/x": "http://example.com:8080/x",
+        "https://example.com/a#sec-2": "https://example.com/a",
+        "https://example.com/a?utm_source=x&b=2&a=1": "https://example.com/a?a=1&b=2",
+        "https://example.com/a?fbclid=Z&gclid=Q": "https://example.com/a",
+        "https://example.com/a?b=2&a=1": "https://example.com/a?a=1&b=2",
+        "https://example.com/": "https://example.com",
+        "https://example.com/?": "https://example.com",
+        # utm must match as a PREFIXED PARAM, not anywhere in the value
+        "https://example.com/a?q=utm_source": "https://example.com/a?q=utm_source",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_equivalent_spellings_collapse(spark):
+    variants = [
+        "https://example.com/page/3",
+        "HTTPS://WWW.EXAMPLE.COM:443/page/3/",
+        "https://example.com/page/3#top",
+    ]
+    assert len(set(_canon(spark, variants))) == 1
+
+
+def test_url_dedup_groups_keeper_is_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "https://a.com/x"),
+            (3, "https://A.com/x/"),
+            (9, "https://b.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.canonical_url: (r.n_docs, r.keeper_id)
+        for r in urls.url_dedup_groups(df).collect()
+    }
+    assert got == {
+        "https://a.com/x": (2, 3),
+        "https://b.com/y": (1, 9),
+    }
+
+
+def test_planted_urls_deterministic_and_grouped(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = urls.url_dedup_groups(urls.planted_urls(docs))
+    rows = out.collect()
+    # 50 groups x {no-query, query} spellings = 100 canonical urls; each
+    # group has 4 members per 200 ids -> 2 per spelling pair
+    assert len(rows) == 100
+    assert all(r.n_docs == 2 for r in rows)
+
+
+def test_canonicalization_is_scan_side(spark):
+    docs = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = (
+        urls.url_dedup_groups(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one exchange: the final aggregate on the canonical key
+    assert plan.count("Exchange") == 1, plan
