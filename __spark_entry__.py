@@ -827,6 +827,33 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return familiarity.familiarity_scores(d, model)
 
 
+def q_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-wave composition: URL-keyed dedup (zero content read) and
+    SemDeDup (embedding space) chained over the same corpus, per-language
+    survivor accounting at each stage — ONE plan. sem status is defined for
+    docs with an embedding row (inner domain); n_both = survived both."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    url_keep = (
+        urls.url_dedup_groups(urls.planted_urls(docs.select("doc_id")))
+        .select(F.col("keeper_id").alias("doc_id"), F.lit(1).alias("_u"))
+    )
+    sem_keep = (
+        semdedup.semdedup(emb)
+        .where(~F.col("is_dup"))
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("_s"))
+    )
+    j = docs.join(url_keep, "doc_id", "left").join(sem_keep, "doc_id", "left")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("_u").alias("n_url_kept"),
+        F.count("_s").alias("n_sem_kept"),
+        F.count(
+            F.when(F.col("_u").isNotNull() & F.col("_s").isNotNull(), 1)
+        ).alias("n_both"),
+    )
+
+
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates driver-proven against exact truth
     (operators/sketches.py): per event_type the query computes HLL++
@@ -930,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "sketch_profile": q_sketch_profile,
         "canonical_docs": q_canonical_docs,
+        "prep_pipeline_v3": q_prep_pipeline_v3,
     }
 
 
@@ -1938,5 +1966,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.component, k.keeper_id,
                    CAST(s.cluster_size AS BIGINT) AS cluster_size
             FROM keep k JOIN sizes s USING (component)
+        """,
+        # composition of the url_dedup and semdedup oracles (same CTEs),
+        # then per-lang survivor accounting
+        "prep_pipeline_v3": """
+            WITH planted AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'https://example' || ((doc_id % 50) % 7)
+                       || '.com/page/' || (doc_id % 50)
+                  WHEN 1 THEN 'HTTPS://WWW.'
+                       || upper('example' || ((doc_id % 50) % 7) || '.com')
+                       || ':443/page/' || (doc_id % 50) || '/'
+                  WHEN 2 THEN 'https://example' || ((doc_id % 50) % 7)
+                       || '.com/page/' || (doc_id % 50)
+                       || '?utm_source=feed&b=2&a=1'
+                  ELSE 'https://example' || ((doc_id % 50) % 7)
+                       || '.com/page/' || (doc_id % 50)
+                       || '?a=1&b=2&fbclid=XYZ#frag'
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf
+              FROM planted
+            ), canon AS (
+              SELECT doc_id,
+                lower(regexp_extract(nf,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                || '://'
+                || regexp_replace(regexp_replace(
+                     lower(regexp_extract(nf,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                     ':(80|443)$', ''), '^www\\.', '')
+                || regexp_replace(regexp_extract(nf,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '/$', '')
+                || CASE WHEN array_to_string(list_sort(list_filter(
+                         string_split(regexp_extract(nf, '\\?([^#]*)', 1),
+                           '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&') <> ''
+                   THEN '?' || array_to_string(list_sort(list_filter(
+                         string_split(regexp_extract(nf, '\\?([^#]*)', 1),
+                           '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&')
+                   ELSE '' END AS canonical_url
+              FROM parts
+            ), ukeep AS (
+              SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url
+            ), q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, qv,
+                     CAST(list_sum(list_transform(qv, x -> x * x))
+                          AS BIGINT) AS nn
+              FROM q
+            ), nz AS (SELECT * FROM n WHERE nn > 0
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     qv AS sv, nn AS sn
+              FROM nz WHERE vec_id < 16
+            ), sims AS (
+              SELECT e.vec_id, s.cid,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, len(e.qv)),
+                       i -> e.qv[i] * s.sv[i])) AS BIGINT) AS dot,
+                     e.nn AS nn, s.sn AS sn
+              FROM nz e CROSS JOIN seeds s
+            ), assign AS (
+              SELECT vec_id, cid AS cluster_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY CAST(dot AS DOUBLE)
+                                  / sqrt(CAST(nn * sn AS DOUBLE)) DESC,
+                                  cid ASC) AS rk
+                FROM sims) WHERE rk = 1
+            ), j AS (
+              SELECT aa.vec_id AS a_id,
+                     CAST(list_sum(list_transform(
+                       generate_series(1, len(na.qv)),
+                       i -> na.qv[i] * nb.qv[i])) AS BIGINT) AS dot,
+                     na.nn AS a_nn, nb.nn AS b_nn
+              FROM assign aa
+              JOIN assign ab
+                ON aa.cluster_id = ab.cluster_id AND ab.vec_id < aa.vec_id
+              JOIN nz na ON na.vec_id = aa.vec_id
+              JOIN nz nb ON nb.vec_id = ab.vec_id
+            ), dups AS (
+              SELECT DISTINCT a_id FROM j
+              WHERE dot > 0 AND 100 * dot * dot >= 9 * a_nn * b_nn
+            ), skeep AS (
+              SELECT a.vec_id AS doc_id
+              FROM assign a LEFT JOIN dups d ON a.vec_id = d.a_id
+              WHERE d.a_id IS NULL
+            )
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(u.doc_id) AS BIGINT) AS n_url_kept,
+                   CAST(count(s.doc_id) AS BIGINT) AS n_sem_kept,
+                   CAST(count(CASE WHEN u.doc_id IS NOT NULL
+                              AND s.doc_id IS NOT NULL THEN 1 END)
+                        AS BIGINT) AS n_both
+            FROM documents d
+            LEFT JOIN ukeep u ON d.doc_id = u.doc_id
+            LEFT JOIN skeep s ON d.doc_id = s.doc_id
+            GROUP BY d.lang
         """,
     }

@@ -114,6 +114,55 @@ def assign_nearest_seed(
     )
 
 
+def assign_nearest_seed_arrow(
+    emb_q: DataFrame,
+    seeds: list[tuple[int, list[int], int]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-batched twin of assign_nearest_seed for LARGE k.
+
+    The literal-array form's plan grows with k*dim (fine to k ~ 32; the
+    SemDeDup paper uses k ~ sqrt(N), which at corpus scale is thousands),
+    so beyond that the seed matrix rides along as a broadcast numpy array
+    and assignment is one int64 GEMM per Arrow batch — STILL bit-identical:
+    dots are exact int64, nn*sn < 2^53 converts to double exactly, and the
+    final sqrt/divide are the same correctly-rounded IEEE ops as the JVM
+    expression; numpy argmax takes the first max, matching array_position.
+    Pinned equal to the literal form by pytest.  Map-only, like the
+    literal form (mapInPandas, no shuffle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    S = np.array([sv for (_r, sv, _n) in seeds], dtype=np.int64)
+    sn = np.array([n for (_r, _sv, n) in seeds], dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            nn = pdf["nn"].to_numpy(dtype=np.int64)
+            sims = (q @ S.T).astype(np.float64) / np.sqrt(
+                (nn[:, None] * sn[None, :]).astype(np.float64)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": sims.argmax(axis=1).astype("int32"),
+                    "qv": pdf["qv"],
+                    "nn": pdf["nn"],
+                }
+            )
+
+    return emb_q.select(id_col, "qv", "nn").mapInPandas(
+        assign, schema=f"{id_col} long, cluster_id int, qv array<long>, nn long"
+    )
+
+
+# beyond this many seeds the literal-expression plan is bigger than the
+# Arrow round-trip is worth; both forms are pinned bit-identical by test
+LITERAL_ASSIGN_MAX_SEEDS = 32
+
+
 def semdedup(
     embeddings: DataFrame,
     n_seeds: int = 16,
@@ -121,6 +170,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "gemm",
+    assign: str = "auto",
 ) -> DataFrame:
     """-> (vec_id, cluster_id, is_dup): the SemDeDup prune decision per doc.
 
@@ -145,6 +195,10 @@ def semdedup(
         portable, but re-evaluates the map-side assignment on both join
         branches and pays an interpreted fold per candidate pair.  Pinned
         identical to "gemm" by pytest.
+
+    assign: "literal" (scan-side literal-array expression, best small k),
+    "arrow" (broadcast int64 GEMM per batch, best large k), or "auto"
+    (literal up to LITERAL_ASSIGN_MAX_SEEDS).  Both are bit-identical.
     """
     emb_q = quantize_embeddings(embeddings, vec_col=vec_col)
     seed_rows = (
@@ -154,20 +208,27 @@ def semdedup(
         .collect()
     )
     seeds = [(r[0], list(r[1]), int(r[2])) for r in seed_rows]
-    assign = assign_nearest_seed(emb_q, seeds, id_col=id_col)
+    if assign == "auto":
+        assign = "literal" if len(seeds) <= LITERAL_ASSIGN_MAX_SEEDS else "arrow"
+    if assign == "literal":
+        assigned = assign_nearest_seed(emb_q, seeds, id_col=id_col)
+    elif assign == "arrow":
+        assigned = assign_nearest_seed_arrow(emb_q, seeds, id_col=id_col)
+    else:
+        raise ValueError(f"unknown assign {assign!r}")
 
     if strategy == "gemm":
-        return _prune_gemm(assign, tau2_x100, id_col)
+        return _prune_gemm(assigned, tau2_x100, id_col)
     if strategy != "join":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    a = assign.select(
+    a = assigned.select(
         F.col(id_col).alias("a_id"),
         F.col("cluster_id").alias("c"),
         F.col("qv").alias("a_qv"),
         F.col("nn").alias("a_nn"),
     )
-    b = assign.select(
+    b = assigned.select(
         F.col(id_col).alias("b_id"),
         F.col("cluster_id").alias("c"),
         F.col("qv").alias("b_qv"),
@@ -194,7 +255,7 @@ def semdedup(
         .withColumn("_dup", F.lit(1))
     )
     return (
-        assign.join(dup_ids, on=id_col, how="left")
+        assigned.join(dup_ids, on=id_col, how="left")
         .select(
             id_col,
             "cluster_id",

@@ -84,6 +84,30 @@ def test_planted_duplicate_pruned_keeper_survives(spark):
     assert len(got) == 6
 
 
+def test_arrow_and_literal_assignment_identical(spark):
+    """Large-k path: the broadcast-GEMM assignment must be bit-identical
+    to the literal-expression form (int64 dots, exact double conversion,
+    first-max argmax)."""
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    out = {}
+    for a in ("literal", "arrow"):
+        out[a] = sorted(
+            (r.vec_id, r.cluster_id, r.is_dup)
+            for r in semdedup.semdedup(df, n_seeds=40, assign=a).collect()
+        )
+    assert out["literal"] == out["arrow"]
+    # auto flips to arrow above LITERAL_ASSIGN_MAX_SEEDS=32 seeds
+    auto = sorted(
+        (r.vec_id, r.cluster_id, r.is_dup)
+        for r in semdedup.semdedup(df, n_seeds=40).collect()
+    )
+    assert auto == out["arrow"]
+    with pytest.raises(ValueError):
+        semdedup.semdedup(df, assign="nope")
+
+
 def test_gemm_and_join_strategies_identical(spark):
     rng = np.random.default_rng(23)
     vecs = rng.standard_normal((80, 12)).astype(np.float32)
