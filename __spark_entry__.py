@@ -51,6 +51,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
     similarity,
     windows,
 )
+from go_pipeline_spark.operators import verify as verify_ops  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     keywords,
     rangejoin,
@@ -827,6 +828,36 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return familiarity.familiarity_scores(d, model)
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup sensitivity curve (operators/verify.py
+    threshold_retention_curve): pairs verified and docs pruned at each
+    candidate Jaccard threshold, one pass, integer-exact decisions. Pair
+    set = the restricted exact token-set pairs of ngram_jaccard."""
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 120)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "toks"
+            ),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "dst",
+            inter.alias("inter"),
+            (F.size("toks_a") + F.size("toks_b") - inter).alias("union"),
+        )
+    )
+    return verify_ops.threshold_retention_curve(pairs)
+
+
 def q_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third-wave composition: URL-keyed dedup (zero content read) and
     SemDeDup (embedding space) chained over the same corpus, per-language
@@ -958,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": q_sketch_profile,
         "canonical_docs": q_canonical_docs,
         "prep_pipeline_v3": q_prep_pipeline_v3,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
     }
 
 
@@ -2076,5 +2108,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ukeep u ON d.doc_id = u.doc_id
             LEFT JOIN skeep s ON d.doc_id = s.doc_id
             GROUP BY d.lang
+        """,
+        # integer decision 100*inter >= t*union -> bit-stable curve;
+        # same token-set derivation as the ngram_jaccard oracle
+        "dedup_threshold_curve": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text),
+                       '\\s+')) AS toks
+              FROM documents WHERE doc_id < 120
+            ), pairs AS (
+              SELECT b.doc_id AS dst,
+                     len(list_intersect(a.toks, b.toks)) AS inter,
+                     len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) AS uni
+              FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            ), x AS (
+              SELECT dst, t.threshold_pct
+              FROM pairs,
+                   (SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct) t
+              WHERE 100 * inter >= threshold_pct * uni
+            )
+            SELECT CAST(threshold_pct AS INT) AS threshold_pct,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT dst) AS BIGINT) AS n_docs_flagged
+            FROM x GROUP BY 1
         """,
     }

@@ -98,3 +98,45 @@ def verify_pairs(
         decided.unionByName(rechecked)
         .withColumn("verified", F.col("jaccard") >= cfg.jaccard_threshold)
     )
+
+
+def threshold_retention_curve(
+    pairs: DataFrame, thresholds_pct: list[int] | None = None
+) -> DataFrame:
+    """-> (threshold_pct, n_pairs, n_docs_flagged): the dedup sensitivity
+    curve — how many pairs verify and how many docs would be pruned at each
+    candidate Jaccard threshold — in ONE pass over the scored pairs.
+
+    Threshold tuning is the recurring ops question of any dedup deployment
+    ("what does 0.7 vs 0.8 cost us?"); re-running the verifier per
+    threshold re-scans the pair set k times, while this explodes each pair
+    across the passing thresholds only (<= k rows, usually ~1) and
+    aggregates once.  The decision is INTEGER arithmetic
+    (100*inter >= t*union), so the curve is bit-stable on any engine.
+
+    ``pairs`` needs integer columns inter/union and a dst id (the pruned
+    side under the keep-lowest-id rule).
+    """
+    ts = thresholds_pct or [50, 60, 70, 80, 90]
+    t_arr = F.array(*[F.lit(int(t)) for t in sorted(ts)])
+    passing = pairs.select(
+        F.col("dst"),
+        F.explode(
+            F.filter(
+                t_arr,
+                lambda t: 100 * F.col("inter") >= t * F.col("union"),
+            )
+        ).alias("threshold_pct"),
+    )
+    return (
+        passing.groupBy("threshold_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct(F.col("dst")).alias("n_docs_flagged"),
+        )
+        .select(
+            F.col("threshold_pct").cast("int").alias("threshold_pct"),
+            "n_pairs",
+            "n_docs_flagged",
+        )
+    )

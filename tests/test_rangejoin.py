@@ -109,3 +109,37 @@ def test_events_in_first_hour_hand_checked(spark):
     # u1 window catches 0,600,1800,3599 = 4; u2 window [1800,5400) catches
     # 1800,3599,3600 = 3 (5400 excluded)
     assert got == {1: 4, 2: 3}
+
+
+def test_stream_static_range_join(spark, tmp_path):
+    """Points as a micro-batch stream against a STATIC ranges table: the
+    bucketed form is a stateless map + stream-static equi-join, so it runs
+    unchanged under readStream and matches the batch result exactly —
+    the enrichment-join shape (event stream vs maintenance windows)."""
+    from go_pipeline_spark.streaming import batching
+
+    pts = _points(spark, range(0, 7200, 300))
+    rngs = _ranges(spark, [(100, 1000), (3000, 3900), (5400, 5400)])
+    d = tmp_path / "pts"
+    pts.coalesce(2).write.mode("overwrite").parquet(str(d))
+    stream = (
+        spark.readStream.schema("pid long, p_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    joined = rangejoin.bucketed_range_join(
+        stream, rngs, "p_ts", "w_start", "w_end", bucket_width_s=600
+    )
+    assert joined.isStreaming
+    batching.run_stream_to_memory(joined, "rj_out", output_mode="append")
+    got = sorted(
+        (r.pid, r.rid)
+        for r in spark.sql("SELECT pid, rid FROM rj_out").collect()
+    )
+    want = sorted(
+        (r.pid, r.rid)
+        for r in rangejoin.bucketed_range_join(
+            pts, rngs, "p_ts", "w_start", "w_end", bucket_width_s=600
+        ).collect()
+    )
+    assert got == want and len(want) > 0

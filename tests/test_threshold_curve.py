@@ -1,0 +1,48 @@
+"""threshold_retention_curve: hand-computed curve, monotone retention,
+integer boundary inclusivity, custom thresholds, empty pair set."""
+
+from __future__ import annotations
+
+from go_pipeline_spark.operators import verify as verify_ops
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "dst long, inter int, union int")
+
+
+def test_hand_computed_curve(spark):
+    # jaccards: 1/2=0.5, 3/4=0.75, 9/10=0.9, 1/10=0.1
+    pairs = _pairs(
+        spark, [(1, 1, 2), (2, 3, 4), (2, 9, 10), (3, 1, 10)]
+    )
+    got = {
+        r.threshold_pct: (r.n_pairs, r.n_docs_flagged)
+        for r in verify_ops.threshold_retention_curve(pairs).collect()
+    }
+    assert got == {
+        50: (3, 2),  # 0.5, 0.75, 0.9; dsts {1,2}
+        60: (2, 1),  # 0.75, 0.9; dst {2}
+        70: (2, 1),
+        80: (1, 1),  # 0.9
+        90: (1, 1),  # boundary inclusive: 100*9 >= 90*10
+    }
+
+
+def test_monotone_nonincreasing(spark):
+    rows = [(i, i % 11, 10) for i in range(200)]
+    curve = sorted(
+        (r.threshold_pct, r.n_pairs)
+        for r in verify_ops.threshold_retention_curve(
+            _pairs(spark, rows)
+        ).collect()
+    )
+    counts = [n for _, n in curve]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_custom_thresholds_and_empty(spark):
+    pairs = _pairs(spark, [(1, 0, 5)])
+    out = verify_ops.threshold_retention_curve(
+        pairs, thresholds_pct=[10, 20]
+    ).collect()
+    assert out == []  # 0-jaccard pair passes nothing
