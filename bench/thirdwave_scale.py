@@ -1,0 +1,172 @@
+"""Scale evidence for the third-wave operators (semdedup, rangejoin).
+
+Synthesizes inputs IN-PLAN (deterministic id arithmetic, no driver data)
+at sizes two orders above the driver tables, and measures the scale paths:
+
+  * semdedup: 100k x dim-64 vectors, k = 316 seeds (~sqrt(N), the SemDeDup
+    prescription) -> exercises the Arrow GEMM assignment (literal form
+    would need a 316*64-literal plan) and the per-cluster GEMM prune at
+    realistic cluster sizes (~316 rows/cluster).
+  * bucketed range join: 5M point events x 50k two-hour windows over a
+    30-day span, bucket = 1h -> candidate blow-up ~= 2-3 rows/range. The
+    naive BETWEEN form is also timed on a 1/100 slice of the ranges side
+    to show the crossover (it plans as BroadcastNestedLoopJoin).
+
+Usage: python bench/thirdwave_scale.py [--vectors 100000] [--points 5000000]
+Prints one JSON line per experiment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_pipeline_spark.operators import rangejoin, semdedup  # noqa: E402
+from go_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def synth_vectors(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random embeddings from id arithmetic."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64(F.col("id") * dim + j), F.lit(2001)) - 1000)
+                / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def synth_events(spark, n: int):
+    t0 = "TIMESTAMP '2024-01-01 00:00:00'"
+    span_s = 30 * 24 * 3600
+    return spark.range(n).select(
+        F.col("id").alias("pid"),
+        F.expr(
+            f"{t0} + make_interval(0,0,0,0,0,0, pmod(xxhash64(id), {span_s}))"
+        ).alias("p_ts"),
+    )
+
+
+def synth_ranges(spark, n: int, width_s: int = 7200):
+    t0 = "TIMESTAMP '2024-01-01 00:00:00'"
+    span_s = 30 * 24 * 3600 - width_s
+    return spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.expr(
+            f"{t0} + make_interval(0,0,0,0,0,0, pmod(xxhash64(id+77), {span_s}))"
+        ).alias("w_start"),
+    ).withColumn(
+        "w_end", F.expr(f"w_start + make_interval(0,0,0,0,0,0, {width_s})")
+    )
+
+
+def timed(df) -> tuple[float, int]:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    return round(wall, 2), -1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vectors", type=int, default=100_000)
+    ap.add_argument("--points", type=int, default=5_000_000)
+    ap.add_argument("--ranges", type=int, default=50_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+    spark = get_spark(cores=args.cpus)
+
+    emb = synth_vectors(spark, args.vectors)
+    n_seeds = max(16, int(args.vectors**0.5))
+    t0 = time.time()
+    out = semdedup.semdedup(emb, n_seeds=n_seeds)
+    n_dup = out.where("is_dup").count()
+    wall = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "exp": "semdedup_scale",
+                "vectors": args.vectors,
+                "n_seeds": n_seeds,
+                "wall_s": wall,
+                "vectors_per_s": round(args.vectors / wall),
+                "n_dup": n_dup,
+            }
+        ),
+        flush=True,
+    )
+
+    pts = synth_events(spark, args.points)
+    rngs = synth_ranges(spark, args.ranges)
+    j = rangejoin.bucketed_range_join(
+        pts, rngs, "p_ts", "w_start", "w_end", bucket_width_s=3600
+    ).groupBy("rid").agg(F.count(F.lit(1)).alias("n"))
+    t0 = time.time()
+    n_out = j.count()
+    wall = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "exp": "rangejoin_bucketed",
+                "points": args.points,
+                "ranges": args.ranges,
+                "wall_s": wall,
+                "points_per_s": round(args.points / wall),
+                "ranges_matched": n_out,
+            }
+        ),
+        flush=True,
+    )
+
+    # naive BETWEEN on a 1/100 ranges slice (BroadcastNestedLoopJoin)
+    small = rngs.where(F.col("rid") % 100 == 0)
+    naive = (
+        pts.join(
+            small,
+            (F.col("p_ts") >= F.col("w_start"))
+            & (F.col("p_ts") < F.col("w_end")),
+        )
+        .groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t0 = time.time()
+    n_naive = naive.count()
+    wall_naive = round(time.time() - t0, 2)
+    bucketed_small = (
+        rangejoin.bucketed_range_join(
+            pts, small, "p_ts", "w_start", "w_end", bucket_width_s=3600
+        )
+        .groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t0 = time.time()
+    n_bsmall = bucketed_small.count()
+    wall_bsmall = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "exp": "rangejoin_naive_vs_bucketed_1pct",
+                "points": args.points,
+                "ranges": args.ranges // 100,
+                "naive_wall_s": wall_naive,
+                "bucketed_wall_s": wall_bsmall,
+                "rows_match": n_naive == n_bsmall,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
