@@ -53,6 +53,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
 )
 from go_pipeline_spark.operators import verify as verify_ops  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
+    chunking,
     keywords,
     rangejoin,
     sketches,
@@ -828,6 +829,14 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return familiarity.familiarity_scores(d, model)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): 64-token chunks,
+    stride 32 (50% overlap), map-only explode — the step between cleaning
+    and sequence packing."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunking.chunk_documents(d, chunk_tokens=64, stride=32)
+
+
 def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup sensitivity curve (operators/verify.py
     threshold_retention_curve): pairs verified and docs pruned at each
@@ -990,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "prep_pipeline_v3": q_prep_pipeline_v3,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2133,5 +2143,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs,
                    CAST(count(DISTINCT dst) AS BIGINT) AS n_docs_flagged
             FROM x GROUP BY 1
+        """,
+        # identical chunk-count arithmetic in ints; list_slice is
+        # inclusive-bounds 1-based (Spark slice is (start, LENGTH))
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+            ), ch AS (
+              SELECT doc_id, ts,
+                     unnest(generate_series(0,
+                       CASE WHEN n > 64
+                            THEN CAST((n - 64 + 31) // 32 AS INT)
+                            ELSE 0 END)) AS chunk_idx
+              FROM nz
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   array_to_string(
+                     list_slice(ts, chunk_idx * 32 + 1, chunk_idx * 32 + 64),
+                     ' ') AS chunk_text,
+                   CAST(len(list_slice(ts, chunk_idx * 32 + 1,
+                                       chunk_idx * 32 + 64)) AS INT)
+                     AS n_tokens
+            FROM ch
         """,
     }

@@ -1,0 +1,65 @@
+"""Fixed-size token chunking with overlap (context-window preparation).
+
+The step between cleaning and packing in an LLM data pipeline: long
+documents split into chunks of ``chunk_tokens`` whitespace tokens with a
+stride (overlap keeps boundary context; stride = chunk size means
+disjoint).  Chunk starts are 0, stride, 2*stride, ...; the FINAL chunk is
+the first one that reaches the end of the document — trailing fragments
+shorter than a stride are never emitted as extra chunks, and a document
+shorter than one chunk yields exactly one (whole-doc) chunk.
+
+All JVM scan-side (the token_ngrams pattern, operators/decontaminate.py:
+materialize the token array ONCE as a column, then sequence → slice →
+array_join — never re-tokenize per position, the O(tokens²) pathology of
+STATUS perf finding 14).  One row explodes into ceil responsibilities;
+no shuffle at all — chunking is embarrassingly parallel, and the explode
+factor is len/stride, the honest output size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, chunk_idx, chunk_text, n_tokens), one row per chunk.
+
+    Tokens = whitespace split, empty tokens dropped (the tfidf_keywords
+    tokenization).  Documents with zero tokens yield no chunks.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks_df = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != ""
+        ).alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    n = F.size("__toks")
+    # number of chunks: 1 + ceil(max(0, n - chunk) / stride), in ints
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    exploded = toks_df.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

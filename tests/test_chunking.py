@@ -1,0 +1,73 @@
+"""chunk_documents: hand-checked chunk boundaries, overlap tail, exact
+divisibility, degenerate docs, invalid stride, and the no-shuffle plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators import chunking
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _toks(n):
+    return " ".join(f"t{i}" for i in range(n))
+
+
+def test_hand_checked_overlap(spark):
+    # 10 tokens, chunk 8, stride 4 -> chunks at 0 and 4 (second reaches end)
+    out = sorted(
+        (r.chunk_idx, r.n_tokens, r.chunk_text.split(" ")[0])
+        for r in chunking.chunk_documents(
+            _df(spark, [(1, _toks(10))]), chunk_tokens=8, stride=4
+        ).collect()
+    )
+    assert out == [(0, 8, "t0"), (1, 6, "t4")]
+
+
+def test_exact_divisibility_no_empty_tail(spark):
+    # 16 tokens, chunk 8, stride 8 -> exactly 2 disjoint chunks
+    out = chunking.chunk_documents(
+        _df(spark, [(1, _toks(16))]), chunk_tokens=8, stride=8
+    ).collect()
+    assert sorted((r.chunk_idx, r.n_tokens) for r in out) == [(0, 8), (1, 8)]
+
+
+def test_short_and_empty_docs(spark):
+    out = chunking.chunk_documents(
+        _df(spark, [(1, _toks(3)), (2, ""), (3, "   ")]),
+        chunk_tokens=8,
+        stride=4,
+    ).collect()
+    assert [(r.doc_id, r.chunk_idx, r.n_tokens) for r in out] == [(1, 0, 3)]
+
+
+def test_invalid_stride_raises(spark):
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(_df(spark, [(1, "a")]), 8, stride=9)
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(_df(spark, [(1, "a")]), 8, stride=0)
+
+
+def test_chunking_is_map_only(spark):
+    plan = (
+        chunking.chunk_documents(_df(spark, [(1, _toks(20))]), 8, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_every_token_covered_and_overlap_consistent(spark):
+    df = _df(spark, [(7, _toks(100))])
+    rows = chunking.chunk_documents(df, chunk_tokens=16, stride=8).collect()
+    seen = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        start = r.chunk_idx * 8
+        assert toks == [f"t{i}" for i in range(start, start + len(toks))]
+        seen.update(range(start, start + len(toks)))
+    assert seen == set(range(100))
