@@ -55,6 +55,7 @@ from go_pipeline_spark.operators import verify as verify_ops  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     chunking,
     keywords,
+    outliers,
     rangejoin,
     sketches,
     urls,
@@ -829,6 +830,25 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return familiarity.familiarity_scores(d, model)
 
 
+def q_length_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-driven trimming (operators/outliers.py): corpus-relative
+    1%/99% DISCRETE order-statistic cutoffs computed in-plan with integer
+    arithmetic (no interpolation, no float rank), per-lang kept counts.
+    Length = the n_chars column (identical on both engines by construction)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = outliers.length_trim(
+        d, lower_pct=1, upper_pct=99, length=F.col("n_chars")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.min("lo_cut").alias("lo_cut"),
+        F.min("hi_cut").alias("hi_cut"),
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators/chunking.py): 64-token chunks,
     stride 32 (50% overlap), map-only explode — the step between cleaning
@@ -1000,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_pipeline_v3": q_prep_pipeline_v3,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "chunk_documents": q_chunk_documents,
+        "length_trim_stats": q_length_trim_stats,
     }
 
 
@@ -2170,5 +2191,28 @@ def oracle_sql() -> dict[str, str]:
                                        chunk_idx * 32 + 64)) AS INT)
                      AS n_tokens
             FROM ch
+        """,
+        # same discrete order statistic via histogram cumsum + integer
+        # ceil rank ((n*p+99)//100); length = the n_chars column
+        "length_trim_stats": """
+            WITH lens AS (
+              SELECT doc_id, lang, n_chars AS L FROM documents
+            ), nn AS (SELECT count(*) AS n FROM lens
+            ), hist AS (SELECT L, count(*) AS c FROM lens GROUP BY 1
+            ), cum AS (
+              SELECT L, sum(c) OVER (ORDER BY L) AS cum FROM hist
+            ), cuts AS (
+              SELECT
+                min(CASE WHEN cum >= (nn.n * 1 + 99) // 100
+                    THEN L END) AS lo_cut,
+                min(CASE WHEN cum >= (nn.n * 99 + 99) // 100
+                    THEN L END) AS hi_cut
+              FROM cum, nn
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(CASE WHEN L >= lo_cut AND L <= hi_cut
+                              THEN 1 END) AS BIGINT) AS n_kept,
+                   min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut
+            FROM lens, cuts GROUP BY lang
         """,
     }

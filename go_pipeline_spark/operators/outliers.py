@@ -1,0 +1,79 @@
+"""Distribution-driven outlier trimming (dynamic corpus-relative cutoffs).
+
+Fixed length thresholds rot as the corpus mix shifts; production prep
+pipelines trim by PERCENTILE ("drop the shortest 1% and longest 1%"), so
+the cutoffs must come from the data in the same plan.  Interpolated
+percentiles are float (partition-order drift, engine mismatch); this
+operator uses the DISCRETE order statistic instead, derived with integer
+arithmetic only:
+
+    cutoff(p) = min{ L : |docs with length <= L| >= ceil(n * p / 100) }
+
+computed as a length-histogram aggregate + one cumulative-sum window over
+the DISTINCT lengths (bounded domain — the histogram trick: the window is
+single-partition but runs over |distinct lengths| rows, not |docs|), then
+broadcast back as a one-row gate.  Everything is exact integers -> the
+kept set is bit-stable on any engine/partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def length_percentile_cutoffs(
+    docs: DataFrame,
+    lower_pct: int = 1,
+    upper_pct: int = 99,
+    length: F.Column | None = None,
+) -> DataFrame:
+    """One-row DataFrame (lo_cut, hi_cut) of discrete order statistics."""
+    if not (0 <= lower_pct < upper_pct <= 100):
+        raise ValueError("need 0 <= lower_pct < upper_pct <= 100")
+    L = length if length is not None else F.length(F.col("text"))
+    hist = docs.select(L.alias("__len")).groupBy("__len").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.orderBy("__len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w)).crossJoin(
+        F.broadcast(
+            docs.agg(F.count(F.lit(1)).alias("__n"))
+        )
+    )
+    # ceil(n*p/100) via INTEGER division ((n*p+99) div 100) — a float
+    # division could land at k-epsilon and floor to k-1 on exact multiples
+    lo_rank = F.expr(f"(__n * {int(lower_pct)} + 99) div 100")
+    hi_rank = F.expr(f"(__n * {int(upper_pct)} + 99) div 100")
+    return cum.agg(
+        F.min(
+            F.when(F.col("__cum") >= lo_rank, F.col("__len"))
+        ).alias("lo_cut"),
+        F.min(
+            F.when(F.col("__cum") >= hi_rank, F.col("__len"))
+        ).alias("hi_cut"),
+    )
+
+
+def length_trim(
+    docs: DataFrame,
+    lower_pct: int = 1,
+    upper_pct: int = 99,
+    length: F.Column | None = None,
+) -> DataFrame:
+    """docs + (doc_len, lo_cut, hi_cut, kept): kept iff lo_cut <= len <=
+    hi_cut.  The cutoffs ride along as a broadcast one-row crossJoin, so
+    the filter itself is scan-side."""
+    L = length if length is not None else F.length(F.col("text"))
+    cuts = length_percentile_cutoffs(
+        docs, lower_pct=lower_pct, upper_pct=upper_pct, length=length
+    )
+    return (
+        docs.withColumn("doc_len", L)
+        .crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "kept",
+            (F.col("doc_len") >= F.col("lo_cut"))
+            & (F.col("doc_len") <= F.col("hi_cut")),
+        )
+    )

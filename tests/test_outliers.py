@@ -1,0 +1,67 @@
+"""length_trim: hand-checked discrete order-statistic cutoffs, exact-
+multiple rank boundary, degenerate percentiles, numpy cross-check."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_pipeline_spark.operators import outliers
+
+
+def _df(spark, lengths):
+    return spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate(lengths)], "doc_id long, text string"
+    )
+
+
+def _ref_cutoff(lengths, p):
+    s = sorted(lengths)
+    rank = -(-len(s) * p // 100)  # ceil
+    return s[rank - 1]
+
+
+def test_hand_checked_cutoffs(spark):
+    lengths = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    cuts = outliers.length_percentile_cutoffs(
+        _df(spark, lengths), lower_pct=10, upper_pct=90
+    ).collect()[0]
+    # ceil(10*10/100)=1 -> 1st smallest = 1; ceil(10*90/100)=9 -> 9th = 9
+    assert (cuts.lo_cut, cuts.hi_cut) == (1, 9)
+
+
+def test_exact_multiple_rank_boundary(spark):
+    # n=100, p=25 -> rank exactly 25 (float division could give 24.999...)
+    lengths = list(range(1, 101))
+    cuts = outliers.length_percentile_cutoffs(
+        _df(spark, lengths), lower_pct=25, upper_pct=75
+    ).collect()[0]
+    assert (cuts.lo_cut, cuts.hi_cut) == (25, 75)
+
+
+def test_matches_numpy_reference_with_dupes(spark):
+    rng = np.random.default_rng(5)
+    lengths = [int(x) for x in rng.integers(1, 40, size=237)]
+    cuts = outliers.length_percentile_cutoffs(
+        _df(spark, lengths), lower_pct=5, upper_pct=95
+    ).collect()[0]
+    assert cuts.lo_cut == _ref_cutoff(lengths, 5)
+    assert cuts.hi_cut == _ref_cutoff(lengths, 95)
+
+
+def test_trim_kept_flags(spark):
+    lengths = [1, 5, 5, 5, 5, 5, 5, 5, 5, 100]
+    out = {
+        r.doc_id: r.kept
+        for r in outliers.length_trim(
+            _df(spark, lengths), lower_pct=10, upper_pct=90
+        ).collect()
+    }
+    # ceil(10*10/100)=1 -> lo_cut=1 (smallest); ceil(90*10/100)=9 -> 9th=5
+    assert out[0] is True and out[9] is False
+    assert all(out[i] for i in range(1, 9))
+
+
+def test_invalid_percentiles_raise(spark):
+    with pytest.raises(ValueError):
+        outliers.length_percentile_cutoffs(_df(spark, [1]), 50, 50)
