@@ -382,6 +382,34 @@ def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split over the REAL pipeline clusters
+    (operators/sampling.py cluster_safe_split): the split is hashed on the
+    connected-component id, so near-duplicates never straddle splits — the
+    dedup-then-split ordering every eval-hygiene pipeline needs. Emits per
+    split (n_clusters, n_docs) under the cluster-safe assignment plus, as
+    the non-vacuous contrast, the number of clusters a naive per-doc hash
+    split would tear across splits (~34% of multi-doc clusters at 80/10/10;
+    0 by construction for the safe form). Oracle: the dedup_clusters
+    reachability CTE + the identical sha256-prefix CASE on component vs
+    doc_id. Exercises CC labels, both split assignments, and the straddle
+    accounting in one row set."""
+    res = _pipeline_result(spark, sf_dir)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    safe = sampling.cluster_safe_split(res.clusters, w, seed=7)
+    naive = sampling.hash_split(res.clusters, ["doc_id"], w, seed=7)
+    leaky = sampling.split_leakage(naive, out_col="naive_leaky_clusters")
+    return (
+        safe.groupBy("split")
+        .agg(
+            F.countDistinct("component").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select("split", "n_clusters", "n_docs", "naive_leaky_clusters")
+    )
+
+
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed ANN top-k, oracle-checked as a RECALL GATE: emits every
     query id whose SRP top-5 recovers >= 3 of the exact top-5 (measured
@@ -1017,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "sketch_profile": q_sketch_profile,
         "canonical_docs": q_canonical_docs,
+        "leakage_safe_splits": q_leakage_safe_splits,
         "prep_pipeline_v3": q_prep_pipeline_v3,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "chunk_documents": q_chunk_documents,
@@ -2029,6 +2058,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.component, k.keeper_id,
                    CAST(s.cluster_size AS BIGINT) AS cluster_size
             FROM keep k JOIN sizes s USING (component)
+        """,
+        # same reachability CTE, then the identical sha256-prefix split
+        # CASE evaluated on component (safe) vs doc_id (naive contrast)
+        "leakage_safe_splits": f"""
+            WITH RECURSIVE {edges_cte},
+            edges AS (
+              SELECT src, dst FROM exact_e
+              UNION SELECT src, dst FROM near
+              UNION SELECT src, dst FROM cont
+            ),
+            sym AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst AS u, src AS v FROM edges),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM planted
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS component
+                     FROM reach GROUP BY a),
+            safe AS (
+              SELECT doc_id, component,
+                CASE WHEN substring(sha256(concat_ws(chr(31), '7',
+                       CAST(component AS VARCHAR))), 1, 8) < 'cccccccd'
+                     THEN 'train'
+                     WHEN substring(sha256(concat_ws(chr(31), '7',
+                       CAST(component AS VARCHAR))), 1, 8) < 'e6666666'
+                     THEN 'val' ELSE 'test' END AS split
+              FROM comp
+            ),
+            naive AS (
+              SELECT doc_id, component,
+                CASE WHEN substring(sha256(concat_ws(chr(31), '7',
+                       CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccd'
+                     THEN 'train'
+                     WHEN substring(sha256(concat_ws(chr(31), '7',
+                       CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666'
+                     THEN 'val' ELSE 'test' END AS split
+              FROM comp
+            ),
+            leaky AS (
+              SELECT count(*) AS naive_leaky_clusters FROM (
+                SELECT component FROM naive
+                GROUP BY component HAVING count(DISTINCT split) > 1)
+            )
+            SELECT s.split,
+                   count(DISTINCT s.component) AS n_clusters,
+                   count(*) AS n_docs,
+                   (SELECT naive_leaky_clusters FROM leaky)
+                     AS naive_leaky_clusters
+            FROM safe s GROUP BY s.split
         """,
         # composition of the url_dedup and semdedup oracles (same CTEs),
         # then per-lang survivor accounting

@@ -175,6 +175,7 @@ def bench_queries(spark, sf_dir: str):
         "dedup_threshold_curve": q("dedup_threshold_curve"),  # NEW r5
         "chunk_documents": q("chunk_documents"),  # NEW r5
         "length_trim_stats": q("length_trim_stats"),  # NEW r5
+        "leakage_safe_splits": q("leakage_safe_splits"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

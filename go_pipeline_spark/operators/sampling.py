@@ -179,6 +179,55 @@ def weighted_repeat(
     return df.withColumn(out_col, F.explode(seq))
 
 
+def cluster_safe_split(
+    assignments: DataFrame,
+    weights: dict[str, float],
+    seed: int = 0,
+    cluster_col: str = "component",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash the CLUSTER id, not the
+    document id, so every member of a near-dup cluster lands in the same
+    split.
+
+    A per-doc hash split leaks evaluation data: two near-duplicate
+    documents hash independently, so a test doc's near-twin sits in train
+    with probability 1 - sum(w_i^2) (~34% per 2-cluster at 80/10/10) — the
+    classic dedup-then-split ordering bug. Splitting on the connected-
+    component id (the pipeline's cluster label, ``RunResult.clusters``)
+    makes split membership a pure function of the CLUSTER, so the property
+    "no dup edge straddles splits" holds by construction, not by audit.
+
+    Input is any (doc..., cluster_col) assignment table; output adds
+    ``out_col``. Row-local predicate on an existing column — no shuffle,
+    and membership is stable across runs/re-snapshots exactly like
+    ``hash_split`` (same quantized-threshold mechanics).
+    """
+    return hash_split(
+        assignments, [cluster_col], weights, seed=seed, out_col=out_col
+    )
+
+
+def split_leakage(
+    assignments: DataFrame,
+    cluster_col: str = "component",
+    split_col: str = "split",
+    out_col: str = "leaky_clusters",
+) -> DataFrame:
+    """Audit: count clusters whose members straddle >1 split (one row).
+
+    0 for ``cluster_safe_split`` output by construction; >0 quantifies the
+    leakage of a per-doc split. Two hash-aggregations on fixed-width keys
+    (cluster -> distinct splits -> global count); scale-safe at any corpus
+    size."""
+    return (
+        assignments.groupBy(cluster_col)
+        .agg(F.countDistinct(split_col).alias("__ns"))
+        .where(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
 def quota_per_group(
     df: DataFrame,
     group_keys: list[str],

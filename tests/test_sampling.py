@@ -255,3 +255,49 @@ def test_hash_sample_is_streaming_compatible(spark, tmp_path):
         r.doc_id for r in hash_sample(df, ["doc_id"], 0.3, seed=5).collect()
     )
     assert got == want and 40 <= len(want) <= 140
+
+
+def test_cluster_safe_split_zero_leakage_by_construction(spark):
+    """Every member of a cluster gets the cluster's split; the naive per-doc
+    split tears a measurable fraction of multi-doc clusters apart (the
+    eval-leakage bug cluster_safe_split exists to prevent)."""
+    from go_pipeline_spark.operators.sampling import (
+        cluster_safe_split,
+        split_leakage,
+    )
+
+    # 400 clusters of size 3 (members c, c+1000, c+2000) + 800 singletons
+    rows = []
+    for c in range(400):
+        for m in (c, c + 1000, c + 2000):
+            rows.append((m, c))
+    for s in range(3000, 3800):
+        rows.append((s, s))
+    df = spark.createDataFrame(rows, "doc_id long, component long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    safe = cluster_safe_split(df, w, seed=7)
+    # (a) zero straddling clusters under the safe assignment
+    assert split_leakage(safe).collect()[0].leaky_clusters == 0
+    # (b) per-doc membership matches the Python sha256 reference on the
+    #     component key, and is identical for all members of a cluster
+    got = {(r.doc_id, r.component): r.split for r in safe.collect()}
+    thr_train = format(int(round(0.8 * 16**8)), "08x")
+    thr_val = format(int(round(0.9 * 16**8)), "08x")
+    for (doc, comp), sp in got.items():
+        hx = _ref_hex(7, comp)
+        want = "train" if hx < thr_train else ("val" if hx < thr_val else "test")
+        assert sp == want
+    # (c) the naive contrast: per-doc hashing splits >0 of the 3-clusters
+    naive = hash_split(df, ["doc_id"], w, seed=7)
+    n_leaky = split_leakage(naive).collect()[0].leaky_clusters
+    # expected ~ 400 * (1 - sum over orderings) ≈ 400 * 0.47; assert loosely
+    assert 100 <= n_leaky <= 350
+    # (d) stability under repartition (the df.sample() failure mode)
+    again = {
+        (r.doc_id, r.component): r.split
+        for r in cluster_safe_split(
+            df.repartition(13, "doc_id"), w, seed=7
+        ).collect()
+    }
+    assert again == got
