@@ -54,6 +54,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
 from go_pipeline_spark.operators import verify as verify_ops  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     chunking,
+    crossdedup,
     keywords,
     outliers,
     rangejoin,
@@ -407,6 +408,29 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaky))
         .select("split", "n_clusters", "n_docs", "naive_leaky_clusters")
+    )
+
+
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup (operators/crossdedup.py): flag every corpus doc
+    that exactly or nearly duplicates a doc in a REFERENCE corpus — the
+    dedup-a-new-crawl-against-the-training-set operation. Corpus = the
+    documents table; reference = id-shifted copies of every 10th doc (the
+    planted-corpus mechanics), so the exact tier is guaranteed non-vacuous
+    (one hit per copied doc) and the near tier fires on natural near pairs
+    straddling the split (measured: 50 exact + 6 near at sf0.01). Candidates
+    exist ONLY where an LSH bucket is populated on both sides — no
+    within-side pairs are ever generated. Bit-stable vs the exact-Jaccard
+    oracle for the same reason as dup_pairs: natural near pairs sit at
+    J >= 0.92, everything else <= 0.36."""
+    d = _docs(spark, sf_dir)
+    a = d.select("doc_id", F.col("text").alias("content"))
+    b = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").alias("content"),
+    )
+    return crossdedup.cross_dup_pairs(a, b, CFG).select(
+        "doc_id", "ref_id", "kind"
     )
 
 
@@ -1046,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": q_sketch_profile,
         "canonical_docs": q_canonical_docs,
         "leakage_safe_splits": q_leakage_safe_splits,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
         "prep_pipeline_v3": q_prep_pipeline_v3,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "chunk_documents": q_chunk_documents,
@@ -1165,6 +1190,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, kind FROM exact_e
             UNION ALL SELECT src, dst, kind FROM near
             UNION ALL SELECT src, dst, kind FROM cont
+        """,
+        # cross-corpus dedup: corpus = documents, reference = id-shifted
+        # copies of every 10th doc; exact tier = raw-sha equality, near tier
+        # = exact 5-gram Jaccard >= 0.7 between long docs (sha-equal pairs
+        # excluded — same partitioning of kinds as the operator)
+        "cross_corpus_dedup": f"""
+            WITH a AS (SELECT doc_id, text FROM documents),
+            b AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                  WHERE doc_id % 10 = 0),
+            exact_x AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, 'exact' AS kind
+              FROM a JOIN b ON sha256(a.text) = sha256(b.text)
+            ),
+            na AS (SELECT doc_id, {norm_sql} AS nc FROM a),
+            nb AS (SELECT doc_id, {norm_sql} AS nc FROM b),
+            sa AS (SELECT doc_id,
+                          list_distinct([substr(nc, CAST(x AS INT), 5)
+                                         for x in range(1, length(nc) - 3)]) AS s
+                   FROM na WHERE length(nc) >= 50),
+            sb AS (SELECT doc_id,
+                          list_distinct([substr(nc, CAST(x AS INT), 5)
+                                         for x in range(1, length(nc) - 3)]) AS s
+                   FROM nb WHERE length(nc) >= 50),
+            near_x AS (
+              SELECT x.doc_id AS doc_id, y.doc_id AS ref_id, 'near' AS kind
+              FROM sa x JOIN sb y
+                ON least(len(x.s), len(y.s))
+                   >= 0.7 * greatest(len(x.s), len(y.s))
+              WHERE len(list_intersect(x.s, y.s))
+                    >= 0.7 * (len(x.s) + len(y.s)
+                              - len(list_intersect(x.s, y.s)))
+                AND NOT EXISTS (SELECT 1 FROM exact_x e
+                                WHERE e.doc_id = x.doc_id
+                                  AND e.ref_id = y.doc_id)
+            )
+            SELECT doc_id, ref_id, kind FROM exact_x
+            UNION ALL SELECT doc_id, ref_id, kind FROM near_x
         """,
         # identical reachability oracle as dedup_clusters: the source_files
         # table plants the SAME duplication structure (every 10th doc copied

@@ -176,6 +176,7 @@ def bench_queries(spark, sf_dir: str):
         "chunk_documents": q("chunk_documents"),  # NEW r5
         "length_trim_stats": q("length_trim_stats"),  # NEW r5
         "leakage_safe_splits": q("leakage_safe_splits"),  # NEW r5
+        "cross_corpus_dedup": q("cross_corpus_dedup"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,178 @@
+"""Cross-corpus dedup: flag corpus docs that duplicate a REFERENCE corpus.
+
+The within-corpus pipeline (plans/dedup_pipeline.py) answers "which of my
+docs duplicate each other"; this operator answers the other question every
+training-data build asks: "which of my NEW docs already exist (exactly or
+nearly) in the corpus I already trained on" — dedup-a-crawl-against-the-
+training-set, dataset-vs-dataset overlap audits, vendor-data intake. It is
+the batch, two-table complement of the stateful incremental path
+(plans/incremental.py): no state store, just two DataFrames in, the cross
+dup-pair set out.
+
+Reuses the pipeline's exact building blocks (same shingle/signature config,
+so a pair this operator flags is a pair the pipeline would have flagged had
+the two corpora been one table):
+
+  * exact tier  — raw-content sha256 equi-join (the N2 invariant hash).
+  * near tier   — per-side OPH MinHash signatures (one Arrow pass per side)
+    -> per-side LSH band explode -> candidates ONLY where a (band, hash)
+    bucket is populated on BOTH sides -> estimated-Jaccard verify with the
+    exact-shingle recheck on the borderline band, identical thresholds.
+
+Scale shape (the reason this is not "union + run the pipeline"):
+
+  * No within-side pairs are ever generated — candidate enumeration is an
+    equi-join between the two sides' bucket posting lists, so a 10^12-doc
+    reference corpus with massive internal duplication contributes ZERO
+    pairs unless a corpus doc lands in the same bucket.
+  * Bucket posting lists are built only for the (band, hash) keys present
+    on both sides: a count-only aggregate per side, an inner join of the
+    two key sets (the overwhelming majority of buckets are one-sided and
+    die here, before any array is built), then capped sorted id arrays —
+    the same deterministic lowest-ids cap as operators/lsh.py, applied per
+    side, bounding any hot bucket at cap^2 cross pairs.
+  * Shorts (normalized length < cfg.short_doc_chars) are matched by the
+    exact tier only — documented narrowing vs the pipeline's SimHash
+    fallback; wire simhash_candidate_pairs the same way if short cross-
+    corpus NEAR matches matter for a workload.
+
+Doc-id spaces of the two tables may overlap freely: sides are never
+unioned, and every join keys on one side's ids only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.functions.minhash import (
+    make_exact_jaccard_udf,
+    make_minhash_udf,
+)
+from go_pipeline_spark.functions.normalize import normalize_col
+from go_pipeline_spark.operators.lsh import band_explode
+from go_pipeline_spark.operators.verify import estimated_jaccard_col
+
+
+def _prep(
+    df: DataFrame, id_col: str, content_col: str, cfg: PipelineConfig
+) -> DataFrame:
+    """(id, sha, norm_content, n_chars) — one scan-side projection."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("sha"),
+        normalize_col(F.col(content_col)).alias("norm_content"),
+    ).withColumn("n_chars", F.length("norm_content"))
+
+
+def _capped_side(bands: DataFrame, common: DataFrame, cap: int, out: str) -> DataFrame:
+    """Posting lists for one side, restricted to two-sided buckets, capped
+    at the deterministic `cap` lowest ids (same rule as lsh.capped_buckets)."""
+    return (
+        bands.join(common, ["band", "band_hash"])
+        .groupBy("band", "band_hash")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias(out))
+    )
+
+
+def cross_dup_pairs(
+    corpus: DataFrame,
+    reference: DataFrame,
+    cfg: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """-> (doc_id, ref_id, kind): every corpus doc that duplicates a
+    reference doc. kind = 'exact' (raw sha256 equality) or 'near'
+    (MinHash-LSH candidate verified at Jaccard >= cfg.jaccard_threshold
+    between long docs; sha-equal pairs are reported as exact only)."""
+    cfg = cfg or PipelineConfig()
+    a = _prep(corpus, id_col, content_col, cfg)
+    b = _prep(reference, id_col, content_col, cfg)
+
+    exact = (
+        a.select("doc_id", "sha")
+        .join(b.select(F.col("doc_id").alias("ref_id"), "sha"), "sha")
+        .select("doc_id", "ref_id", F.lit("exact").alias("kind"))
+    )
+
+    sigfn = make_minhash_udf(cfg)
+    long_a = a.where(F.col("n_chars") >= cfg.short_doc_chars)
+    long_b = b.where(F.col("n_chars") >= cfg.short_doc_chars)
+    sigs_a = long_a.select("doc_id", sigfn(F.col("norm_content")).alias("sig"))
+    sigs_b = long_b.select("doc_id", sigfn(F.col("norm_content")).alias("sig"))
+    bands_a = band_explode(sigs_a, cfg)
+    bands_b = band_explode(sigs_b, cfg)
+    # one-sided buckets die at this count-only join, before any posting
+    # array exists — the analogue of capped_buckets' phase-0 singleton drop
+    common = bands_a.select("band", "band_hash").distinct().join(
+        bands_b.select("band", "band_hash").distinct(), ["band", "band_hash"]
+    )
+    pa = _capped_side(bands_a, common, cfg.bucket_cap, "ids_a")
+    pb = _capped_side(bands_b, common, cfg.bucket_cap, "ids_b")
+    cand = (
+        pa.join(pb, ["band", "band_hash"])
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids_a, x ->"
+                    " transform(ids_b, y -> struct(x AS doc_id, y AS ref_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_id", "p.ref_id")
+        .distinct()
+    )
+
+    scored = (
+        cand.join(sigs_a.withColumnRenamed("sig", "sig_a"), "doc_id")
+        .join(
+            sigs_b.select(
+                F.col("doc_id").alias("ref_id"), F.col("sig").alias("sig_b")
+            ),
+            "ref_id",
+        )
+        .withColumn(
+            "est_jaccard", estimated_jaccard_col("sig_a", "sig_b", cfg.num_perm)
+        )
+        .select("doc_id", "ref_id", "est_jaccard")
+    )
+    lo, hi = cfg.exact_verify_band
+    exact_j = make_exact_jaccard_udf(cfg)
+    ca = long_a.select("doc_id", F.col("norm_content").alias("txt_a"))
+    cb = long_b.select(
+        F.col("doc_id").alias("ref_id"), F.col("norm_content").alias("txt_b")
+    )
+    borderline = (
+        scored.where((F.col("est_jaccard") >= lo) & (F.col("est_jaccard") < hi))
+        .join(ca, "doc_id")
+        .join(cb, "ref_id")
+        .withColumn("jaccard", exact_j(F.col("txt_a"), F.col("txt_b")))
+        .select("doc_id", "ref_id", "jaccard")
+    )
+    clearcut = scored.where(
+        (F.col("est_jaccard") < lo) | (F.col("est_jaccard") >= hi)
+    ).select("doc_id", "ref_id", F.col("est_jaccard").alias("jaccard"))
+    near = (
+        clearcut.unionByName(borderline)
+        .where(F.col("jaccard") >= cfg.jaccard_threshold)
+        .join(exact.select("doc_id", "ref_id"), ["doc_id", "ref_id"], "left_anti")
+        .select("doc_id", "ref_id", F.lit("near").alias("kind"))
+    )
+    return exact.unionByName(near)
+
+
+def filter_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    cfg: PipelineConfig | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Survivors: corpus rows with NO exact/near duplicate in reference —
+    the intake filter form (left-anti on the flagged id set)."""
+    hits = cross_dup_pairs(corpus, reference, cfg, id_col, content_col)
+    return corpus.join(
+        hits.select(F.col("doc_id").alias(id_col)).distinct(), id_col, "left_anti"
+    )

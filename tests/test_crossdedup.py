@@ -1,0 +1,121 @@
+"""Cross-corpus dedup (operators/crossdedup.py).
+
+Load-bearing properties: kinds partition correctly (sha-equal pairs are
+exact ONLY), near fires across tables at high Jaccard and not on unrelated
+text, shorts are exact-tier-only, OVERLAPPING id spaces between the two
+tables never cross-contaminate, and the pair set is stable under
+repartitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.operators.crossdedup import cross_dup_pairs, filter_against
+
+CFG = PipelineConfig()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles carry lanterns across the midnight harbor bridge "
+    "and the ferry horn echoes between warehouse walls until dawn "
+    "finally paints the water in long copper stripes for everyone"
+)
+NEAR = BASE.replace("seventeen", "nineteen").replace("copper", "silver")
+OTHER = (
+    "completely different subject matter entirely: compilers allocate "
+    "registers by graph coloring, spilling the loneliest live ranges "
+    "to stack slots when the interference graph refuses to simplify, "
+    "and linear scan trades quality for speed in JIT settings there"
+)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    # ids deliberately OVERLAP between the two tables (1..5 vs 1..3)
+    a = spark.createDataFrame(
+        [
+            (1, BASE + " exact-copy-marker"),  # exact dup of ref 2
+            (2, NEAR),                         # near dup of ref 1 (= BASE)
+            (3, OTHER),                        # no match
+            (4, "tiny"),                       # short: exact dup of ref 3
+            (5, "tinY"),                       # short near-miss: must NOT match
+        ],
+        "doc_id long, content string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE + " exact-copy-marker"),
+            (3, "tiny"),
+        ],
+        "doc_id long, content string",
+    )
+    return a, b
+
+
+def test_kinds_and_pair_set(spark, corpora):
+    a, b = corpora
+    got = {
+        (r.doc_id, r.ref_id, r.kind)
+        for r in cross_dup_pairs(a, b, CFG).collect()
+    }
+    assert (1, 2, "exact") in got
+    assert (4, 3, "exact") in got
+    assert (2, 1, "near") in got
+    # sha-equal pairs are exact ONLY (never double-reported as near)
+    assert (1, 2, "near") not in got
+    # transitive high-J neighbors are also legitimately near: doc 1
+    # (BASE+marker) ~ ref 1 (BASE), and doc 2 (NEAR) ~ ref 2 (BASE+marker)
+    assert got <= {
+        (1, 2, "exact"),
+        (4, 3, "exact"),
+        (2, 1, "near"),
+        (1, 1, "near"),
+        (2, 2, "near"),
+    }
+    # unrelated and short-near-miss docs never matched
+    flagged = {d for d, _, _ in got}
+    assert 3 not in flagged and 5 not in flagged
+
+
+def test_overlapping_id_spaces_do_not_contaminate(spark, corpora):
+    """ref table ids 1..3 overlap corpus ids 1..5; a hit (doc_id=k) must mean
+    corpus doc k matched a REFERENCE doc, never corpus doc k itself."""
+    a, b = corpora
+    pairs = cross_dup_pairs(a, b, CFG)
+    # corpus doc 3 (OTHER) shares its id with ref doc 3 ("tiny") — if ids
+    # leaked across sides this would surface as a bogus self-ish pair
+    assert pairs.where(
+        (F.col("doc_id") == 3) | (F.col("ref_id") > 3)
+    ).count() == 0
+
+
+def test_filter_against_removes_flagged_only(spark, corpora):
+    a, b = corpora
+    kept = sorted(r.doc_id for r in filter_against(a, b, CFG).collect())
+    assert kept == [3, 5]
+
+
+def test_stable_under_repartition(spark, corpora):
+    a, b = corpora
+    one = sorted(
+        (r.doc_id, r.ref_id, r.kind)
+        for r in cross_dup_pairs(a, b, CFG).collect()
+    )
+    two = sorted(
+        (r.doc_id, r.ref_id, r.kind)
+        for r in cross_dup_pairs(
+            a.repartition(7, "doc_id"), b.repartition(5, "doc_id"), CFG
+        ).collect()
+    )
+    assert one == two
+
+
+def test_disjoint_corpora_emit_nothing(spark, corpora):
+    a, _ = corpora
+    b = spark.createDataFrame([(9, OTHER + " v2")], "doc_id long, content string")
+    only_a = a.where(F.col("doc_id").isin(1, 2))  # long docs, unrelated to b
+    assert cross_dup_pairs(only_a, b, CFG).count() == 0
