@@ -1,0 +1,88 @@
+"""Scale evidence for cross-corpus dedup (operators/crossdedup.py).
+
+Splits the deterministic bench corpus (go_pipeline_spark/corpus.py
+distributed_docs — executor-side generation, planted exact/near pairs per
+slot) into corpus = even doc_ids, reference = odd doc_ids: every
+mix(slot)%10==0 slot yields a cross EXACT pair and every %10==1 slot a
+cross NEAR pair (~10% each), with the hot-license-header skew rows
+exercising the per-side bucket caps.
+
+Measures the operator wall at N docs/side and reports the kind counts, so
+regressions in either tier or in the both-sided-bucket pruning (the thing
+that keeps a 10^12-doc reference corpus from generating within-side pairs)
+show up as wall or count drift. For context the same corpus through the
+FULL within-corpus pipeline is the dedup_synthetic_big bench (~54s at 600k
+total); cross dedup answers a narrower question and should be several times
+cheaper — no containment, no connected components, no within-side pairs.
+
+Usage: python bench/crossdedup_scale.py [--rows 600000] [--repeats 3]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_pipeline_spark.corpus import distributed_docs  # noqa: E402
+from go_pipeline_spark.operators.crossdedup import cross_dup_pairs  # noqa: E402
+from go_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=600_000)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    spark = get_spark(cores=args.cores)
+    docs = distributed_docs(spark, args.rows, seed=42).persist()
+    docs.count()  # materialize generation outside the timer
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    reference = docs.where(F.col("doc_id") % 2 == 1)
+
+    walls = []
+    kinds: dict[str, int] = {}
+    for _ in range(args.repeats):
+        cached: list = []
+        t0 = time.time()
+        pairs = cross_dup_pairs(corpus, reference, cache_registry=cached)
+        kinds = {
+            r.kind: r.n
+            for r in pairs.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        walls.append(round(time.time() - t0, 2))
+        for df in cached:
+            df.unpersist()
+
+    n_side = args.rows // 2
+    best = min(walls[1:]) if len(walls) > 1 else walls[0]
+    print(
+        json.dumps(
+            {
+                "metric": "cross-corpus dedup wall (corpus vs reference)",
+                "rows_per_side": n_side,
+                "wall_s": best,
+                "walls": walls,
+                "docs_per_sec_both_sides": round(args.rows / best, 1),
+                "n_exact": kinds.get("exact", 0),
+                "n_near": kinds.get("near", 0),
+                "cores": args.cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

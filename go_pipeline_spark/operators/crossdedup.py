@@ -82,11 +82,17 @@ def cross_dup_pairs(
     cfg: PipelineConfig | None = None,
     id_col: str = "doc_id",
     content_col: str = "content",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """-> (doc_id, ref_id, kind): every corpus doc that duplicates a
     reference doc. kind = 'exact' (raw sha256 equality) or 'near'
     (MinHash-LSH candidate verified at Jaccard >= cfg.jaccard_threshold
-    between long docs; sha-equal pairs are reported as exact only)."""
+    between long docs; sha-equal pairs are reported as exact only).
+
+    Each side's signature table feeds BOTH the band explode and the verify
+    join, so it is persisted (one Arrow pass per side, not two); pass
+    cache_registry to have the caller release the persists after its
+    consuming action (the N30 cache-registry discipline)."""
     cfg = cfg or PipelineConfig()
     a = _prep(corpus, id_col, content_col, cfg)
     b = _prep(reference, id_col, content_col, cfg)
@@ -100,8 +106,14 @@ def cross_dup_pairs(
     sigfn = make_minhash_udf(cfg)
     long_a = a.where(F.col("n_chars") >= cfg.short_doc_chars)
     long_b = b.where(F.col("n_chars") >= cfg.short_doc_chars)
-    sigs_a = long_a.select("doc_id", sigfn(F.col("norm_content")).alias("sig"))
-    sigs_b = long_b.select("doc_id", sigfn(F.col("norm_content")).alias("sig"))
+    sigs_a = long_a.select(
+        "doc_id", sigfn(F.col("norm_content")).alias("sig")
+    ).persist()
+    sigs_b = long_b.select(
+        "doc_id", sigfn(F.col("norm_content")).alias("sig")
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.extend([sigs_a, sigs_b])
     bands_a = band_explode(sigs_a, cfg)
     bands_b = band_explode(sigs_b, cfg)
     # one-sided buckets die at this count-only join, before any posting
