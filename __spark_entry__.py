@@ -54,11 +54,13 @@ from go_pipeline_spark.operators import (  # noqa: E402
 from go_pipeline_spark.operators import verify as verify_ops  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
     chunking,
+    classifier,
     crossdedup,
     keywords,
     outliers,
     rangejoin,
     sketches,
+    substrdedup,
     urls,
 )
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
@@ -810,6 +812,51 @@ def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_line_dedup(d)
 
 
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable linear quality classifier (operators/classifier.py),
+    exercised end-to-end on a PLANTED weak-label corpus (the
+    url_dedup/ivf_trained_topk pattern — the natural testdata tokens are
+    class-independent by construction, so a learnable signal is planted
+    deterministically from doc_id): class-marker tokens are appended per
+    doc (2:1 hi:lo via doc_id%3), the model trains on even doc_ids only,
+    and held-out odd doc_ids are scored. Integer-exact scores — the
+    oracle reproduces every score bit-for-bit, and predicted_hi vs
+    truth_hi shows the train/apply cycle recovering the planted signal
+    on unseen docs."""
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.lit(" quality prose clear readable"),
+            ).otherwise(F.lit(" spam junk boiler noise")),
+        ).alias("text"),
+        (F.col("doc_id") % 3 != 0).alias("truth_hi"),
+    )
+    model = classifier.train_token_classifier(
+        planted.where(F.col("doc_id") % 2 == 0), label_col="truth_hi"
+    )
+    held = planted.where(F.col("doc_id") % 2 == 1)
+    scored = classifier.score_documents(held, model)
+    return scored.join(
+        held.select("doc_id", "truth_hi"), "doc_id"
+    ).select("doc_id", "score", "n_tokens", "predicted_hi", "truth_hi")
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span dedup (operators/substrdedup.py,
+    Lee et al. 2021 re-expressed relationally): every 8-token gram with an
+    earlier (doc, start) occurrence anywhere in the corpus marks its
+    position redundant; redundant positions merge into maximal spans which
+    are cut from the document (keep-first). Sub-line granularity — the
+    strongest rung of the dedup ladder below the pairwise stages. All
+    decisions are integer token arithmetic + exact string equality, so the
+    rewrite is bit-identical on any engine."""
+    return substrdedup.exact_substring_dedup(_docs(spark, sf_dir), k=8)
+
+
 def q_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 end-to-end composition over the NEW LLM data-prep operator
     set, chained the way a corpus build would run them: Gopher repetition
@@ -1060,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "domain_mixture_counts": q_domain_mixture_counts,
         "global_line_dedup": q_global_line_dedup,
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "quality_classifier_scores": q_quality_classifier_scores,
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
         "familiarity_scores": q_familiarity_scores,
@@ -1773,6 +1822,118 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.text_dedup, '') AS text_dedup,
                    CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
             FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        """,
+        # integer-exact linear classifier: identical planting, identical
+        # cross-multiplied centroid-difference weights, identical
+        # occurrence-sum scoring (sum over occurrences of w == sum over
+        # distinct tokens of tf*w)
+        "quality_classifier_scores": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 <> 0
+                                  THEN ' quality prose clear readable'
+                                  ELSE ' spam junk boiler noise' END AS text,
+                     doc_id % 3 <> 0 AS truth_hi
+              FROM documents
+            ), tr AS (
+              SELECT truth_hi AS y,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> len(x) > 0)) AS tok
+              FROM p WHERE doc_id % 2 = 0
+            ), m AS (
+              SELECT tok,
+                     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_hi,
+                     CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS c_lo
+              FROM tr GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(c_hi) AS BIGINT) AS nh,
+                     CAST(sum(c_lo) AS BIGINT) AS nl
+              FROM m
+            ), w AS (
+              SELECT tok, c_hi * nl - c_lo * nh AS w FROM m, tot
+            ), ht AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> len(x) > 0)) AS tok
+              FROM p WHERE doc_id % 2 = 1
+            ), sc AS (
+              SELECT ht.doc_id,
+                     CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score,
+                     CAST(count(*) AS BIGINT) AS n_tokens
+              FROM ht LEFT JOIN w ON ht.tok = w.tok
+              GROUP BY 1
+            )
+            SELECT p.doc_id,
+                   COALESCE(sc.score, 0) AS score,
+                   COALESCE(sc.n_tokens, 0) AS n_tokens,
+                   COALESCE(sc.score, 0) > 0 AS predicted_hi,
+                   p.truth_hi
+            FROM p LEFT JOIN sc ON p.doc_id = sc.doc_id
+            WHERE p.doc_id % 2 = 1
+        """,
+        # ExactSubstr gram dedup: redundant = rank>=2 per gram in
+        # (doc, start) order; lag-based island merge at s2 <= s1 + k;
+        # covered indices expand from the merged spans; rebuild = tokens
+        # anti-joined against covered. k = 8 everywhere below.
+        "exact_substring_dedup": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i AS start,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+              WHERE len(toks) >= 8
+            ), red AS (
+              SELECT doc_id, start FROM (
+                SELECT doc_id, start,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, start) AS rn
+                FROM g
+              ) WHERE rn >= 2
+            ), isl AS (
+              SELECT doc_id, start,
+                     sum(CASE WHEN prev IS NOT NULL AND start > prev + 8
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY start) AS island
+              FROM (SELECT doc_id, start,
+                           lag(start) OVER (PARTITION BY doc_id
+                                            ORDER BY start) AS prev
+                    FROM red)
+            ), spans AS (
+              SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+              FROM isl GROUP BY doc_id, island
+            ), stats AS (
+              SELECT doc_id,
+                     CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+                     CAST(count(*) AS BIGINT) AS n_spans
+              FROM spans GROUP BY 1
+            ), covered AS (
+              SELECT doc_id, u.c AS i
+              FROM spans, unnest(generate_series(s, e)) AS u(c)
+            ), tok AS (
+              SELECT doc_id, i, toks[i] AS tok
+              FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+            ), kept AS (
+              SELECT tok.doc_id, tok.i, tok.tok
+              FROM tok LEFT JOIN covered
+                ON tok.doc_id = covered.doc_id AND tok.i = covered.i
+              WHERE covered.i IS NULL
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS text_clean
+              FROM kept GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   COALESCE(r.text_clean, '') AS text_clean,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   COALESCE(s.dup_tokens, 0) AS dup_tokens,
+                   COALESCE(s.n_spans, 0) AS n_spans
+            FROM t
+            LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+            LEFT JOIN stats s ON t.doc_id = s.doc_id
         """,
         # composition oracle: survivors = the gopher filter SQL; line
         # keepers computed over SURVIVORS ONLY (dedup runs after the

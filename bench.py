@@ -177,6 +177,8 @@ def bench_queries(spark, sf_dir: str):
         "length_trim_stats": q("length_trim_stats"),  # NEW r5
         "leakage_safe_splits": q("leakage_safe_splits"),  # NEW r5
         "cross_corpus_dedup": q("cross_corpus_dedup"),  # NEW r5
+        "exact_substring_dedup": q("exact_substring_dedup"),  # NEW r5
+        "quality_classifier_scores": q("quality_classifier_scores"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

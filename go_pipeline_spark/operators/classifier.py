@@ -1,0 +1,138 @@
+"""Trainable linear text classifier (integer-exact Rocchio / centroid
+difference) — the quality-classifier stage of an LLM data pipeline.
+
+Production corpus builds (GPT-3, LLaMA, FineWeb-Edu) gate documents with
+a cheap linear classifier trained on weak labels (fastText supervised, a
+logistic head over token counts). This module implements the train +
+apply cycle as pure DataFrame aggregations with the repo's numerics
+discipline (SURVEY N64/N65: integer aggregates everywhere, so results
+are bit-identical on any engine and any partitioning):
+
+  * model = per-token class-conditional occurrence counts. The decision
+    score uses the centroid-difference weight CROSS-MULTIPLIED to stay
+    in int64 — for token t with class counts C_hi(t), C_lo(t) and class
+    token totals N_hi, N_lo:
+
+        w(t)      = C_hi(t) * N_lo  -  C_lo(t) * N_hi
+        score(d)  = sum_t tf_d(t) * w(t)
+
+    sign(score) is exactly sign of the frequency-difference classifier
+    sum_t tf·(C_hi/N_hi - C_lo/N_lo) scaled by N_hi·N_lo > 0 — a real
+    discriminative linear model, with no logs/divisions so zero float
+    tolerance is needed (logs would make the oracle comparison
+    libm-dependent).
+  * training is ONE hash aggregate on token (map-side combine collapses
+    hot stopwords per partition) + a broadcast one-row totals join — no
+    driver collect; the model is a DataFrame, so vocabulary size is
+    unbounded (fastText's hashing trick exists to bound an in-memory
+    array; a relational model doesn't need it).
+  * scoring explodes docs to (doc, token, tf), joins the model on token
+    (1:1 per distinct token — AQE-skew-safe; unseen tokens contribute
+    0 via the left join), and re-aggregates per doc. Two shuffles
+    end-to-end, both on bounded-width keys.
+
+int64 headroom: |w| <= max(C)·(N_hi+N_lo) and |score| <= n_tokens(d)·
+max|w|; safe while total training tokens stay under ~3e9 per class.
+Beyond that, pre-scale the counts (divide both classes' counts by a
+common power of two before cross-multiplying) — the sign is invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_token_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda x: F.length(x) > F.lit(0)
+    )
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def train_token_classifier(
+    labeled: DataFrame,
+    label_col: str = "label_hi",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, c_hi, c_lo, w): per-token class occurrence counts and the
+    cross-multiplied centroid-difference weight. `label_col` is boolean
+    (true = positive/high-quality class). One aggregate + one broadcast
+    one-row totals join; fully deterministic."""
+    tokens = labeled.select(
+        F.col(id_col),
+        F.col(label_col).alias("__y"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), "\\s+"),
+                lambda x: F.length(x) > F.lit(0),
+            )
+        ).alias("token"),
+    )
+    counts = tokens.groupBy("token").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("c_hi"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("c_lo"),
+    )
+    totals = counts.agg(
+        F.sum("c_hi").alias("__n_hi"), F.sum("c_lo").alias("__n_lo")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_hi",
+        "c_lo",
+        (
+            F.col("c_hi") * F.col("__n_lo") - F.col("c_lo") * F.col("__n_hi")
+        ).alias("w"),
+    )
+
+
+def score_documents(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, score, n_tokens, predicted_hi) for every input row.
+
+    score = sum_t tf·w(t) (int64, exact); tokens absent from the model
+    contribute 0; token-less documents score 0 with predicted_hi=false.
+    """
+    tf = _doc_token_tf(df, id_col, text_col)
+    scored = (
+        tf.join(model.select("token", "w"), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.coalesce(F.col("w"), F.lit(0))).alias(
+                "score"
+            ),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    out = df.select(id_col).join(scored, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        (F.coalesce("score", F.lit(0)) > 0).alias("predicted_hi"),
+    )
+
+
+def classifier_filter(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Filter form: keep only rows the model scores positive (all input
+    columns pass through)."""
+    keep = (
+        score_documents(df, model, id_col, text_col)
+        .where(F.col("predicted_hi"))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

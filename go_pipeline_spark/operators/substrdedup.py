@@ -1,0 +1,195 @@
+"""Corpus-wide exact duplicated-SPAN dedup (the ExactSubstr rule).
+
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499) deduplicate at substring granularity: any
+span that occurs verbatim more than once in the corpus is cut from
+every occurrence EXCEPT the first, using a corpus-level suffix array.
+A monolithic suffix array over 100 TB is exactly the kind of global
+mutable structure this engine re-expresses relationally; the standard
+distributed re-formulation (used by Dolma/RedPajama-style pipelines)
+works at k-token gram granularity, which this module implements
+exactly:
+
+  * a position is REDUNDANT iff its k-token gram occurs at any earlier
+    (doc, start) in the corpus — "earlier" in (doc_id, start) order, so
+    the first occurrence of every duplicated substring survives
+    (keep-first, matching the paper's keep-one semantics);
+  * redundant positions merge into maximal token spans (overlapping or
+    exactly-touching gram windows coalesce), so contiguous duplicated
+    text of ANY length >= k is reported/cut as one span — the gram
+    granularity only quantizes the span BOUNDARIES, never splits a long
+    duplicate;
+  * documents are rewritten with the spans cut out; the whole decision
+    is integer arithmetic on token indices + exact string equality on
+    grams, so results are bit-identical on any engine/partitioning.
+
+Relation to the rest of the dedup ladder: `global_line_dedup` cuts
+duplicated LINES (needs line structure), the pipeline's containment
+stage FLAGS doc pairs (never rewrites); this operator rewrites docs at
+sub-line granularity with no structural assumptions — the strongest
+boilerplate remover of the three.
+
+Spark-first shape for 100 TB (mirrors operators/dedup.py
+global_line_dedup, the same scale argument applies):
+  * token arrays materialize ONCE as a column (perf finding 14 /
+    SURVEY N60: an inlined split inside per-position lambdas
+    re-tokenizes the row per gram — O(tokens^2));
+  * keeper selection is a two-level hash aggregate with ATOMIC buffers
+    (min/min_by/sum over longs) — never min(struct(...)), which falls
+    off HashAggregate into a full SortAggregate (SURVEY N58);
+  * hot grams (license headers, "} } }") collapse map-side at level 1
+    before the wide exchange, and the redundancy join is 1:1 per
+    exploded row against a single gram row — AQE-skew-safe, no row
+    explosion;
+  * span merging is a per-doc window (lag + running sum), keyed on
+    doc_id — perfectly parallel. With uniform k the covered-end is
+    monotone in start, so lag(start) alone decides island breaks;
+  * the rewrite carries each doc's merged spans back as ONE array
+    column and filters the token array in a single JVM higher-order
+    expression — no second shuffle of token-level rows.
+
+Whitespace note: tokens are whitespace-split and rejoined with single
+spaces, so `text_clean` is whitespace-NORMALIZED even for untouched
+documents (stated contract; the stats columns are whitespace-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda x: F.length(x) > F.lit(0)
+    )
+
+
+def redundant_positions(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, start): every 1-based token index whose k-token gram has
+    an earlier occurrence in the corpus (order: doc asc, start asc).
+
+    Equivalent to rank >= 2 per gram, but computed as a two-level hash
+    aggregate + 1:1 join instead of a per-gram window (a window would
+    sort every exploded gram row; the aggregate collapses hot grams
+    map-side first)."""
+    toks_df = df.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).where(F.size("__toks") >= k)
+    t = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    exploded = toks_df.select(
+        F.col(id_col), F.posexplode(grams).alias("__p0", "__gram")
+    ).select(id_col, (F.col("__p0") + 1).alias("start"), "__gram")
+    # level 1: per (gram, doc) — min start + occurrence count; level 2:
+    # global keeper (min doc, its first start) + total occurrences.
+    # Both levels keep every aggregation buffer atomic (long), so they
+    # stay codegen HashAggregates (SURVEY N58).
+    keepers = (
+        exploded.groupBy("__gram", id_col)
+        .agg(F.min("start").alias("__fs"), F.count(F.lit(1)).alias("__c"))
+        .groupBy("__gram")
+        .agg(
+            F.min(id_col).alias("__kdoc"),
+            F.min_by("__fs", F.col(id_col)).alias("__kstart"),
+            F.sum("__c").alias("__n_occ"),
+        )
+        .where(F.col("__n_occ") >= 2)
+    )
+    return (
+        exploded.join(keepers, "__gram")
+        .where(
+            ~((F.col(id_col) == F.col("__kdoc"))
+              & (F.col("start") == F.col("__kstart")))
+        )
+        .select(id_col, "start")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, span_start, span_end): maximal merged token spans
+    (1-based, inclusive) covered by redundant k-gram windows.
+
+    Gram windows at starts s1 < s2 merge iff s2 <= s1 + k (overlap or
+    exact adjacency), so an L-token duplicated region is ONE span of
+    exactly L tokens, never k-sized fragments."""
+    red = redundant_positions(df, k, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("start")
+    flagged = red.withColumn(
+        "__brk",
+        F.when(
+            F.col("start") > F.lag("start").over(w) + F.lit(k), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(id_col, "__island").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + F.lit(k - 1)).alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per input doc: (id_col, text_clean, n_tokens, dup_tokens,
+    n_spans) — the document with every non-first duplicated span cut
+    out, plus integer audit stats (dup_tokens = tokens removed).
+
+    text_clean is single-space rejoined (whitespace-normalized); docs
+    with fewer than k tokens or no redundant spans pass through with
+    zero stats. All decisions are integer/string-exact — reproducible
+    bit-for-bit on any engine."""
+    spans = duplicated_spans(df, k, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + 1
+        ).alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    base = df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    joined = base.join(per_doc, id_col, "left")
+    # single JVM higher-order pass: keep token i+1 unless a span covers
+    # it. Spans per doc are merged-maximal (disjoint, sorted), so the
+    # exists() scan is over n_spans <= n_tokens/(k+1) entries.
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(
+        F.filter(
+            F.col("__toks"),
+            lambda x, i: ~F.exists(
+                F.col("__spans"),
+                lambda sp: (sp["span_start"] <= i + 1)
+                & (i + 1 <= sp["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+    )

@@ -1,0 +1,92 @@
+"""Integer-exact linear text classifier (operators/classifier.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.classifier import (
+    classifier_filter,
+    score_documents,
+    train_token_classifier,
+)
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label_hi boolean"
+    )
+
+
+def test_hand_computed_weights_and_score(spark):
+    # class hi: tokens {a a b}; class lo: tokens {b c}
+    # N_hi=3, N_lo=2; w(a)=2*2-0*3=4; w(b)=1*2-1*3=-1; w(c)=0*2-1*3=-3
+    labeled = _labeled(spark, [(1, "a a b", True), (2, "b c", False)])
+    model = {r.token: r for r in train_token_classifier(labeled).collect()}
+    assert (model["a"].c_hi, model["a"].c_lo, model["a"].w) == (2, 0, 4)
+    assert (model["b"].c_hi, model["b"].c_lo, model["b"].w) == (1, 1, -1)
+    assert model["c"].w == -3
+    # doc "a b c z": score = 1*4 + 1*(-1) + 1*(-3) + 0 = 0 -> not hi
+    # doc "a a":     score = 2*4 = 8 -> hi
+    docs = spark.createDataFrame(
+        [(10, "a b c z"), (11, "a a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in score_documents(
+            docs, train_token_classifier(labeled)
+        ).collect()
+    }
+    assert got[10].score == 0 and got[10].predicted_hi is False
+    assert got[10].n_tokens == 4
+    assert got[11].score == 8 and got[11].predicted_hi is True
+
+
+def test_separable_corpora_classify_heldout_correctly(spark):
+    prose = "the cat sat on the mat and the dog was here"
+    soup = "xq zz9 @@ ## qqz zx9 !! ~~ zzq x9x"
+    train = _labeled(
+        spark,
+        [(i, prose + f" extra{i}", True) for i in range(8)]
+        + [(100 + i, soup + f" junk{i}", False) for i in range(8)],
+    )
+    model = train_token_classifier(train)
+    held = spark.createDataFrame(
+        [(200, "the dog sat on the mat"), (201, "zz9 qqz x9x ##")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.predicted_hi for r in score_documents(held, model).collect()}
+    assert got[200] is True and got[201] is False
+    kept = classifier_filter(held, model).collect()
+    assert [r.doc_id for r in kept] == [200]
+
+
+def test_unseen_tokens_and_empty_docs(spark):
+    labeled = _labeled(spark, [(1, "a", True), (2, "b", False)])
+    model = train_token_classifier(labeled)
+    docs = spark.createDataFrame(
+        [(10, "zz yy"), (11, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in score_documents(docs, model).collect()}
+    assert got[10].score == 0 and got[10].predicted_hi is False
+    assert got[11].score == 0 and got[11].n_tokens == 0
+
+
+def test_repartition_invariance(spark):
+    rows = [
+        (i, ("the and of to " if i % 2 else "zx qy wv uk ") + f"t{i}", i % 2 == 1)
+        for i in range(30)
+    ]
+    labeled = _labeled(spark, rows)
+    docs = labeled.select("doc_id", "text")
+    a = sorted(
+        score_documents(docs, train_token_classifier(labeled)).collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        score_documents(
+            docs.repartition(7),
+            train_token_classifier(labeled.repartition(11)),
+        ).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

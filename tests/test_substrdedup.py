@@ -1,0 +1,159 @@
+"""ExactSubstr-style duplicated-span dedup (operators/substrdedup.py).
+
+Small corpora with hand-derivable redundant positions; a pure-Python
+reference implementation cross-checks the whole operator on a planted
+corpus, and repartition invariance pins determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.substrdedup import (
+    duplicated_spans,
+    exact_substring_dedup,
+    redundant_positions,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_keep_first_occurrence_cut_later(spark):
+    # doc 1 and doc 2 share an exact 6-token region; k=3 grams
+    shared = "a b c d e f"
+    df = _docs(
+        spark,
+        [(1, f"{_words('x', 4)} {shared}"), (2, f"{shared} {_words('y', 4)}")],
+    )
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=3).collect()}
+    # doc 1 holds the first occurrence (min doc_id) -> untouched
+    assert out[1].dup_tokens == 0 and out[1].n_spans == 0
+    assert out[1].text_clean == f"{_words('x', 4)} {shared}"
+    # doc 2's copy is cut as ONE merged span of exactly 6 tokens
+    assert out[2].dup_tokens == 6 and out[2].n_spans == 1
+    assert out[2].text_clean == _words("y", 4)
+
+
+def test_span_merging_overlap_and_exact_adjacency(spark):
+    # within-doc repeat: "p q r" appears twice in doc 1 (positions 1 and 5),
+    # second occurrence redundant -> span [5,7]; with k=3 the windows at
+    # starts {5} merge alone. Exact adjacency: doc 2 repeats a 6-token
+    # block whose two redundant 3-gram windows at starts s and s+3 touch
+    # (s2 == s1 + k) and must merge to one span.
+    df = _docs(
+        spark,
+        [(1, "p q r m p q r"), (2, "u v w x y z u v w x y z")],
+    )
+    spans = duplicated_spans(df, k=3)
+    got = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in spans.collect()
+    }
+    assert got[1] == (5, 7)
+    assert got[2] == (7, 12)  # one span, not two 3-token fragments
+
+
+def test_redundant_positions_rank_ge_2_semantics(spark):
+    # gram "a b c" occurs at (1,1), (1,4), (2,1): first survives, the
+    # other two are redundant — including the within-doc later copy
+    df = _docs(spark, [(1, "a b c a b c"), (2, "a b c q")])
+    red = {
+        (r.doc_id, r.start)
+        for r in redundant_positions(df, k=3).collect()
+    }
+    assert red == {(1, 4), (2, 1)}
+
+
+def test_short_docs_and_unique_docs_pass_through(spark):
+    df = _docs(spark, [(1, "only two"), (2, _words("u", 10))])
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=3).collect()}
+    assert out[1].dup_tokens == 0 and out[1].text_clean == "only two"
+    assert out[1].n_tokens == 2
+    assert out[2].dup_tokens == 0 and out[2].text_clean == _words("u", 10)
+
+
+def test_fully_duplicated_doc_rewrites_to_empty(spark):
+    body = _words("w", 8)
+    df = _docs(spark, [(1, body), (2, body)])
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=4).collect()}
+    assert out[1].text_clean == body
+    assert out[2].text_clean == "" and out[2].dup_tokens == 8
+
+
+def _py_reference(docs: dict[int, str], k: int):
+    """Literal keep-first gram dedup: rank>=2 positions, merged spans,
+    filtered tokens."""
+    toks = {d: [t for t in txt.split() if t] for d, txt in docs.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for s in range(1, len(ts) - k + 2):
+            occ.setdefault(" ".join(ts[s - 1 : s - 1 + k]), []).append((d, s))
+    red: dict[int, list[int]] = {}
+    for positions in occ.values():
+        for d, s in sorted(positions)[1:]:
+            red.setdefault(d, []).append(s)
+    result = {}
+    for d, ts in toks.items():
+        spans: list[list[int]] = []
+        for s in sorted(red.get(d, [])):
+            if spans and s <= spans[-1][1] - k + 1 + k:  # s <= last_start + k
+                spans[-1][1] = max(spans[-1][1], s + k - 1)
+                spans[-1][0] = min(spans[-1][0], s)
+            else:
+                spans.append([s, s + k - 1])
+            spans[-1] = spans[-1]
+        covered = set()
+        for a, b in spans:
+            covered.update(range(a, b + 1))
+        kept = [t for i, t in enumerate(ts, start=1) if i not in covered]
+        result[d] = (
+            " ".join(kept),
+            len(ts),
+            len(covered),
+            len(spans),
+        )
+    return result
+
+
+def test_matches_python_reference_on_planted_corpus(spark):
+    # deterministic mix: shared boilerplate blocks, within-doc repeats,
+    # unique tails — exercises all code paths at once
+    boiler = {0: _words("lic", 9), 1: _words("nav", 6), 2: _words("hdr", 7)}
+    docs = {}
+    for d in range(12):
+        parts = [boiler[d % 3], _words(f"u{d}_", 5)]
+        if d % 4 == 0:
+            parts.append(boiler[(d + 1) % 3])
+        if d % 5 == 0:
+            parts.append(_words(f"u{d}_", 5))  # within-doc repeat
+        docs[d] = " ".join(parts)
+    df = _docs(spark, list(docs.items()))
+    k = 4
+    expect = _py_reference(docs, k)
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.dup_tokens, r.n_spans)
+        for r in exact_substring_dedup(df, k=k).collect()
+    }
+    assert got == expect
+
+
+def test_repartition_invariance(spark):
+    boiler = _words("b", 8)
+    rows = [(d, f"{boiler} {_words(f'u{d}_', 6)}") for d in range(20)]
+    df = _docs(spark, rows)
+    a = sorted(
+        exact_substring_dedup(df, k=4).collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        exact_substring_dedup(df.repartition(13), k=4).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
