@@ -64,7 +64,9 @@ from go_pipeline_spark.operators import (  # noqa: E402
     urls,
 )
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
+from go_pipeline_spark.operators import shards  # noqa: E402
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
+    boilerplate_line_filter,
     canonical_representatives,
     global_line_dedup,
     with_content_sha,
@@ -812,6 +814,43 @@ def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_line_dedup(d)
 
 
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard layout (operators/shards.py):
+    (shard, pos) as a pure function of (doc_id, seed) — shard = 32-bit
+    content hash mod 8, pos = the hash's rank within its shard computed
+    by the distributed-rank decomposition (sub-bucket count aggregate +
+    tiny offset window + per-sub-bucket row_number), never a whole-shard
+    single-task sort. The layout every training-data writer needs for
+    reproducible epoch order and resume."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return shards.assign_shards(d, ["doc_id"], n_shards=8, seed=9).select(
+        "doc_id", "lang", "shard", "pos"
+    )
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal (operators/dedup.py
+    boilerplate_line_filter): lines occurring in >= 10 distinct docs are
+    dropped from EVERY document (the complement of global_line_dedup's
+    keep-first rule). The natural testdata docs are single-line and
+    line-distinct, so nav-header/footer structure is planted
+    deterministically from doc_id (the url_dedup pattern): 4 rotating
+    nav headers + one universal footer around each unique body — the
+    filter must strip exactly the planted frame and keep every body."""
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV home about section "),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nCommon footer cookies and terms"),
+        ).alias("text"),
+    )
+    return boilerplate_line_filter(planted, min_docs=10)
+
+
 def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable linear quality classifier (operators/classifier.py),
     exercised end-to-end on a PLANTED weak-label corpus (the
@@ -1109,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_line_dedup": q_global_line_dedup,
         "exact_substring_dedup": q_exact_substring_dedup,
         "quality_classifier_scores": q_quality_classifier_scores,
+        "shard_assignment": q_shard_assignment,
+        "boilerplate_removal": q_boilerplate_removal,
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
         "familiarity_scores": q_familiarity_scores,
@@ -1822,6 +1863,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.text_dedup, '') AS text_dedup,
                    CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
             FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        """,
+        # distributed rank == one flat window: row_number per shard over
+        # the identical (hash, id) order; shard = 32-bit hex mod 8
+        "shard_assignment": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     substring(sha256(concat_ws(chr(31), '9',
+                         CAST(doc_id AS VARCHAR))), 1, 8) AS h
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CAST(CAST(('0x' || h) AS BIGINT) % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                          PARTITION BY CAST(('0x' || h) AS BIGINT) % 8
+                          ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM b
+        """,
+        # identical planting; boilerplate = distinct-doc frequency >= 10;
+        # every occurrence removed, docs rebuilt in line order
+        "boilerplate_removal": """
+            WITH p AS (
+              SELECT doc_id,
+                     'NAV home about section ' || CAST(doc_id % 4 AS VARCHAR)
+                     || chr(10) || text
+                     || chr(10) || 'Common footer cookies and terms' AS text
+              FROM documents
+            ), x AS (
+              SELECT doc_id, i AS pos, lines[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                    FROM p) t,
+                   unnest(generate_series(1, len(lines))) AS u(i)
+              WHERE len(lines[i]) > 0
+            ), f AS (
+              SELECT line, count(DISTINCT doc_id) AS df FROM x GROUP BY 1
+            ), keep AS (
+              SELECT x.doc_id, x.pos, x.line
+              FROM x JOIN f ON x.line = f.line WHERE f.df < 10
+            ), r AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM keep GROUP BY 1
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_lines FROM x GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.text_clean, '') AS text_clean,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(COALESCE(tot.n_lines, 0) - COALESCE(r.n_kept, 0)
+                        AS BIGINT) AS n_boiler_lines
+            FROM documents d
+            LEFT JOIN r ON d.doc_id = r.doc_id
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
         """,
         # integer-exact linear classifier: identical planting, identical
         # cross-multiplied centroid-difference weights, identical

@@ -179,6 +179,8 @@ def bench_queries(spark, sf_dir: str):
         "cross_corpus_dedup": q("cross_corpus_dedup"),  # NEW r5
         "exact_substring_dedup": q("exact_substring_dedup"),  # NEW r5
         "quality_classifier_scores": q("quality_classifier_scores"),  # NEW r5
+        "shard_assignment": q("shard_assignment"),  # NEW r5
+        "boilerplate_removal": q("boilerplate_removal"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

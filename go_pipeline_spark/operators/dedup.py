@@ -159,6 +159,79 @@ def global_line_dedup(
     )
 
 
+def boilerplate_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int | None = None,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: a line appearing in >= min_docs
+    DISTINCT documents (or >= min_doc_frac of the corpus) is boilerplate
+    and ALL its occurrences are removed — the complement of
+    `global_line_dedup`'s keep-first rule (nav bars / cookie banners /
+    license headers should not survive anywhere, not once).
+
+    Output is total over the input: (id_col, text_clean, n_lines_kept,
+    n_boiler_lines), text_clean rebuilt from surviving lines in original
+    order ('' when everything was boilerplate).
+
+    Plan shape: explode -> per-(line, doc) collapse (map-side combine
+    eats within-doc copies of a hot line) -> per-line distinct-doc count
+    (plain hash aggregate, never countDistinct) -> the boilerplate set
+    left-anti-joins the exploded lines (1:1 per line key, AQE-skew-safe)
+    -> per-doc rebuild. The frac variant computes the corpus doc count
+    as a broadcast one-row crossJoin so the whole thing stays ONE plan.
+    """
+    if (min_docs is None) == (min_doc_frac is None):
+        raise ValueError("pass exactly one of min_docs / min_doc_frac")
+    lines = F.split(F.col(text_col), "\n")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("__pos", "__line")
+    ).where(F.length("__line") > 0)
+    docfreq = (
+        exploded.select("__line", id_col)
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    if min_docs is not None:
+        boiler = docfreq.where(F.col("__df") >= min_docs)
+    else:
+        total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+        boiler = docfreq.crossJoin(F.broadcast(total)).where(
+            F.col("__df") * 1.0 >= F.col("__n_docs") * min_doc_frac
+        )
+    kept = exploded.join(boiler.select("__line"), "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_lines")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (
+                F.coalesce("__n_lines", F.lit(0))
+                - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_boiler_lines"),
+        )
+    )
+
+
 def canonical_representatives(
     clusters: DataFrame,
     docs: DataFrame,

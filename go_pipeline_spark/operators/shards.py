@@ -1,0 +1,106 @@
+"""Deterministic corpus shuffle + shard assignment (training-output
+layout).
+
+The last step of a corpus build is writing the training set as N shards
+in a reproducible global order — samplers and resume logic depend on
+(shard, position) being a pure function of the corpus, never of the
+cluster that happened to write it. `df.repartition(N)` + task order is
+the opposite of that (round-robin of an arbitrary scan order), and a
+global `orderBy().row_number()` puts the whole corpus through one
+sorted window task.
+
+`assign_shards` gives every row a (shard, pos) that is a pure function
+of (keys, seed), computed scale-safely:
+
+  * order key = sha256-prefix hash (operators/sampling.py hash_hex — the
+    engine's established cross-engine hash), so the "shuffle" is the
+    hash order: uniform, seed-switchable, reproducible on any engine;
+  * shard = hash mod n_shards (the 32-bit hex prefix parsed as int —
+    exact in both Spark `conv` and DuckDB `CAST('0x'||h)`);
+  * pos = rank of the row's hash within its shard, via the classic
+    DISTRIBUTED RANK decomposition instead of one window per shard
+    (partitionBy(shard) with small n_shards would sort each whole shard
+    in a single task): rows sub-bucket on the FIRST `sub_hex` hex chars
+    (a prefix — so sub-bucket order agrees with hash order and the
+    sub-bucket width cannot change the result), a COUNT-ONLY aggregate + tiny cumulative window over
+    n_shards·16^sub_hex count rows computes each sub-bucket's global
+    offset, and a row_number over (shard, sub) — 16^sub_hex parallel
+    tasks per shard — finishes within sub-buckets. Equal hashes land in
+    the same sub-bucket, so the tie-break (id_col) stays local.
+
+Output is the assignment relation (all input columns + shard + pos);
+writing = `.repartition("shard").sortWithinPartitions("pos")` + a
+partitioned sink, which this module leaves to the caller's format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.sampling import hash_hex
+
+
+def assign_shards(
+    df: DataFrame,
+    keys: list[str],
+    n_shards: int,
+    seed: int = 0,
+    sub_hex: int = 2,
+) -> DataFrame:
+    """All input columns + (shard, pos): shard in [0, n_shards), pos the
+    0-based rank of the row's hash within its shard (hash asc, then
+    `keys` asc for the collision tie-break).
+
+    Deterministic under any partitioning/retries/cluster size; two
+    shuffles (count aggregate + the (shard, sub) rank) regardless of
+    corpus size. 16^sub_hex sub-buckets per shard bound the largest
+    sorted task at rows/(n_shards·16^sub_hex) — raise sub_hex for
+    bigger corpora."""
+    if not 1 <= sub_hex <= 6:
+        raise ValueError("sub_hex must be in [1, 6]")
+    h = hash_hex(keys, seed)
+    # __sub is a PREFIX of the hash, so ordering by (__sub, __h) equals
+    # ordering by __h alone — (shard, pos) is therefore independent of
+    # sub_hex (pinned by test), which stays a pure parallelism knob.
+    base = df.withColumn("__h", h).withColumn(
+        "shard",
+        (F.conv(F.col("__h"), 16, 10).cast("long") % n_shards).cast("int"),
+    ).withColumn("__sub", F.substring(F.col("__h"), 1, sub_hex))
+    counts = base.groupBy("shard", "__sub").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.partitionBy("shard")
+                .orderBy("__sub")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("shard", "__sub", "__off")
+    w_in = Window.partitionBy("shard", "__sub").orderBy(
+        "__h", *[F.col(k) for k in keys]
+    )
+    ranked = (
+        base.join(offsets, ["shard", "__sub"])
+        .withColumn(
+            "pos",
+            (F.col("__off") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop("__h", "__sub", "__off")
+    )
+    return ranked
+
+
+def shard_stats(assigned: DataFrame) -> DataFrame:
+    """(shard, n_rows, min_pos, max_pos) — the audit aggregate: positions
+    must be exactly 0..n_rows-1 per shard (min_pos = 0 and max_pos =
+    n_rows - 1 certify the rank is gapless)."""
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+    )

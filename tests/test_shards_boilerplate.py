@@ -1,0 +1,105 @@
+"""Deterministic shard assignment (operators/shards.py) and boilerplate
+line removal (operators/dedup.py boilerplate_line_filter)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.dedup import boilerplate_line_filter
+from go_pipeline_spark.operators.shards import assign_shards, shard_stats
+
+
+def _h(seed: int, *keys) -> str:
+    raw = "\x1f".join([str(seed)] + [str(k) for k in keys])
+    return hashlib.sha256(raw.encode()).hexdigest()[:8]
+
+
+def test_shard_and_pos_match_python_reference(spark):
+    n, n_shards, seed = 200, 4, 7
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in assign_shards(df, ["doc_id"], n_shards, seed=seed).collect()
+    }
+    # python reference: same hash, same (sub, h, key) within-shard order
+    rows = []
+    for i in range(n):
+        h = _h(seed, i)
+        rows.append((int(h, 16) % n_shards, h, i))
+    expect = {}
+    for shard in range(n_shards):
+        members = sorted(r for r in rows if r[0] == shard)
+        for pos, r in enumerate(members):
+            expect[r[2]] = (shard, pos)
+    assert got == expect
+
+
+def test_positions_gapless_and_repartition_invariant(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = assign_shards(df, ["doc_id"], 8, seed=1)
+    stats = {r.shard: r for r in shard_stats(a).collect()}
+    assert sum(s.n_rows for s in stats.values()) == 1000
+    for s in stats.values():
+        assert s.min_pos == 0 and s.max_pos == s.n_rows - 1
+    b = assign_shards(df.repartition(13), ["doc_id"], 8, seed=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sub_hex_width_does_not_change_assignment(spark):
+    # the sub-bucket is an implementation detail of the distributed rank:
+    # (shard, pos) must be identical at any sub_hex width
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, assign_shards(df, ["doc_id"], 4, 3, sub_hex=1).collect()))
+    b = sorted(map(tuple, assign_shards(df, ["doc_id"], 4, 3, sub_hex=4).collect()))
+    assert a == b
+
+
+def test_boilerplate_removed_everywhere_unique_kept(spark):
+    rows = [
+        (d, f"header\nbody {d}\nfooter" if d % 2 == 0 else f"header\nonly {d}")
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_line_filter(df, min_docs=3).collect()
+    }
+    # 'header' in 10 docs, 'footer' in 5 -> both boilerplate at min_docs=3
+    assert out[0].text_clean == "body 0" and out[0].n_boiler_lines == 2
+    assert out[1].text_clean == "only 1" and out[1].n_boiler_lines == 1
+    assert out[0].n_lines_kept == 1
+
+
+def test_boilerplate_below_threshold_survives_all_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "dup\na"), (2, "dup\nb")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in boilerplate_line_filter(df, min_docs=3).collect()}
+    # 'dup' is in only 2 docs: kept in BOTH (unlike global_line_dedup)
+    assert out[1].text_clean == "dup\na"
+    assert out[2].text_clean == "dup\nb"
+
+
+def test_boilerplate_frac_variant_and_all_boiler_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "x\ny")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_line_filter(df, min_doc_frac=0.75).collect()
+    }
+    assert out[1].text_clean == "" and out[1].n_lines_kept == 0
+    assert out[4].text_clean == "y" and out[4].n_boiler_lines == 1
+
+
+def test_boilerplate_param_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for kwargs in ({}, {"min_docs": 2, "min_doc_frac": 0.5}):
+        try:
+            boilerplate_line_filter(df, **kwargs)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
