@@ -851,6 +851,44 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_line_filter(planted, min_docs=10)
 
 
+def q_prep_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 capstone composition — the corpus-build FINAL MILE, chained
+    as one plan: planted nav/footer frame -> CCNet boilerplate line
+    removal (drop-everywhere) -> ExactSubstr duplicated-span dedup over
+    the cleaned bodies -> deterministic shard layout -> per-shard audit
+    (docs, gapless max pos, kept/cut token totals, boiler lines cut).
+    Every stage is a pure function of the corpus; the oracle replays the
+    full chain and every output is an integer."""
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV home about section "),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nCommon footer cookies and terms"),
+        ).alias("text"),
+    )
+    bodies = boilerplate_line_filter(planted, min_docs=10)
+    sub = substrdedup.exact_substring_dedup(
+        bodies.select("doc_id", F.col("text_clean").alias("text")), k=8
+    )
+    sharded = shards.assign_shards(sub, ["doc_id"], n_shards=4, seed=13)
+    out = sharded.join(
+        bodies.select("doc_id", "n_boiler_lines"), "doc_id"
+    )
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.col("n_tokens") - F.col("dup_tokens")).alias(
+            "total_kept_tokens"
+        ),
+        F.sum("dup_tokens").alias("total_dup_tokens"),
+        F.sum("n_boiler_lines").alias("total_boiler_lines"),
+    )
+
+
 def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable linear quality classifier (operators/classifier.py),
     exercised end-to-end on a PLANTED weak-label corpus (the
@@ -1150,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": q_quality_classifier_scores,
         "shard_assignment": q_shard_assignment,
         "boilerplate_removal": q_boilerplate_removal,
+        "prep_pipeline_v4": q_prep_pipeline_v4,
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
         "familiarity_scores": q_familiarity_scores,
@@ -1916,6 +1955,103 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN r ON d.doc_id = r.doc_id
             LEFT JOIN tot ON d.doc_id = tot.doc_id
+        """,
+        # v4 capstone: boilerplate CTEs -> ExactSubstr CTEs over the
+        # cleaned bodies -> shard rank -> integer audit, one chain
+        "prep_pipeline_v4": """
+            WITH p AS (
+              SELECT doc_id,
+                     'NAV home about section ' || CAST(doc_id % 4 AS VARCHAR)
+                     || chr(10) || text
+                     || chr(10) || 'Common footer cookies and terms' AS text
+              FROM documents
+            ), x AS (
+              SELECT doc_id, i AS pos, lines[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+                    FROM p) t,
+                   unnest(generate_series(1, len(lines))) AS u(i)
+              WHERE len(lines[i]) > 0
+            ), f AS (
+              SELECT line, count(DISTINCT doc_id) AS df FROM x GROUP BY 1
+            ), keep AS (
+              SELECT x.doc_id, x.pos, x.line
+              FROM x JOIN f ON x.line = f.line WHERE f.df < 10
+            ), r AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM keep GROUP BY 1
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_lines FROM x GROUP BY 1
+            ), bodies AS (
+              SELECT d.doc_id,
+                     COALESCE(r.text_clean, '') AS text_clean,
+                     CAST(COALESCE(tot.n_lines, 0) - COALESCE(r.n_kept, 0)
+                          AS BIGINT) AS n_boiler
+              FROM documents d
+              LEFT JOIN r ON d.doc_id = r.doc_id
+              LEFT JOIN tot ON d.doc_id = tot.doc_id
+            ), t2 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text_clean, '\\s+'),
+                                 z -> len(z) > 0) AS toks
+              FROM bodies
+            ), g2 AS (
+              SELECT doc_id, i AS start,
+                     array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+              FROM t2, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+              WHERE len(toks) >= 8
+            ), red2 AS (
+              SELECT doc_id, start FROM (
+                SELECT doc_id, start,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, start) AS rn
+                FROM g2
+              ) WHERE rn >= 2
+            ), isl2 AS (
+              SELECT doc_id, start,
+                     sum(CASE WHEN prev IS NOT NULL AND start > prev + 8
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY start) AS island
+              FROM (SELECT doc_id, start,
+                           lag(start) OVER (PARTITION BY doc_id
+                                            ORDER BY start) AS prev
+                    FROM red2)
+            ), spans2 AS (
+              SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+              FROM isl2 GROUP BY doc_id, island
+            ), stats2 AS (
+              SELECT doc_id,
+                     CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+              FROM spans2 GROUP BY 1
+            ), sub AS (
+              SELECT t2.doc_id,
+                     CAST(len(t2.toks) AS BIGINT) AS n_tokens,
+                     COALESCE(s2.dup_tokens, 0) AS dup_tokens
+              FROM t2 LEFT JOIN stats2 s2 ON t2.doc_id = s2.doc_id
+            ), sh AS (
+              SELECT doc_id,
+                     substring(sha256(concat_ws(chr(31), '13',
+                         CAST(doc_id AS VARCHAR))), 1, 8) AS h
+              FROM bodies
+            ), assigned AS (
+              SELECT sub.doc_id, sub.n_tokens, sub.dup_tokens,
+                     CAST(CAST(('0x' || sh.h) AS BIGINT) % 4
+                          AS INTEGER) AS shard,
+                     CAST(row_number() OVER (
+                            PARTITION BY CAST(('0x' || sh.h) AS BIGINT) % 4
+                            ORDER BY sh.h, sub.doc_id) - 1 AS BIGINT) AS pos
+              FROM sub JOIN sh ON sub.doc_id = sh.doc_id
+            )
+            SELECT a.shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   max(a.pos) AS max_pos,
+                   CAST(sum(a.n_tokens - a.dup_tokens) AS BIGINT)
+                     AS total_kept_tokens,
+                   CAST(sum(a.dup_tokens) AS BIGINT) AS total_dup_tokens,
+                   CAST(sum(b.n_boiler) AS BIGINT) AS total_boiler_lines
+            FROM assigned a JOIN bodies b ON a.doc_id = b.doc_id
+            GROUP BY 1
         """,
         # integer-exact linear classifier: identical planting, identical
         # cross-multiplied centroid-difference weights, identical

@@ -181,6 +181,7 @@ def bench_queries(spark, sf_dir: str):
         "quality_classifier_scores": q("quality_classifier_scores"),  # NEW r5
         "shard_assignment": q("shard_assignment"),  # NEW r5
         "boilerplate_removal": q("boilerplate_removal"),  # NEW r5
+        "prep_pipeline_v4": q("prep_pipeline_v4"),  # NEW r5 (final-mile chain)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,
