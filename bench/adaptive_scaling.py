@@ -1,0 +1,154 @@
+"""Window-adaptive N-vs-4N scaling evidence (successor to interleaved_scaling).
+
+Why: BENCH/BASELINE.md's round-5 record shows this VM's fast windows
+(hardware probe 30-36k docs/s at 8 procs) last ~10 minutes — shorter than
+one 1.2M-doc round (~15 min) but longer than a 600k round (~7 min). Fixed
+N-round studies therefore mostly produce window-crossing rounds that must
+be discarded. This harness inverts the design: it PROBES FIRST and only
+spends a round when the window can plausibly hold it —
+
+  * stable fast window  (two probes >= FAST_MIN, drift <= PRE_DRIFT)
+      -> attempt one 1.2M round (the STATUS open-item target);
+  * stable mid window   (two probes >= MID_MIN, drift <= PRE_DRIFT)
+      -> run one 600k round (fits the window; C-amortization from
+         BENCH/BASELINE.md carries the extrapolation to larger inputs);
+  * anything else -> sleep and re-probe.
+
+Each round is bracketed by THREE probes (before / between levels / after)
+so a shift during either level is attributable, not just detectable: the
+prior protocol's two-probe bracket could not tell "t2 ran slow" from
+"t8 ran fast". A round is same-window iff all three probes agree within
+ROUND_DRIFT.
+
+Runs until --deadline-min or until one fast-window 1.2M round plus
+--min-mid-rounds same-window 600k rounds are banked. Every attempt is
+appended to the JSONL log as it completes (crash-safe record).
+
+Usage: python bench/adaptive_scaling.py [--deadline-min 150]
+         [--log /tmp/adaptive_scaling.jsonl]
+Machine must be EXCLUSIVE (BENCH/BASELINE.md protocol finding #1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "bench"))
+
+from interleaved_scaling import hw_probe  # noqa: E402
+from scaling import run_once  # noqa: E402
+
+FAST_MIN = 29_000.0  # docs/s: the r3/r4 quiet-window class
+MID_MIN = 21_000.0  # the "degraded but steady" class (C0 in the record)
+PRE_DRIFT = 0.08  # two pre-probes must agree this tightly to commit
+ROUND_DRIFT = 0.15  # all three bracket probes must agree this tightly
+BIG_ROWS = 1_200_000
+MID_ROWS = 600_000
+
+
+def stable_probe() -> tuple[float, float]:
+    p1 = hw_probe()
+    time.sleep(8)
+    p2 = hw_probe()
+    drift = abs(p2 - p1) / max(p1, 1.0)
+    return min(p1, p2), drift
+
+
+def one_round(rows: int, tag: str) -> dict:
+    probe_before = hw_probe()
+    t8 = run_once(8, rows)
+    probe_mid = hw_probe()
+    t2 = run_once(2, rows)
+    probe_after = hw_probe()
+    probes = (probe_before, probe_mid, probe_after)
+    drift = (max(probes) - min(probes)) / max(probes[0], 1.0)
+    return {
+        "tag": tag,
+        "rows": rows,
+        "t2": round(t2, 2),
+        "t8": round(t8, 2),
+        "eff_2_to_8": round((t2 / t8) / 4, 3),
+        "probes": [round(p, 0) for p in probes],
+        "probe_drift": round(drift, 3),
+        "same_window": drift <= ROUND_DRIFT,
+        "window_class": (
+            "fast" if min(probes) >= FAST_MIN
+            else "mid" if min(probes) >= MID_MIN
+            else "slow"
+        ),
+        "serial_component_s": round(t8 - t2 / 4, 2),
+        "at": time.strftime("%H:%M:%S"),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deadline-min", type=float, default=150.0)
+    ap.add_argument("--min-mid-rounds", type=int, default=2)
+    ap.add_argument("--log", default="/tmp/adaptive_scaling.jsonl")
+    args = ap.parse_args()
+
+    deadline = time.time() + args.deadline_min * 60
+    rounds: list[dict] = []
+    big_banked = 0
+    mid_banked = 0
+    log = open(args.log, "a", buffering=1)
+
+    def emit(obj: dict) -> None:
+        line = json.dumps(obj)
+        print(line, file=sys.stderr)
+        log.write(line + "\n")
+
+    while time.time() < deadline:
+        floor, drift = stable_probe()
+        emit({"probe_floor": floor, "pre_drift": round(drift, 3),
+              "at": time.strftime("%H:%M:%S")})
+        if drift > PRE_DRIFT:
+            time.sleep(40)
+            continue
+        if floor >= FAST_MIN and big_banked == 0:
+            row = one_round(BIG_ROWS, "fast-window-1.2M")
+        elif floor >= MID_MIN:
+            # keep banking mid rounds even past the minimum while waiting
+            # for a fast window: more same-window points, tighter record
+            row = one_round(MID_ROWS, "mid-window-600k")
+        else:
+            time.sleep(40)
+            continue
+        rounds.append(row)
+        emit(row)
+        if row["same_window"]:
+            if row["rows"] == BIG_ROWS and row["window_class"] == "fast":
+                big_banked += 1
+            elif row["rows"] == MID_ROWS:
+                mid_banked += 1
+        if big_banked >= 1 and mid_banked >= args.min_mid_rounds:
+            break
+
+    clean = [r for r in rounds if r["same_window"]]
+    summary = {
+        "rounds": rounds,
+        "same_window_rounds": clean,
+        "best_big": max(
+            (r for r in clean if r["rows"] == BIG_ROWS),
+            key=lambda r: r["eff_2_to_8"],
+            default=None,
+        ),
+        "best_mid": max(
+            (r for r in clean if r["rows"] == MID_ROWS),
+            key=lambda r: r["eff_2_to_8"],
+            default=None,
+        ),
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
