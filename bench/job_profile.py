@@ -101,6 +101,13 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--rows", type=int, default=600_000)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument(
+        "--dump",
+        default=None,
+        help="also write the raw per-job records (name, duration, task "
+        "counts) of the LAST repeat to this JSON path — the input for "
+        "cross-size / cross-parallelism serial-component attribution",
+    )
     args = ap.parse_args()
 
     from go_pipeline_spark.config import PipelineConfig
@@ -156,6 +163,25 @@ def main() -> None:
                 "n_clusters": n_clusters,
             }
         )
+        if args.dump:
+            detail = [
+                {
+                    "jobId": j["jobId"],
+                    "name": j.get("name", "")[:160],
+                    "dur_s": round(
+                        _ts(j["completionTime"]) - _ts(j["submissionTime"]), 3
+                    ),
+                    "submitted": j["submissionTime"],
+                    "numTasks": j.get("numTasks"),
+                    "stageIds": j.get("stageIds", []),
+                }
+                for j in jobs
+                if "completionTime" in j
+            ]
+            with open(args.dump, "w") as f:
+                json.dump(
+                    {"cpus": args.cpus, "rows": args.rows, "jobs": detail}, f
+                )
     print(
         json.dumps(
             {
