@@ -1,0 +1,114 @@
+"""Platform scaling ceilings for this sandbox: what 2→8-core efficiency
+is even REACHABLE for each class of work, measured on workloads that
+contain zero engine code.
+
+Three kernels, each in a fresh JVM per (kernel, cores) point, interleaved
+8/2/8 so window drift is visible in the two t8 samples:
+
+  * maponly — spark.range → modulo arithmetic → noop write. Pure JVM
+    whole-stage codegen, no exchange, no Python. The ceiling for ANY
+    JVM-side Spark work on this VM.
+  * shuffle — same generator + groupBy(1M keys).agg(sum, count). Adds one
+    full exchange to maponly; the delta isolates shuffle cost scaling.
+  * numpy   — the signature-kernel hardware probe from bench/scaling.py
+    (multiprocessing, no Spark) — the ceiling for vectorized Python work.
+
+Motivation (round 5): per-job attribution showed the pipeline's
+non-scaling component C is ~75% in-job busy inflation, not driver dead
+time, and GC is refuted (0.5 s at both levels). This script decides
+whether that inflation is engine design or the platform: if a trivial
+workload shows the same inflation, the engine is exonerated.
+
+Usage: python bench/platform_ceiling.py [--rows 1600000000]
+Machine exclusive; results → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+cpus = {cpus}; mode = {mode!r}; n = {rows}
+from go_pipeline_spark.session import get_spark
+spark = get_spark(cores=cpus, app_name=f"ceiling-{{cpus}}-{{mode}}")
+from pyspark.sql import functions as F
+spark.range(0, 1000).groupBy((F.col("id") % 7).alias("k")).agg(
+    F.sum("id")).collect()  # warm codegen + scheduler
+t0 = time.perf_counter()
+df = spark.range(0, n, 1, cpus * 4).select(
+    (F.col("id") % 1_000_000).alias("k"),
+    (F.col("id") * 31 % 997).alias("v"),
+)
+if mode == "shuffle":
+    out = df.groupBy("k").agg(F.sum("v").alias("s"),
+                              F.count(F.lit(1)).alias("c"))
+else:
+    out = df.select((F.col("k") * 13 % 999983).alias("a"),
+                    (F.col("v") * 17 % 999979).alias("b"))
+out.write.format("noop").mode("overwrite").save()
+print(json.dumps({{"wall": round(time.perf_counter() - t0, 2)}}))
+spark.stop()
+"""
+
+
+def spark_point(cpus: int, mode: str, rows: int) -> float:
+    code = _CHILD.format(repo=str(REPO), cpus=cpus, mode=mode, rows=rows)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800,
+    )
+    last = out.stdout.strip().splitlines()[-1]
+    return json.loads(last)["wall"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_600_000_000)
+    args = ap.parse_args()
+
+    sys.path.insert(0, str(REPO / "bench"))
+    from interleaved_scaling import hw_probe
+
+    results = {}
+    for mode in ("maponly", "shuffle"):
+        t8a = spark_point(8, mode, args.rows)
+        t2 = spark_point(2, mode, args.rows)
+        t8b = spark_point(8, mode, args.rows)
+        t8 = (t8a + t8b) / 2
+        results[mode] = {
+            "t8_pair": [t8a, t8b],
+            "t2": t2,
+            "eff_2_to_8": round(t2 / (4 * t8), 3),
+            "t8_drift": round(abs(t8b - t8a) / t8a, 3),
+        }
+    # numpy ceiling via the established hardware probe (8 vs 2 procs)
+    import multiprocessing as mp
+
+    from scaling import _hw_kernel
+
+    def probe(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            return sum(p.map(_hw_kernel, [(i,) for i in range(procs)]))
+
+    n8a, n2, n8b = probe(8), probe(2), probe(8)
+    results["numpy"] = {
+        "rate8_pair": [round(n8a), round(n8b)],
+        "rate2": round(n2),
+        "eff_2_to_8": round(((n8a + n8b) / 2) / (4 * n2), 3),
+    }
+    results["hw_probe_floor"] = round(min(n8a, n8b))
+    results["measured_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
