@@ -73,6 +73,20 @@ def _jobs(spark) -> list[dict]:
         return json.load(r)
 
 
+def _gc_ms(spark) -> tuple[int, int]:
+    """(totalGCTime ms, totalDuration ms) summed over executors — in local
+    mode there is exactly one ('driver')."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/executors"
+    with urllib.request.urlopen(url) as r:
+        ex = json.load(r)
+    return (
+        sum(e.get("totalGCTime", 0) for e in ex),
+        sum(e.get("totalDuration", 0) for e in ex),
+    )
+
+
 def _interval_union_s(iv: list[tuple[float, float]]) -> float:
     if not iv:
         return 0.0
@@ -138,10 +152,12 @@ def main() -> None:
     out_reps = []
     for _ in range(args.repeats):
         j0 = {j["jobId"] for j in _jobs(spark)}
+        gc0, task0 = _gc_ms(spark)
         t0 = time.perf_counter()
         res = DedupPipeline(cfg, mode="lean").run(spark, docs)
         n_clusters = res.clusters.count()
         wall = time.perf_counter() - t0
+        gc1, task1 = _gc_ms(spark)
         res.unpersist()
         jobs = [j for j in _jobs(spark) if j["jobId"] not in j0]
         iv = [
@@ -160,6 +176,8 @@ def main() -> None:
                 "dead_s": round(wall - busy, 2),
                 "sum_job_s": round(sum(durs), 2),
                 "top_job_s": [round(d, 2) for d in durs[:8]],
+                "gc_s": round((gc1 - gc0) / 1000, 2),
+                "task_time_s": round((task1 - task0) / 1000, 2),
                 "n_clusters": n_clusters,
             }
         )
