@@ -53,6 +53,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
 )
 from go_pipeline_spark.operators import verify as verify_ops  # noqa: E402
 from go_pipeline_spark.operators import (  # noqa: E402
+    bpe,
     chunking,
     classifier,
     crossdedup,
@@ -934,6 +935,122 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substrdedup.exact_substring_dedup(_docs(spark, sf_dir), k=8)
 
 
+_BPE_ROUNDS = 6
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py, Sennrich et
+    al. 2016) on the natural corpus: the PRODUCTION iterative path —
+    corpus -> one word-count shuffle, then 6 merge rounds over the tiny
+    vocab table (pair aggregate + driver top-1 + JVM greedy-merge fold).
+    Every decision is an integer count or an exact binary string compare
+    (ties order by (count DESC, left ASC, right ASC)), so the oracle
+    RE-TRAINS the same merges in pure SQL: symbol sequences are spelled
+    ' a  b  c ' (single-space boundaries, double-space separators), which
+    makes replace(' X  Y ', ' XY ') exactly the greedy leftmost
+    non-overlapping merge — no substring or overlap hazard for any
+    symbols (a pattern match requires complete, space-bounded symbols,
+    and each replacement preserves the spelling invariant)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe.train_bpe(d, _BPE_ROUNDS)
+
+
+def q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode with the merges trained in the same plan (train ->
+    apply round-trip): per-doc subword count, distinct-symbol count and
+    first symbol after applying the 6 learned merges. Encoding runs once
+    per DISTINCT word and joins back to positions, so the oracle can
+    replay it from the final vocab state of its own SQL training chain."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe.train_bpe(d, _BPE_ROUNDS)
+    enc = bpe.apply_bpe(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_tokens"))
+        .cast("long")
+        .alias("n_distinct_syms"),
+        F.element_at("bpe_tokens", 1).alias("first_sym"),
+    )
+
+
+def _bpe_oracle_ctes(k: int) -> str:
+    """WITH-clause body training k BPE rounds in DuckDB: w0 (word
+    counts), v0 (boundary-spelled symbol strings), then per round r the
+    pair counts p{r} (split on the double-space separator + adjacent
+    zip), the argmax m{r}, and the merged vocab v{r} via the
+    invariant-preserving replace."""
+    ctes = [
+        """w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_full_match(w, '[a-z]+')
+  GROUP BY w
+), v0 AS (
+  SELECT w,
+         ' ' || array_to_string(
+           list_append(regexp_extract_all(w, '.'), '</w>'), '  ') || ' '
+           AS s,
+         n
+  FROM w0
+)"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT l[i] AS lft, l[i + 1] AS rgt, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s), '  ') AS l, n FROM v{r - 1}),
+       unnest(generate_series(1, len(l) - 1)) AS u(i)
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1
+), v{r} AS (
+  SELECT w,
+         replace(s,
+                 (SELECT ' ' || lft || '  ' || rgt || ' ' FROM m{r}),
+                 (SELECT ' ' || lft || rgt || ' ' FROM m{r})) AS s,
+         n
+  FROM v{r - 1}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _bpe_train_oracle(k: int) -> str:
+    union = "\nUNION ALL ".join(
+        f'SELECT {r} AS round, lft AS "left", rgt AS "right",'
+        f" cnt AS pair_count FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return f"WITH {_bpe_oracle_ctes(k)}\nSELECT * FROM ({union})"
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    return f"""WITH {_bpe_oracle_ctes(k)},
+docsw AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE regexp_full_match(ws[i], '[a-z]+')
+), enc AS (
+  SELECT w, string_split(trim(s), '  ') AS syms FROM v{k}
+), perword AS (
+  SELECT doc_id, i, syms FROM docsw JOIN enc USING (w)
+), firsts AS (
+  SELECT doc_id, arg_min(syms[1], i) AS first_sym
+  FROM perword GROUP BY 1
+), flat AS (
+  SELECT doc_id, unnest(syms) AS sym FROM perword
+), stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+         CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct_syms
+  FROM flat GROUP BY 1
+)
+SELECT doc_id, n_bpe_tokens, n_distinct_syms, first_sym
+FROM stats JOIN firsts USING (doc_id)"""
+
+
 def q_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 end-to-end composition over the NEW LLM data-prep operator
     set, chained the way a corpus build would run them: Gopher repetition
@@ -1185,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_counts": q_domain_mixture_counts,
         "global_line_dedup": q_global_line_dedup,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "bpe_train_merges": q_bpe_train_merges,
+        "bpe_encoded_stats": q_bpe_encoded_stats,
         "quality_classifier_scores": q_quality_classifier_scores,
         "shard_assignment": q_shard_assignment,
         "boilerplate_removal": q_boilerplate_removal,
@@ -2747,4 +2866,10 @@ def oracle_sql() -> dict[str, str]:
                    min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut
             FROM lens, cuts GROUP BY lang
         """,
+        # BPE trained IN SQL: the argmax of each round feeds replace()
+        # via scalar subqueries, so the oracle derives the merge table
+        # from the data rather than hard-coding expectations (see
+        # q_bpe_train_merges for the boundary-spelling argument).
+        "bpe_train_merges": _bpe_train_oracle(_BPE_ROUNDS),
+        "bpe_encoded_stats": _bpe_encode_oracle(_BPE_ROUNDS),
     }

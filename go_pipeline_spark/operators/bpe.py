@@ -1,0 +1,259 @@
+"""Distributed BPE tokenizer training and encoding (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer-construction stage of an LLM data
+pipeline, run as a Spark-native iterative algorithm.
+
+Reference parity: the reference pipeline (pipeline_impl.go:1) has no
+tokenizer stage; this extends the LLM data-prep operator family
+(SURVEY.md §2g) with the one canonical corpus-derived artifact still
+missing: a trained subword vocabulary.
+
+Scale shape (the Sennrich vocab factorization IS the scale move):
+the corpus is touched exactly ONCE — a whitespace tokenize + one hash
+aggregate to the distinct-word count table. Zipf puts |vocab| in the
+millions where the corpus holds trillions of tokens, so every one of the
+k merge rounds then runs over the tiny vocab table: one pair-count
+aggregate (map-side combine collapses hot words), one driver top-1
+(plans as TakeOrderedAndProject — the ivf centroid-sample pattern), and
+one JVM-side greedy merge fold. No round re-reads the corpus; no Python
+touches a row.
+
+Iteration discipline (the Lloyd-trainer pattern, similarity.py):
+each round appends one `aggregate()` higher-order expression to the
+symbols column; `localCheckpoint(eager=True)` every `checkpoint_every`
+rounds truncates both the lineage and the nested-expression tree, so
+k=10_000 merges do not build a 10_000-deep plan.
+
+Numerics/determinism discipline (the repo rule): every decision is an
+integer count or an exact string comparison — pair selection orders by
+(count DESC, left ASC, right ASC), so training is reproducible on any
+engine and any partitioning, and the driver oracle re-trains the same
+merges in pure SQL (see __spark_entry__.q_bpe_train_merges: symbol
+sequences spelled ' a  b  c ' make SQL replace() exactly the greedy
+leftmost non-overlapping merge).
+
+Greedy-merge semantics pinned by tests/test_bpe.py against a literal
+Python transcription of the published algorithm: one round merges all
+non-overlapping occurrences of the chosen pair, leftmost first; a token
+created by a merge is never the LEFT side of another merge in the same
+round (it cannot be — it is strictly longer than the round's left
+symbol).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+END_TOKEN = "</w>"
+WORD_PATTERN = "^[a-z]+$"
+
+MERGE_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", pattern: str = WORD_PATTERN
+) -> DataFrame:
+    """-> (word, n): whitespace tokens matching `pattern`, counted over
+    the whole corpus. The single corpus-sized stage of BPE training."""
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.col("word").rlike(pattern))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(word_col: str = "word"):
+    """word -> array of code-point symbols + END_TOKEN."""
+    chars = F.filter(
+        F.split(F.col(word_col), ""), lambda c: c != F.lit("")
+    )
+    return F.concat(chars, F.array(F.lit(END_TOKEN)))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(syms, n) -> (left, right, cnt): adjacent-pair counts weighted by
+    word count. Overlapping occurrences all count (Sennrich get_stats)."""
+    n1 = F.size("syms") - F.lit(1)
+    pairs = F.zip_with(
+        F.slice("syms", 1, n1),
+        F.slice("syms", 2, n1),
+        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "n")
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _merge_fold(col, left: str, right: str):
+    """Greedy leftmost non-overlapping merge of (left, right) in a symbol
+    array, as one JVM `aggregate` fold: the accumulator carries the
+    emitted prefix plus the single pending symbol; merging replaces the
+    pending `left` with `left+right`, which (being longer than `left`)
+    can never immediately re-merge — exactly the two-pointer semantics of
+    the published algorithm."""
+    merged = left + right
+    init = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, t):
+        return (
+            F.when(
+                acc["prev"].isNull(),
+                F.struct(acc["out"].alias("out"), t.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == F.lit(left)) & (t == F.lit(right)),
+                F.struct(
+                    acc["out"].alias("out"), F.lit(merged).alias("prev")
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias(
+                        "out"
+                    ),
+                    t.alias("prev"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(col, init, step, finish)
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    pattern: str = WORD_PATTERN,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn up to `n_merges` BPE merges from the corpus.
+
+    -> DataFrame(round int, left, right, pair_count) ordered by round;
+    built from the k driver-collected top-1 rows (k tiny by definition),
+    so downstream joins can broadcast it. Stops early when no pair
+    remains (fully merged vocab)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    vocab = word_counts(docs, text_col=text_col, pattern=pattern).select(
+        _initial_symbols().alias("syms"), "n"
+    )
+    # The corpus-sized aggregate materializes once; every round below
+    # reads this table, never the corpus.
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        merges.append((r, left, right, int(cnt)))
+        vocab = vocab.select(
+            _merge_fold(F.col("syms"), left, right).alias("syms"), "n"
+        )
+        if r % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply an ordered merge list to distinct words.
+
+    -> input + `bpe_syms` array<string>. Vocab-sized: callers encode the
+    DISTINCT word table and join back (apply_bpe does exactly that)."""
+    out = words.withColumn("bpe_syms", _initial_symbols(word_col))
+    for i, (left, right) in enumerate(merges, start=1):
+        out = out.withColumn(
+            "bpe_syms", _merge_fold(F.col("bpe_syms"), left, right)
+        )
+        if i % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def _merge_list(merges) -> list[tuple[str, str]]:
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("round").collect()
+        return [(row["left"], row["right"]) for row in rows]
+    return [(left, right) for left, right in merges]
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Encode documents with a trained merge table (DataFrame or ordered
+    [(left, right), ...]).
+
+    -> (id_col, bpe_tokens array<string>, n_bpe_tokens). Tokens not
+    matching `pattern` are dropped — the same filter training applied,
+    so encode sees exactly the trained symbol universe. Encoding runs
+    once per DISTINCT word, then joins back to positions and reassembles
+    in order (the global_line_dedup reconstruction pattern)."""
+    mlist = _merge_list(merges)
+    positions = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).where(F.col("word").rlike(pattern))
+    encoded = encode_words(
+        positions.select("word").distinct(), mlist
+    )
+    return (
+        positions.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "bpe_syms"))
+                    ),
+                    lambda s: s["bpe_syms"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .select(
+            id_col,
+            "bpe_tokens",
+            F.size("bpe_tokens").alias("n_bpe_tokens"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""BPE trainer/encoder (operators/bpe.py) vs a literal Python
+transcription of the published algorithm (Sennrich et al. 2016,
+arXiv:1508.07909, Algorithm 1): pair counts over a weighted word vocab,
+best pair by (count DESC, pair ASC), greedy leftmost non-overlapping
+merge — the Spark merge table and encodings must match symbol-for-symbol."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from go_pipeline_spark.operators import bpe
+
+
+# ---------------------------------------------------------------- reference
+
+
+def _py_merge(syms: tuple[str, ...], left: str, right: str):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_train(word_counts: dict[str, int], k: int):
+    vocab = {
+        tuple(list(w) + [bpe.END_TOKEN]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for r in range(1, k + 1):
+        stats: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((r, left, right, cnt))
+        vocab = {
+            _py_merge(s, left, right): c for s, c in vocab.items()
+        }
+    return merges, vocab
+
+
+def _py_encode(word: str, merges):
+    syms = tuple(list(word) + [bpe.END_TOKEN])
+    for left, right in merges:
+        syms = _py_merge(syms, left, right)
+    return list(syms)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _random_texts(seed: int, n_docs: int = 40):
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+        for _ in range(25)
+    ]
+    return [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 30)))
+        for _ in range(n_docs)
+    ]
+
+
+def _word_counts(texts) -> dict[str, int]:
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w and all("a" <= ch <= "z" for ch in w):
+                c[w] += 1
+    return dict(c)
+
+
+# ------------------------------------------------------------------- tests
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_train_matches_python_reference(spark, seed):
+    texts = _random_texts(seed)
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.train_bpe(_docs_df(spark, texts), 10)
+        .orderBy("round")
+        .collect()
+    ]
+    want, _ = _py_train(_word_counts(texts), 10)
+    assert got == want
+
+
+def test_apply_matches_python_reference(spark):
+    texts = _random_texts(11)
+    docs = _docs_df(spark, texts)
+    merges_df = bpe.train_bpe(docs, 8)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("round").collect()]
+    got = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+        for r in bpe.apply_bpe(docs, merges_df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [s for w in t.split(" ") if w for s in _py_encode(w, merges)]
+        assert got[i][0] == want, f"doc {i}"
+        assert got[i][1] == len(want)
+
+
+def test_tie_break_is_count_desc_then_pair_asc(spark):
+    # All four pairs tie at count 2: (a,b),(b,</w>),(b,a),(a,</w>).
+    # Binary string order picks ("a","</w>") — '<' (0x3C) sorts before
+    # any lowercase letter, identically on the JVM and in DuckDB.
+    docs = _docs_df(spark, ["ab ba", "ba ab"])
+    row = bpe.train_bpe(docs, 1).collect()[0]
+    assert (row["left"], row["right"]) == ("a", "</w>")
+    assert row["pair_count"] == 2
+    want, _ = _py_train({"ab": 2, "ba": 2}, 1)
+    assert (want[0][1], want[0][2]) == ("a", "</w>")
+
+
+def test_greedy_merge_is_leftmost_nonoverlapping(spark):
+    # 'aaaa' + merge (a,a) -> [aa, aa, </w>]; 'aaa' -> [aa, a, </w>]:
+    # the merged token never re-merges as LEFT within the same round.
+    docs = _docs_df(spark, ["aaaa aaa"])
+    out = bpe.apply_bpe(docs, [("a", "a")]).collect()[0]
+    assert out["bpe_tokens"] == ["aa", "aa", "</w>", "aa", "a", "</w>"]
+
+
+def test_chained_merges_build_longer_symbols(spark):
+    # 'ababab': r1 (a,b) x3 -> [ab ab ab </w>]; r2 (ab,ab) x2 beats
+    # (ab,</w>) x1 -> [abab ab </w>] (greedy-left pairs the FIRST two).
+    docs = _docs_df(spark, ["ababab ababab"])
+    merges_df = bpe.train_bpe(docs, 3)
+    rows = merges_df.orderBy("round").collect()
+    assert [(r["left"], r["right"]) for r in rows[:2]] == [
+        ("a", "b"),
+        ("ab", "ab"),
+    ]
+    enc = bpe.apply_bpe(docs, merges_df).collect()[0]["bpe_tokens"]
+    want = [
+        s
+        for w in "ababab ababab".split(" ")
+        for s in _py_encode(
+            w, [(r["left"], r["right"]) for r in rows]
+        )
+    ]
+    assert enc == want
+
+
+def test_early_stop_when_fully_merged(spark):
+    # One distinct word 'ab': 3 pairs exist ((a,b),(ab,</w>) after r1,
+    # then nothing) -> training stops early and returns < n_merges rows.
+    docs = _docs_df(spark, ["ab ab"])
+    merges = bpe.train_bpe(docs, 10).collect()
+    assert len(merges) == 2
+    assert merges[-1]["left"] == "ab"
+    assert merges[-1]["right"] == "</w>"
+
+
+def test_merge_fold_is_jvm_only(spark):
+    # The per-round merge is a pure expression: no Python eval anywhere
+    # in the encoded-vocab plan (the hot path at vocab scale).
+    words = spark.createDataFrame([("abab",), ("ba",)], ["word"])
+    out = bpe.encode_words(words, [("a", "b"), ("ab", "ab")])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pattern_filter_drops_nonmatching_tokens(spark):
+    docs = _docs_df(spark, ["ab AB7 x9 ab"])
+    counts = {
+        r["word"]: r["n"] for r in bpe.word_counts(docs).collect()
+    }
+    assert counts == {"ab": 2}
+    enc = bpe.apply_bpe(docs, [("a", "b")]).collect()[0]
+    assert enc["bpe_tokens"] == ["ab", "</w>", "ab", "</w>"]
