@@ -1123,6 +1123,35 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return familiarity.familiarity_scores(d, model)
 
 
+def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split, composed from existing
+    operators in ONE plan: the familiarity signal as an EXACT INTEGER
+    (familiarity.integer_quality_scores — a float percentile cutoff is
+    one ULP from flipping a boundary doc; an integer never is), corpus-
+    relative p33/p67 cutoffs via the outliers histogram trick
+    (single-partition window over |distinct scores|, not |docs|), then
+    a scan-side bucket CASE against the broadcast one-row cutoffs.
+    head = most corpus-typical (lowest CCNet perplexity = highest
+    familiarity). Every decision integer -> bit-stable on any engine."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = familiarity.bigram_model(d)
+    scores = familiarity.integer_quality_scores(d, model)
+    cuts = outliers.length_percentile_cutoffs(
+        scores, lower_pct=33, upper_pct=67, length=F.col("score")
+    )
+    bucketed = scores.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(F.col("score") >= F.col("hi_cut"), F.lit("head"))
+        .when(F.col("score") >= F.col("lo_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
 def q_length_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-driven trimming (operators/outliers.py): corpus-relative
     1%/99% DISCRETE order-statistic cutoffs computed in-plan with integer
@@ -1311,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
         "familiarity_scores": q_familiarity_scores,
+        "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
         "range_join_first_hour": q_range_join_first_hour,
         "tfidf_keywords": q_tfidf_keywords,
@@ -2865,6 +2895,49 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 END) AS BIGINT) AS n_kept,
                    min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut
             FROM lens, cuts GROUP BY lang
+        """,
+        "ccnet_quality_buckets": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), pos AS (
+              SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM toks WHERE len(ts) >= 2
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ts, i, i + 1), ' ') AS gram
+              FROM pos
+            ), model AS (
+              SELECT gram, count(*) AS n FROM grams GROUP BY 1
+            ), sc AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     sum(COALESCE(m.n, 0)) AS total
+              FROM grams g LEFT JOIN model m USING (gram)
+              GROUP BY 1
+            ), scores AS (
+              SELECT d.doc_id,
+                     CAST(CASE WHEN COALESCE(sc.n_grams, 0) > 0
+                          THEN (10000 * sc.total) // sc.n_grams
+                          ELSE 0 END AS BIGINT) AS score
+              FROM documents d LEFT JOIN sc USING (doc_id)
+            ), nn AS (SELECT count(*) AS n FROM scores
+            ), hist AS (SELECT score, count(*) AS c FROM scores GROUP BY 1
+            ), cum AS (
+              SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM hist
+            ), cuts AS (
+              SELECT
+                min(CASE WHEN cum >= (nn.n * 33 + 99) // 100
+                    THEN score END) AS lo_cut,
+                min(CASE WHEN cum >= (nn.n * 67 + 99) // 100
+                    THEN score END) AS hi_cut
+              FROM cum, nn
+            )
+            SELECT CASE WHEN score >= hi_cut THEN 'head'
+                        WHEN score >= lo_cut THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(score) AS BIGINT) AS min_score,
+                   CAST(max(score) AS BIGINT) AS max_score
+            FROM scores, cuts GROUP BY 1
         """,
         # BPE trained IN SQL: the argmax of each round feeds replace()
         # via scalar subqueries, so the oracle derives the merge table

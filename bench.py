@@ -184,6 +184,7 @@ def bench_queries(spark, sf_dir: str):
         "prep_pipeline_v4": q("prep_pipeline_v4"),  # NEW r5 (final-mile chain)
         "bpe_train_merges": q("bpe_train_merges"),  # NEW r5 (iterative trainer)
         "bpe_encoded_stats": q("bpe_encoded_stats"),  # NEW r5 (train+encode)
+        "ccnet_quality_buckets": q("ccnet_quality_buckets"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -86,3 +86,55 @@ def familiarity_scores(
             6,
         ).alias("familiarity"),
     )
+
+
+INT_SCORE_SCALE = 10_000
+
+
+def integer_quality_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """(id_col, n_grams, total, score) — the familiarity signal as an
+    EXACT INTEGER, for stages that need to rank or bucket on it (the
+    float form is bit-stable per doc but a percentile cutoff selected on
+    doubles is one ULP away from flipping a boundary doc; an integer
+    never is):
+
+        score = (INT_SCORE_SCALE * total) div n_grams   (0 if no grams)
+
+    Integer division is order-independent and engine-exact, and the
+    quantization (1e-4 of a count) is far below any bucketing decision's
+    meaningful resolution. int64 headroom: needs INT_SCORE_SCALE * total
+    < 2^63, i.e. per-doc total corpus-count mass < 9.2e14 — beyond that,
+    pre-scale the model counts (same note as classifier.py weights).
+    """
+    grams = token_ngrams(docs, 2, text_col, id_col)
+    m = model.select("gram", "n")
+    if broadcast_model:
+        m = F.broadcast(m)
+    scored = (
+        grams.join(m, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("n", F.lit(0))).alias("total"),
+        )
+    )
+    out = docs.select(id_col).join(scored, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("total", F.lit(0)).cast("long").alias("total"),
+        # guard the div: ANSI mode (session default) errors on /0
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.expr(f"({INT_SCORE_SCALE} * total) div n_grams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("score"),
+    )

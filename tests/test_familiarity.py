@@ -71,3 +71,39 @@ def test_broadcast_and_shuffle_forms_identical(spark):
         )
     )
     assert a == b
+
+
+def test_integer_scores_hand_computed(spark):
+    corpus = _df(spark, [(1, "a b a b"), (2, "a b c"), (3, "z")])
+    # model: "a b" x3, "b a" x1, "b c" x1.
+    # doc1 grams: a b, b a, a b -> total 3+1+3=7, n_grams 3
+    #   score = 10000*7 div 3 = 23333
+    # doc2 grams: a b, b c -> total 4, n_grams 2 -> 20000
+    # doc3: no grams -> (0, 0, 0) — the ANSI div-by-zero guard path
+    model = familiarity.bigram_model(corpus)
+    rows = {
+        r.doc_id: (r.n_grams, r.total, r.score)
+        for r in familiarity.integer_quality_scores(corpus, model).collect()
+    }
+    assert rows[1] == (3, 7, 23333)
+    assert rows[2] == (2, 4, 20000)
+    assert rows[3] == (0, 0, 0)
+
+
+def test_integer_score_orders_like_float_familiarity(spark):
+    corpus = _df(
+        spark,
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{i % 2} tok{i % 3}") for i in range(40)],
+    )
+    model = familiarity.bigram_model(corpus)
+    f = {
+        r.doc_id: r.familiarity
+        for r in familiarity.familiarity_scores(corpus, model).collect()
+    }
+    s = {
+        r.doc_id: r.score
+        for r in familiarity.integer_quality_scores(corpus, model).collect()
+    }
+    by_f = sorted(f, key=lambda d: (f[d], d))
+    by_s = sorted(s, key=lambda d: (s[d], d))
+    assert by_f == by_s
