@@ -1,0 +1,136 @@
+"""spark-submit entry point for the dedup pipeline (the north_rule's
+deployment form: `spark-submit --py-files go_pipeline_spark.zip
+jobs/dedup_job.py ...` on a multi-executor cluster).
+
+Unlike the test/bench surfaces (which build their own local[N] session via
+go_pipeline_spark.session.get_spark), this job takes the session the
+cluster manager hands it — master, executor topology and driver memory are
+submit-time concerns — and applies the engine's runtime-settable knobs
+(all `spark.sql.*`) on top: AQE + skew join, 2x-cores shuffle partitions,
+Arrow batching, and the 8 MB broadcast ceiling (BENCH/REGRESSION.md r5
+fixed-cost study). The pipeline itself is identical to what the driver
+contract and pytest exercise.
+
+Usage (local smoke, what tests/test_spark_submit_job.py runs):
+    spark-submit --master local[4] \\
+        --py-files /tmp/go_pipeline_spark.zip jobs/dedup_job.py \\
+        --input /root/testdata/sf0.001/documents.parquet \\
+        --output /tmp/dedup_out --mode lean
+
+On a real cluster, the same command with --master yarn/k8s:// and N vs 4N
+executors is the north_rule's two-cluster-size scaling run.
+
+Input: either the input_hint source-files shape (repo, path, commit,
+lang, content) — mapped through sources.tables.source_files_as_docs — or
+a (doc_id, text|content) document table.
+
+Output (parquet under --output): clusters/ (doc_id, component),
+dup_edges/ (src, dst, kind), metrics/, quarantine/; plus ONE JSON summary
+line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.config import PipelineConfig
+from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline
+from go_pipeline_spark.sources.tables import source_files_as_docs
+
+
+def apply_runtime_conf(
+    spark: SparkSession, cfg: PipelineConfig, shuffle_partitions: int | None
+) -> None:
+    """The session.get_spark knob set, restricted to runtime-settable
+    spark.sql.* confs (cluster topology and driver memory belong to
+    spark-submit)."""
+    n = shuffle_partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    mb = 8 * 1024 * 1024
+    for k, v in {
+        "spark.sql.shuffle.partitions": str(n),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(
+            cfg.arrow_batch_size
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(mb),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(mb),
+    }.items():
+        spark.conf.set(k, v)
+
+
+def load_docs(spark: SparkSession, path: str):
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"repo", "path", "commit", "content"} <= cols:
+        return source_files_as_docs(df)
+    if "doc_id" in cols and "content" in cols:
+        return df.select("doc_id", "content")
+    if "doc_id" in cols and "text" in cols:
+        return df.select("doc_id", F.col("text").alias("content"))
+    raise SystemExit(
+        f"unrecognized input schema {sorted(cols)}: need the input_hint "
+        "source-files shape or (doc_id, text|content)"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--mode", choices=("staged", "lean"), default="lean")
+    ap.add_argument(
+        "--snapshot-dir",
+        default=None,
+        help="staged-mode resumable snapshot store (Iceberg-style "
+        "generations); implies --mode staged",
+    )
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("go_pipeline_spark.dedup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = PipelineConfig()
+    apply_runtime_conf(spark, cfg, args.shuffle_partitions)
+
+    mode = "staged" if args.snapshot_dir else args.mode
+    pipeline = DedupPipeline(cfg, snapshot_dir=args.snapshot_dir, mode=mode)
+    docs = load_docs(spark, args.input)
+
+    t0 = time.perf_counter()
+    res = pipeline.run(spark, docs)
+    out = args.output.rstrip("/")
+    res.clusters.write.mode("overwrite").parquet(f"{out}/clusters")
+    res.dup_edges.write.mode("overwrite").parquet(f"{out}/dup_edges")
+    res.metrics.write.mode("overwrite").parquet(f"{out}/metrics")
+    res.quarantine.write.mode("overwrite").parquet(f"{out}/quarantine")
+    n_docs = docs.count()
+    n_clusters = spark.read.parquet(f"{out}/clusters").count()
+    wall = time.perf_counter() - t0
+    res.unpersist()
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "mode": mode,
+                "n_docs": n_docs,
+                "n_cluster_rows": n_clusters,
+                "stages_run": res.stages_run,
+                "wall_s": round(wall, 2),
+                "files_per_sec": round(n_docs / wall, 1) if wall else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

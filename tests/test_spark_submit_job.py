@@ -1,0 +1,97 @@
+"""The north_rule deployment form, actually executed: package
+go_pipeline_spark as a zip, run jobs/dedup_job.py through spark-submit
+--py-files in a CLEAN working directory (the package must resolve from
+the zip, not the repo checkout), and check the job's parquet outputs.
+This is the closest a single-host sandbox gets to the rule's
+`spark-submit --py-files on a multi-executor cluster` criterion; the
+N-vs-4N scaling evidence lives in BENCH/BASELINE.md."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+import duckdb
+import pyspark
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SPARK_SUBMIT = (
+    Path(pyspark.__file__).parent / "bin" / "spark-submit"
+)
+
+
+def _build_zip(tmp: Path) -> Path:
+    zpath = tmp / "go_pipeline_spark.zip"
+    pkg = REPO / "go_pipeline_spark"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for py in sorted(pkg.rglob("*.py")):
+            z.write(py, py.relative_to(REPO))
+    return zpath
+
+
+@pytest.mark.skipif(
+    not SPARK_SUBMIT.exists(), reason="pyspark spark-submit not found"
+)
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    zpath = _build_zip(tmp_path)
+    out = tmp_path / "out"
+    env = dict(
+        os.environ,
+        PYSPARK_PYTHON=sys.executable,
+        PYSPARK_DRIVER_PYTHON=sys.executable,
+    )
+    proc = subprocess.run(
+        [
+            str(SPARK_SUBMIT),
+            "--master",
+            "local[4]",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--conf",
+            "spark.driver.memory=4g",
+            "--py-files",
+            str(zpath),
+            str(REPO / "jobs" / "dedup_job.py"),
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            str(out),
+            "--mode",
+            "lean",
+            "--shuffle-partitions",
+            "8",
+        ],
+        cwd=tmp_path,  # package must come from the zip, not the checkout
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["n_docs"] == 500
+    assert summary["n_cluster_rows"] > 0
+    assert summary["mode"] == "lean"
+
+    con = duckdb.connect()
+    cols = {
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{out}/clusters/*.parquet'"
+        ).fetchall()
+    }
+    assert {"doc_id", "component"} <= cols
+    n_edges = con.execute(
+        f"SELECT count(*) FROM '{out}/dup_edges/*.parquet'"
+    ).fetchone()[0]
+    n_metrics = con.execute(
+        f"SELECT count(*) FROM '{out}/metrics/*.parquet'"
+    ).fetchone()[0]
+    assert n_edges >= 0 and n_metrics > 0
