@@ -187,3 +187,40 @@ def test_pattern_filter_drops_nonmatching_tokens(spark):
     assert counts == {"ab": 2}
     enc = bpe.apply_bpe(docs, [("a", "b")]).collect()[0]
     assert enc["bpe_tokens"] == ["ab", "</w>", "ab", "</w>"]
+
+
+def test_apply_bpe_is_foreachbatch_compatible(spark, tmp_path):
+    """Encoding with a FIXED trained merge table is a pure per-batch
+    function (distinct-word encode + join back), so the foreachBatch
+    form over a file stream reproduces the batch encoding exactly —
+    the pattern for tokenizing a live ingest feed with a frozen
+    tokenizer. (Training itself is corpus-global and stays batch.)"""
+    texts = _random_texts(23, n_docs=60)
+    docs = _docs_df(spark, texts)
+    merges = bpe.train_bpe(docs, 6)
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("round").collect()]
+
+    d = tmp_path / "docs"
+    docs.coalesce(3).write.mode("overwrite").parquet(str(d))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got: dict[int, tuple] = {}
+
+    def enc_batch(batch_df, _bid):
+        for r in bpe.apply_bpe(batch_df, mlist).collect():
+            got[r["doc_id"]] = (r["bpe_tokens"], r["n_bpe_tokens"])
+
+    (
+        stream.writeStream.foreachBatch(enc_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    want = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+        for r in bpe.apply_bpe(docs, mlist).collect()
+    }
+    assert got == want and len(want) > 0
