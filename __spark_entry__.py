@@ -1112,6 +1112,45 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-extended PII scrub (operators/redact.py EXTENDED_RULES):
+    US/NANP phone numbers and 16-digit payment cards on top of the base
+    email/ipv4/secret rules, planted deterministically from doc_id. The
+    card's last-4 derives from doc_id, so Luhn validity varies per row
+    and the in-plan 16-term integer checksum (luhn_valid) is exercised
+    on real decisions — the oracle recomputes the identical checksum in
+    SQL. All candidates are redacted (over-redaction is the safe PII
+    direction); n_ccn_luhn audits the checksum-valid subset."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    last4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call 415-555-"), last4),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(F.lit(" card 4111-1111-1111-"), last4),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counted = redact.pii_counts(planted, rules=redact.EXTENDED_RULES)
+    counted = counted.withColumn(
+        "n_ccn_luhn",
+        redact.luhn_valid_count(
+            F.col("text"), redact.EXTENDED_RULES["ccn"][0]
+        ),
+    )
+    out = redact.redact(counted, rules=redact.EXTENDED_RULES)
+    return out.select(
+        "doc_id", "n_phone_us", "n_ccn", "n_ccn_luhn",
+        F.length("text_redacted").alias("redacted_len"),
+    )
+
+
 def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency familiarity (operators/familiarity.py): bigram
     counts learned from the corpus in-plan, every doc scored by the
@@ -1339,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_pipeline_v4": q_prep_pipeline_v4,
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
+        "pii_extended": q_pii_extended,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -1354,6 +1394,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "length_trim_stats": q_length_trim_stats,
     }
+
+
+# Fixed 16-term Luhn checksum over a 16-digit string column `dg` —
+# mirrors operators/redact.luhn_valid term by term (odd positions from
+# the left are doubled with 2d-9 folding). Pure integer arithmetic, so
+# DuckDB and Spark agree bit-exactly.
+_LUHN_SQL = " + ".join(
+    (
+        f"(CASE WHEN CAST(substring(dg, {i}, 1) AS INT) * 2 > 9 "
+        f"THEN CAST(substring(dg, {i}, 1) AS INT) * 2 - 9 "
+        f"ELSE CAST(substring(dg, {i}, 1) AS INT) * 2 END)"
+        if i % 2 == 1
+        else f"CAST(substring(dg, {i}, 1) AS INT)"
+    )
+    for i in range(1, 17)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2440,6 +2496,65 @@ def oracle_sql() -> dict[str, str]:
                        '\\b(?:sk|key|token)_[A-Za-z0-9]{16,}\\b',
                        '<SECRET>', 'g')) AS BIGINT) AS redacted_len
             FROM planted
+        """,
+        # locale-extended rules: identical planted strings + identical
+        # RE2 patterns; Luhn recomputed in SQL with the same 16 integer
+        # terms (see _LUHN_SQL) over separator-stripped candidates
+        "pii_extended": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 4 = 0
+                        THEN ' call 415-555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                        THEN ' card 4111-1111-1111-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS t
+              FROM documents
+            ), base AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t,
+                       '(?:\\+1[-. ])?\\(?\\d{{3}}\\)?[-. ]\\d{{3}}[-. ]\\d{{4}}\\b'))
+                       AS BIGINT) AS n_phone_us,
+                     CAST(len(regexp_extract_all(t,
+                       '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b'))
+                       AS BIGINT) AS n_ccn,
+                     CAST(len(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(t,
+                                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                                 '<EMAIL>', 'g'),
+                               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                               '<IP>', 'g'),
+                             '\\b(?:sk|key|token)_[A-Za-z0-9]{{16,}}\\b',
+                             '<SECRET>', 'g'),
+                           '(?:\\+1[-. ])?\\(?\\d{{3}}\\)?[-. ]\\d{{3}}[-. ]\\d{{4}}\\b',
+                           '<PHONE>', 'g'),
+                         '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b',
+                         '<CCN>', 'g')) AS BIGINT) AS redacted_len
+              FROM planted
+            ), cands AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       unnest(regexp_extract_all(t,
+                         '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b')),
+                       '[^0-9]', '', 'g') AS dg
+              FROM planted
+            ), luhn AS (
+              SELECT doc_id,
+                     CAST(count(*) FILTER (WHERE ({_LUHN_SQL}) % 10 = 0)
+                       AS BIGINT) AS n_ccn_luhn
+              FROM cands GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_phone_us, b.n_ccn,
+                   CAST(COALESCE(l.n_ccn_luhn, 0) AS BIGINT) AS n_ccn_luhn,
+                   b.redacted_len
+            FROM base b LEFT JOIN luhn l USING (doc_id)
         """,
         # same positional bigram derivation as the decontamination oracle;
         # integer sum + one division = order-independent, exact at 6dp

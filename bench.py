@@ -163,6 +163,7 @@ def bench_queries(spark, sf_dir: str):
         "hash_sample_docs": q("hash_sample_docs"),
         "decontamination_bloom": q("decontamination_bloom"),
         "pii_redaction": q("pii_redaction"),
+        "pii_extended": q("pii_extended"),  # NEW r5 (locale rules + Luhn)
         "prep_pipeline_v2": q("prep_pipeline_v2"),
         "familiarity_scores": q("familiarity_scores"),
         "semdedup": q("semdedup"),  # NEW r5 (embedding-space dedup)

@@ -32,6 +32,46 @@ DEFAULT_RULES: dict[str, tuple[str, str]] = {
     "secret": (r"\b(?:sk|key|token)_[A-Za-z0-9]{16,}\b", "<SECRET>"),
 }
 
+# Locale-explicit extension (US/NANP phones, 16-digit payment cards).
+# Both patterns REQUIRE separators between groups so bare digit runs
+# (ids, timestamps) never match; both stay RE2-compatible. Card
+# candidates are syntactic — Luhn validity is a separate in-plan check
+# (`luhn_valid` / `luhn_valid_count`) because a regex cannot express a
+# checksum; redaction deliberately scrubs ALL candidates (over-redaction
+# is the safe direction for PII), while counts report the Luhn-valid
+# subset separately for auditing.
+EXTENDED_RULES: dict[str, tuple[str, str]] = {
+    **DEFAULT_RULES,
+    "phone_us": (r"(?:\+1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ccn": (r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CCN>"),
+}
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Boolean column: Luhn checksum holds for a 16-digit card candidate
+    (separators stripped). Fixed 16-term integer expression — exact on
+    any engine, no loops, no UDF. Only meaningful for candidates the
+    ``ccn`` pattern produced (exactly 16 digits); other lengths return
+    an arbitrary (but deterministic) boolean."""
+    digits = F.regexp_replace(candidate, r"[^0-9]", "")
+    total: Column = F.lit(0)
+    for i in range(1, 17):
+        d = F.substring(digits, i, 1).cast("int")
+        if i % 2 == 1:  # doubled positions, counting from the left of 16
+            term = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        else:
+            term = d
+        total = total + term
+    return (total % 10) == 0
+
+
+def luhn_valid_count(col: Column, pattern: str) -> Column:
+    """Long column: number of ``pattern`` matches in ``col`` that pass
+    the Luhn check. Pure JVM scan-side (extract-all + higher-order
+    filter) — no shuffle, no Python."""
+    cands = F.regexp_extract_all(col, F.lit(pattern), F.lit(0))
+    return F.size(F.filter(cands, luhn_valid)).cast("long")
+
 
 def pii_counts(
     df: DataFrame,

@@ -42,3 +42,61 @@ def test_redaction_replaces_all_and_is_idempotent(spark):
 def test_secret_requires_min_length(spark):
     row = redact.pii_counts(_df(spark, "token_short sk_0123456789abcdef")).collect()[0]
     assert row.n_secret == 1  # sk_ has 16 chars, token_short too short
+
+
+def _luhn_py(digits: str) -> bool:
+    """Published Luhn algorithm, transcribed literally as the reference."""
+    total = 0
+    for pos, ch in enumerate(reversed(digits), start=1):
+        d = int(ch)
+        if pos % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_column_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    cands = ["4111111111111111", "4111111111111112", "0000000000000000"]
+    cands += ["".join(rng.choice("0123456789") for _ in range(16)) for _ in range(40)]
+    df = spark.createDataFrame([(c,) for c in cands], "cand string")
+    got = {
+        r.cand: r.ok
+        for r in df.select("cand", redact.luhn_valid(F.col("cand")).alias("ok")).collect()
+    }
+    for c in cands:
+        assert got[c] == _luhn_py(c), c
+
+
+def test_extended_rules_phone_and_ccn(spark):
+    text = (
+        "call (415) 555-0123 or +1 415-555-0000; id 4155550123 is not a "
+        "phone; card 4111-1111-1111-1111 and bad 4111 1111 1111 1112; "
+        "run 1234567890123456 is not a card"
+    )
+    counted = redact.pii_counts(_df(spark, text), rules=redact.EXTENDED_RULES)
+    counted = counted.withColumn(
+        "n_ccn_luhn",
+        redact.luhn_valid_count(F.col("text"), redact.EXTENDED_RULES["ccn"][0]),
+    )
+    row = counted.collect()[0]
+    # bare 10/16-digit runs never match: separators are mandatory
+    assert row.n_phone_us == 2
+    assert row.n_ccn == 2
+    assert row.n_ccn_luhn == 1  # ...1111 valid, ...1112 fails the checksum
+    red = redact.redact(_df(spark, text), rules=redact.EXTENDED_RULES)
+    out = red.collect()[0].text_redacted
+    assert "<PHONE>" in out and "<CCN>" in out
+    assert "4111" not in out and "555-0123" not in out
+
+
+def test_extended_rules_superset_keeps_base_kinds(spark):
+    text = "x@y.zw at 1.2.3.4 call 415-555-0000"
+    row = redact.pii_counts(_df(spark, text), rules=redact.EXTENDED_RULES).collect()[0]
+    assert (row.n_email, row.n_ipv4, row.n_phone_us, row.n_ccn) == (1, 1, 1, 0)
+    out = redact.redact(_df(spark, text), rules=redact.EXTENDED_RULES).collect()[0]
+    assert out.text_redacted == "<EMAIL> at <IP> call <PHONE>"
