@@ -65,6 +65,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
     urls,
 )
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
+from go_pipeline_spark.operators import code_quality  # noqa: E402
 from go_pipeline_spark.operators import shards  # noqa: E402
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
     boilerplate_line_filter,
@@ -1151,6 +1152,85 @@ def q_pii_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack-style code corpus cleaning (operators/code_quality.py,
+    arXiv:2211.15533 §II): per-lang accounting of the four drop rules
+    (max line > 1000, mean line > 100, alnum fraction < 0.25,
+    auto-generated marker) on a code-shaped corpus — documents respelled
+    one token per line, with rule-triggering files planted from doc_id
+    (a 9000-char line, an autogen header, a 4x punctuation-masked tail).
+    Every decision is integer arithmetic; the oracle replays the
+    identical plants and rules. Rule flags are non-exclusive."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = F.translate(F.col("text"), " ", "\n")
+    masked = F.regexp_replace(base, "[A-Za-z0-9]", "#")
+    content = F.concat(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("// auto-generated do not edit\n"),
+        ).otherwise(F.lit("")),
+        base,
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("x"), 9000)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.lit("\n"), masked, masked, masked, masked),
+        ).otherwise(F.lit("")),
+    )
+    flagged = code_quality.stack_quality_flags(
+        d.withColumn("content", content)
+    )
+    b = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        b("keep").alias("n_kept"),
+        b("drop_max_line").alias("n_max_line"),
+        b("drop_mean_line").alias("n_mean_line"),
+        b("drop_low_alnum").alias("n_low_alnum"),
+        b("drop_autogen").alias("n_autogen"),
+    )
+
+
+def q_license_spdx_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License provenance accounting (operators/code_quality.py): SPDX
+    tags planted on every 3rd doc (license cycling by doc_id), extracted
+    scan-side with the RE2-compatible group-1 pattern, counted per
+    (lang, license) with 'NONE' for untagged files — the license-visible
+    corpus split The Stack publishes. One hash aggregate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lic = F.element_at(
+        F.array(
+            F.lit("MIT"),
+            F.lit("Apache-2.0"),
+            F.lit("GPL-3.0-only"),
+            F.lit("BSD-3-Clause"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    content = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("// SPDX-License-Identifier: "), lic, F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    return code_quality.license_counts(
+        d.withColumn("content", content), by="lang"
+    )
+
+
+def q_repo_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork detection rollup (operators/code_quality.py repo_dup_stats)
+    over the input_hint-shaped source-files table (every 10th doc also
+    exists in a fork repo, byte-identical): per repo, how many files'
+    exact content appears in >= 2 distinct repos, with the fraction as
+    exact integer basis points. Two sha hash-aggregates + one equi-join;
+    the per-repo answer a corpus curator reads before dropping forks."""
+    return code_quality.repo_dup_stats(_source_files(spark, sf_dir))
+
+
 def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency familiarity (operators/familiarity.py): bigram
     counts learned from the corpus in-plan, every doc scored by the
@@ -1379,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_pipeline_v2": q_prep_pipeline_v2,
         "pii_redaction": q_pii_redaction,
         "pii_extended": q_pii_extended,
+        "code_quality_filter": q_code_quality_filter,
+        "license_spdx_counts": q_license_spdx_counts,
+        "repo_dup_fraction": q_repo_dup_fraction,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -2555,6 +2638,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(l.n_ccn_luhn, 0) AS BIGINT) AS n_ccn_luhn,
                    b.redacted_len
             FROM base b LEFT JOIN luhn l USING (doc_id)
+        """,
+        # identical plants + integer rules; string_split on chr(10)
+        # mirrors Spark's split('\n'), list_max/list_transform the
+        # array_max/transform pair, 'g'-flag replaces the global default
+        "code_quality_filter": """
+            WITH base AS (
+              SELECT doc_id, lang, replace(text, ' ', chr(10)) AS b
+              FROM documents
+            ), masked AS (
+              SELECT doc_id, lang, b,
+                     regexp_replace(b, '[A-Za-z0-9]', '#', 'g') AS m
+              FROM base
+            ), planted AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 13 = 0
+                       THEN '// auto-generated do not edit' || chr(10)
+                       ELSE '' END
+                     || b
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || repeat('x', 9000) ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) || m || m || m || m ELSE '' END AS c
+              FROM masked
+            ), stats AS (
+              SELECT lang,
+                     len(string_split(c, chr(10))) AS n_lines,
+                     len(c) - len(string_split(c, chr(10))) + 1 AS total_chars,
+                     list_max(list_transform(string_split(c, chr(10)),
+                                             x -> len(x))) AS max_line,
+                     len(c) - len(regexp_replace(c, '[A-Za-z0-9]', '', 'g'))
+                       AS n_alnum,
+                     len(c) AS n_chars,
+                     regexp_matches(c, '(?i)(auto[- ]generated|do not edit)')
+                       AS autogen
+              FROM planted
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN max_line <= 1000
+                                  AND total_chars <= 100 * n_lines
+                                  AND 4 * n_alnum >= n_chars
+                                  AND NOT autogen
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN max_line > 1000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_max_line,
+                   CAST(sum(CASE WHEN total_chars > 100 * n_lines
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_line,
+                   CAST(sum(CASE WHEN 4 * n_alnum < n_chars
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alnum,
+                   CAST(sum(CASE WHEN autogen THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_autogen
+            FROM stats GROUP BY lang
+        """,
+        # identical planted SPDX headers; group-1 extract on both engines,
+        # '' (no match) folded to NONE
+        "license_spdx_counts": """
+            WITH planted AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 3 = 0
+                       THEN '// SPDX-License-Identifier: '
+                            || list_extract(
+                                 ['MIT', 'Apache-2.0', 'GPL-3.0-only',
+                                  'BSD-3-Clause'],
+                                 CAST(doc_id % 4 + 1 AS INT))
+                            || chr(10)
+                       ELSE '' END || text AS c
+              FROM documents
+            ), tagged AS (
+              SELECT lang,
+                     CASE WHEN regexp_extract(c,
+                            'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)',
+                            1) = ''
+                          THEN 'NONE'
+                          ELSE regexp_extract(c,
+                            'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)',
+                            1) END AS license
+              FROM planted
+            )
+            SELECT lang, license, CAST(count(*) AS BIGINT) AS n_files
+            FROM tagged GROUP BY lang, license
+        """,
+        # same base+forks derivation as _source_files; sha only needs to
+        # be injective within each engine (it is never output), so both
+        # sides may hash with their native sha256
+        "repo_dup_fraction": """
+            WITH files AS (
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     sha256(text) AS sha
+              FROM documents
+              UNION ALL
+              SELECT 'fork-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     sha256(text) AS sha
+              FROM documents WHERE doc_id % 10 = 0
+            ), per_sha AS (
+              SELECT sha, count(DISTINCT repo) AS n_repos
+              FROM files GROUP BY sha
+            )
+            SELECT f.repo,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN p.n_repos >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_cross_dup,
+                   CAST((sum(CASE WHEN p.n_repos >= 2 THEN 1 ELSE 0 END)
+                         * 10000) // count(*) AS BIGINT) AS dup_pct_x10000
+            FROM files f JOIN per_sha p USING (sha)
+            GROUP BY f.repo
         """,
         # same positional bigram derivation as the decontamination oracle;
         # integer sum + one division = order-independent, exact at 6dp

@@ -1,0 +1,153 @@
+"""Source-code corpus quality filters and license/provenance scans.
+
+The Stack (Kocetkov et al. 2022, arXiv:2211.15533) and StarCoder (Li et
+al. 2023, arXiv:2305.06161) clean raw code corpora with a small set of
+per-file structural rules before any model sees them: drop files whose
+longest line exceeds 1000 chars, whose mean line length exceeds 100,
+whose alphanumeric fraction falls below 0.25, or that carry an
+auto-generated marker; and they track license provenance via SPDX tags.
+This module is that stage for the input_hint source-files table
+(repo, path, commit, lang, content).
+
+Scale discipline (10^12 files):
+- Every per-file rule is a pure scan-side column expression — split /
+  transform / regexp over the content column, no shuffle, no Python,
+  whole-stage-codegen friendly; the filter composes with the parquet
+  scan so dropped files never reach a shuffle.
+- Every threshold decision is INTEGER arithmetic (cross-multiplied
+  fractions: ``4 * n_alnum < len`` instead of ``n_alnum/len < 0.25``)
+  so the keep/drop bit is exact on any engine — a float division is one
+  ULP from flipping a boundary file, an integer comparison never is.
+- The cross-repo duplicate rollup is two hash aggregates on the content
+  sha (uniformly distributed — no skew) plus one equi-join back on sha;
+  the standard dedup-rollup shape that scales linearly with files.
+
+No reference analogue (go-pipeline has no content rules); part of the
+LLM training-data prep operator set (SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+# RE2-compatible (no lookaround/backreferences) so the identical strings
+# run on Spark's java.util.regex and DuckDB's RE2 — same discipline as
+# operators/redact.py.
+AUTOGEN_PATTERN = r"(?i)(auto[- ]generated|do not edit)"
+SPDX_PATTERN = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+MAX_LINE_LEN = 1000
+MEAN_LINE_LEN = 100
+ALNUM_MIN_NUM, ALNUM_MIN_DEN = 1, 4  # alnum fraction >= 1/4
+
+
+def line_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Input + ``n_lines``, ``total_line_chars``, ``max_line_len`` longs.
+
+    ``total_line_chars`` = content length minus the newline characters
+    (arithmetic identity — no second pass over the string); the max line
+    length is a JVM transform over the split array."""
+    c = F.col(content_col)
+    lines = F.split(c, "\n")
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn(
+            "total_line_chars",
+            (F.length(c) - F.size(lines) + 1).cast("long"),
+        )
+        .withColumn(
+            "max_line_len",
+            F.array_max(F.transform(lines, F.length)).cast("long"),
+        )
+    )
+
+
+def stack_quality_flags(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Input + one boolean per Stack-style drop rule + ``keep``.
+
+    Rules (all integer-exact, all scan-side):
+    - ``drop_max_line``:  longest line > 1000 chars
+    - ``drop_mean_line``: mean line length > 100 (as total > 100*n_lines)
+    - ``drop_low_alnum``: alphanumeric fraction < 0.25 (as 4*alnum < len)
+    - ``drop_autogen``:   auto-generated / do-not-edit marker anywhere
+    ``keep`` is the conjunction of none firing. Rule flags are
+    independent (a file can trip several)."""
+    c = F.col(content_col)
+    out = line_stats(df, content_col)
+    n_alnum = F.length(c) - F.length(F.regexp_replace(c, "[A-Za-z0-9]", ""))
+    out = (
+        out.withColumn("n_alnum", n_alnum.cast("long"))
+        .withColumn("drop_max_line", F.col("max_line_len") > MAX_LINE_LEN)
+        .withColumn(
+            "drop_mean_line",
+            F.col("total_line_chars") > MEAN_LINE_LEN * F.col("n_lines"),
+        )
+        .withColumn(
+            "drop_low_alnum",
+            ALNUM_MIN_DEN * F.col("n_alnum") < ALNUM_MIN_NUM * F.length(c),
+        )
+        .withColumn("drop_autogen", c.rlike(AUTOGEN_PATTERN))
+    )
+    return out.withColumn(
+        "keep",
+        ~(
+            F.col("drop_max_line")
+            | F.col("drop_mean_line")
+            | F.col("drop_low_alnum")
+            | F.col("drop_autogen")
+        ),
+    )
+
+
+def stack_quality_filter(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Only the files every rule keeps, original columns. The predicate
+    is scan-side, so Catalyst pushes it against the source."""
+    flagged = stack_quality_flags(df, content_col)
+    return flagged.where(F.col("keep")).select(*df.columns)
+
+
+def spdx_license(col: Column) -> Column:
+    """The file's SPDX tag ('' when absent) — group-1 extract of the
+    first ``SPDX-License-Identifier:`` occurrence."""
+    return F.regexp_extract(col, SPDX_PATTERN, 1)
+
+
+def license_counts(
+    df: DataFrame, content_col: str = "content", by: str | None = "lang"
+) -> DataFrame:
+    """Files per (group, license); absent tags count as 'NONE'. One hash
+    aggregate over scan-side extraction."""
+    lic = spdx_license(F.col(content_col))
+    lic = F.when(lic == "", F.lit("NONE")).otherwise(lic).alias("license")
+    keys = ([F.col(by)] if by else []) + [lic]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_files"))
+
+
+def repo_dup_stats(
+    source_files: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-repo cross-repo duplication rollup: ``n_files``,
+    ``n_cross_dup`` (files whose exact content appears in >= 2 distinct
+    repos — fork detection), and ``dup_pct_x10000`` (integer
+    basis-points, exact). Two hash aggregates on the uniformly
+    distributed content sha + one equi-join back; no skew, no window."""
+    files = source_files.select(
+        F.col(repo_col).alias("repo"),
+        F.sha2(F.col(content_col), 256).alias("sha"),
+    )
+    per_sha = files.groupBy("sha").agg(
+        F.countDistinct("repo").alias("n_repos")
+    )
+    joined = files.join(per_sha, "sha")
+    return joined.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("n_repos") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_dup"),
+    ).withColumn(
+        "dup_pct_x10000",
+        F.expr("(n_cross_dup * 10000) div n_files"),
+    )

@@ -1,0 +1,102 @@
+"""Stack-style code quality rules: hand-checked boundaries (every
+threshold is integer-exact, so the boundary cases are decidable), SPDX
+extraction, and the cross-repo duplicate rollup on a hand-built table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import code_quality as cq
+
+
+def _df(spark, content):
+    return spark.createDataFrame([(1, content)], "doc_id long, content string")
+
+
+def test_line_stats_hand_checked(spark):
+    row = cq.line_stats(_df(spark, "ab\ncdef\n\nx")).collect()[0]
+    assert row.n_lines == 4
+    assert row.total_line_chars == 7  # ab + cdef + '' + x
+    assert row.max_line_len == 4
+
+
+def test_max_line_boundary_exact(spark):
+    kept = cq.stack_quality_flags(_df(spark, "x" * 1000)).collect()[0]
+    dropped = cq.stack_quality_flags(_df(spark, "x" * 1001)).collect()[0]
+    assert not kept.drop_max_line and dropped.drop_max_line
+    # 1001 x's also trip the mean rule (one line, mean 1001 > 100)
+    assert dropped.drop_mean_line and not dropped.keep
+
+
+def test_mean_line_boundary_exact(spark):
+    # 2 lines, total 200 chars -> mean exactly 100: kept
+    at = cq.stack_quality_flags(_df(spark, "a" * 100 + "\n" + "b" * 100)).collect()[0]
+    over = cq.stack_quality_flags(_df(spark, "a" * 100 + "\n" + "b" * 101)).collect()[0]
+    assert not at.drop_mean_line
+    assert over.drop_mean_line
+
+
+def test_alnum_boundary_exact(spark):
+    # len 4, 1 alnum -> fraction exactly 1/4: kept; 1 of 5: dropped
+    at = cq.stack_quality_flags(_df(spark, "a---")).collect()[0]
+    under = cq.stack_quality_flags(_df(spark, "a----")).collect()[0]
+    assert not at.drop_low_alnum
+    assert under.drop_low_alnum
+
+
+def test_autogen_marker_case_insensitive(spark):
+    hit = cq.stack_quality_flags(_df(spark, "// AUTO-Generated file")).collect()[0]
+    hit2 = cq.stack_quality_flags(_df(spark, "# Do Not Edit this")).collect()[0]
+    miss = cq.stack_quality_flags(_df(spark, "generated automatically")).collect()[0]
+    assert hit.drop_autogen and hit2.drop_autogen and not miss.drop_autogen
+
+
+def test_filter_keeps_clean_code_and_schema(spark):
+    df = spark.createDataFrame(
+        [(1, "def f():\n    return 1\n"), (2, "x" * 2000)],
+        "doc_id long, content string",
+    )
+    out = cq.stack_quality_filter(df)
+    assert out.columns == df.columns
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_spdx_extract_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "py", "# SPDX-License-Identifier: MIT\ncode"),
+            (2, "py", "// SPDX-License-Identifier:   Apache-2.0"),
+            (3, "py", "no tag here"),
+            (4, "go", "/* SPDX-License-Identifier: GPL-3.0-only */"),
+        ],
+        "doc_id long, lang string, content string",
+    )
+    got = {
+        (r.lang, r.license): r.n_files
+        for r in cq.license_counts(df).collect()
+    }
+    assert got == {
+        ("py", "MIT"): 1,
+        ("py", "Apache-2.0"): 1,
+        ("py", "NONE"): 1,
+        ("go", "GPL-3.0-only"): 1,
+    }
+
+
+def test_repo_dup_stats_hand_built(spark):
+    df = spark.createDataFrame(
+        [
+            ("r1", "a.py", "same"),
+            ("r1", "b.py", "only-r1"),
+            ("r2", "a.py", "same"),       # cross-repo dup of r1/a.py
+            ("r2", "c.py", "same"),       # dup within r2 AND across
+            ("r3", "d.py", "unique"),
+        ],
+        "repo string, path string, content string",
+    )
+    got = {r.repo: r for r in cq.repo_dup_stats(df).collect()}
+    assert (got["r1"].n_files, got["r1"].n_cross_dup) == (2, 1)
+    assert (got["r2"].n_files, got["r2"].n_cross_dup) == (2, 2)
+    assert (got["r3"].n_files, got["r3"].n_cross_dup) == (1, 0)
+    assert got["r1"].dup_pct_x10000 == 5000
+    assert got["r2"].dup_pct_x10000 == 10000
