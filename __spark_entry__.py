@@ -663,6 +663,46 @@ def q_dedup_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fork_cluster_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-fork detection: the REAL dedup pipeline's clusters (exact +
+    MinHash/LSH near-dup + containment) joined back to repos — per repo,
+    how many files sit in a cluster spanning >= 2 distinct repos. This is
+    the fork report `repo_dup_fraction` upgraded from exact-content to
+    near-duplicate equivalence, and it is a stronger oracle check than
+    the cluster-size histogram: per-doc component membership must map
+    through the repo attribution identically to the reachability SQL
+    (edge-set equality is already pinned by dup_pairs)."""
+    from go_pipeline_spark.sources.tables import source_files_as_docs
+
+    files = _source_files(spark, sf_dir)
+    key = f"{sf_dir}::source_files"
+    if key not in _PIPELINE_CACHE:
+        docs = source_files_as_docs(files)
+        _PIPELINE_CACHE[key] = DedupPipeline(CFG).run(spark, docs)
+    res = _PIPELINE_CACHE[key]
+    fid = files.select(
+        "repo", F.xxhash64("repo", "path", "commit").alias("doc_id")
+    )
+    memb = fid.join(res.clusters.select("doc_id", "component"), "doc_id")
+    comp_repos = memb.groupBy("component").agg(
+        F.countDistinct("repo").alias("n_repos")
+    )
+    return (
+        memb.join(comp_repos, "component")
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("n_repos") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multirepo"),
+        )
+        .withColumn(
+            "multirepo_pct_x10000",
+            F.expr("(n_multirepo * 10000) div n_files"),
+        )
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (the GPT-3/Pile token-n-gram overlap rule,
     n=8 here because testdata docs average ~54 tokens): per contaminated
@@ -1433,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs": q_dup_pairs,
         "prep_pipeline": q_prep_pipeline,
         "dedup_source_files": q_dedup_source_files,
+        "fork_cluster_fraction": q_fork_cluster_fraction,
         "srp_ann_topk": q_srp_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_trained_topk": q_ivf_trained_topk,
@@ -1668,6 +1709,47 @@ def oracle_sql() -> dict[str, str]:
                       FROM comp GROUP BY component)
             SELECT cluster_size, count(*) AS n_clusters
             FROM csize GROUP BY cluster_size
+        """,
+        # per-doc component membership attributed to repos: base rows are
+        # repo-(doc_id%20), planted copies (doc_id >= 1e6) are the fork
+        # repos — the exact mirror of _source_files. A component spanning
+        # >= 2 distinct repos marks all its files as near-forks.
+        "fork_cluster_fraction": f"""
+            WITH RECURSIVE {edges_cte},
+            edges AS (
+              SELECT src, dst FROM exact_e
+              UNION SELECT src, dst FROM near
+              UNION SELECT src, dst FROM cont
+            ),
+            sym AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst AS u, src AS v FROM edges),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM planted
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+            fr AS (
+              SELECT component,
+                     CASE WHEN doc_id < 1000000
+                       THEN 'repo-' || CAST(doc_id % 20 AS VARCHAR)
+                       ELSE 'fork-' || CAST((doc_id - 1000000) % 20 AS VARCHAR)
+                     END AS repo
+              FROM comp
+            ),
+            comp_repos AS (
+              SELECT component, count(DISTINCT repo) AS n_repos
+              FROM fr GROUP BY component
+            )
+            SELECT fr.repo,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN cr.n_repos >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_multirepo,
+                   CAST((sum(CASE WHEN cr.n_repos >= 2 THEN 1 ELSE 0 END)
+                         * 10000) // count(*) AS BIGINT)
+                     AS multirepo_pct_x10000
+            FROM fr JOIN comp_repos cr USING (component)
+            GROUP BY fr.repo
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {edges_cte},
