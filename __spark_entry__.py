@@ -66,6 +66,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
 )
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators import code_quality  # noqa: E402
+from go_pipeline_spark.operators import encoding  # noqa: E402
 from go_pipeline_spark.operators import shards  # noqa: E402
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
     boilerplate_line_filter,
@@ -1271,6 +1272,42 @@ def q_repo_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_quality.repo_dup_stats(_source_files(spark, sf_dir))
 
 
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage repair (operators/encoding.py): UTF-8-decoded-as-
+    cp1252 sequences planted from doc_id using the DERIVED broken forms
+    (the rule table is built by performing the forward corruption, never
+    hand-spelled), then counted and repaired with the chained-literal-
+    replace scan. n_after audits that repair leaves zero broken
+    sequences. The oracle replays the identical rule chain — generated
+    from the same MOJIBAKE_MAP — in DuckDB."""
+    b_e = encoding._broken_form("é")
+    b_ss = encoding._broken_form("ß")
+    b_q = encoding._broken_form("’")
+    b_dots = encoding._broken_form("…")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(f" caf{b_e} stra{b_ss}e"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(f" don{b_q}t wait{b_dots}"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = encoding.fix_mojibake(planted)
+    return out.select(
+        "doc_id",
+        "n_mojibake",
+        F.length("text_fixed").alias("fixed_len"),
+        encoding.mojibake_count(F.col("text_fixed")).alias("n_after"),
+    )
+
+
 def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency familiarity (operators/familiarity.py): bigram
     counts learned from the corpus in-plan, every doc scored by the
@@ -1503,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_filter": q_code_quality_filter,
         "license_spdx_counts": q_license_spdx_counts,
         "repo_dup_fraction": q_repo_dup_fraction,
+        "mojibake_repair": q_mojibake_repair,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -1518,6 +1556,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "length_trim_stats": q_length_trim_stats,
     }
+
+
+# Mojibake oracle fragments generated from the SAME rule table the
+# operator uses (operators/encoding.MOJIBAKE_MAP) so oracle and engine
+# cannot drift: a nested literal-replace chain over column `t` / `f`,
+# and per-rule exact occurrence counts via character-length deltas.
+def _mojibake_fix_sql(col: str) -> str:
+    expr = col
+    for broken, fixed in encoding.MOJIBAKE_MAP.items():
+        expr = f"replace({expr}, '{broken}', '{fixed}')"
+    return expr
+
+
+def _mojibake_count_sql(col: str) -> str:
+    return " + ".join(
+        f"(len({col}) - len(replace({col}, '{broken}', ''))) // {len(broken)}"
+        for broken in encoding.MOJIBAKE_MAP
+    )
 
 
 # Fixed 16-term Luhn checksum over a 16-digit string column `dg` —
@@ -2825,6 +2881,28 @@ def oracle_sql() -> dict[str, str]:
                          * 10000) // count(*) AS BIGINT) AS dup_pct_x10000
             FROM files f JOIN per_sha p USING (sha)
             GROUP BY f.repo
+        """,
+        # identical derived broken forms planted; the fix chain and the
+        # per-rule counts are GENERATED from the operator's rule table
+        "mojibake_repair": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN ' caf{encoding._broken_form("é")} stra{encoding._broken_form("ß")}e'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0
+                        THEN ' don{encoding._broken_form("’")}t wait{encoding._broken_form("…")}'
+                        ELSE '' END AS t
+              FROM documents
+            ), fixedt AS (
+              SELECT doc_id, t, {_mojibake_fix_sql("t")} AS f FROM planted
+            )
+            SELECT doc_id,
+                   CAST({_mojibake_count_sql("t")} AS BIGINT) AS n_mojibake,
+                   CAST(len(f) AS BIGINT) AS fixed_len,
+                   CAST({_mojibake_count_sql("f")} AS BIGINT) AS n_after
+            FROM fixedt
         """,
         # same positional bigram derivation as the decontamination oracle;
         # integer sum + one division = order-independent, exact at 6dp

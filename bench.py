@@ -168,6 +168,7 @@ def bench_queries(spark, sf_dir: str):
         "license_spdx_counts": q("license_spdx_counts"),  # NEW r5
         "repo_dup_fraction": q("repo_dup_fraction"),  # NEW r5 (fork rollup)
         "fork_cluster_fraction": q("fork_cluster_fraction"),  # NEW r5 (near-forks)
+        "mojibake_repair": q("mojibake_repair"),  # NEW r5 (encoding repair)
         "prep_pipeline_v2": q("prep_pipeline_v2"),
         "familiarity_scores": q("familiarity_scores"),
         "semdedup": q("semdedup"),  # NEW r5 (embedding-space dedup)

@@ -1,0 +1,90 @@
+"""Mojibake (encoding-damage) detection and repair for text corpora.
+
+Web-crawled corpora carry text that was UTF-8 encoded and then decoded
+as cp1252/latin-1 somewhere upstream — 'café' arrives as 'cafÃ©'. The
+standard fix (ftfy's core case) inverts that round-trip for a curated
+set of characters. At 100 TB this must stay scan-side: each rule is one
+literal `replace` on the text column (JVM, whole-stage codegen, no
+shuffle, no Python); the rule table is built at import time by actually
+performing the forward corruption (encode UTF-8, decode cp1252), so the
+mapping cannot drift from the encoding standard. Characters whose UTF-8
+bytes hit cp1252's five undefined code points (0x81 0x8d 0x8f 0x90
+0x9d) are excluded automatically — their broken spelling is not
+representable as a clean cp1252 string.
+
+Counting is exact integer arithmetic per rule:
+``occurrences = (len(t) - len(replace(t, broken, ''))) / len(broken)``
+— character lengths on both Spark and DuckDB, so the oracle recomputes
+it bit-identically.
+
+No reference analogue; part of the LLM data-prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+# Characters worth repairing: common Western-European letters + smart
+# punctuation. The broken form is DERIVED (utf-8 -> cp1252), never
+# hand-spelled.
+FIXABLE_CHARS = "éèêëäöüàâçñíóúßÉ’‘“”–—…"
+
+
+def _broken_form(ch: str) -> str | None:
+    try:
+        return ch.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return None  # hits an undefined cp1252 byte — not representable
+
+
+# broken -> fixed, longest broken sequences first so 3-byte punctuation
+# (â€¦) never gets half-rewritten by a 2-byte letter rule applied earlier
+MOJIBAKE_MAP: dict[str, str] = dict(
+    sorted(
+        (
+            (broken, ch)
+            for ch in FIXABLE_CHARS
+            if (broken := _broken_form(ch)) is not None
+        ),
+        key=lambda kv: -len(kv[0]),
+    )
+)
+
+
+def fix_text(col: Column) -> Column:
+    """``col`` with every derived mojibake sequence replaced by its
+    original character — one chained literal replace per rule."""
+    out = col
+    for broken, fixed in MOJIBAKE_MAP.items():
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    return out
+
+
+def mojibake_count(col: Column) -> Column:
+    """Long column: total mojibake occurrences across all rules
+    (per-rule length-delta counting, exact)."""
+    total: Column = F.lit(0).cast("long")
+    for broken in MOJIBAKE_MAP:
+        delta = F.length(col) - F.length(
+            F.replace(col, F.lit(broken), F.lit(""))
+        )
+        # delta is divisible by len(broken) by construction; cast per
+        # term keeps every intermediate an exact integer
+        total = total + (delta / len(broken)).cast("long")
+    return total
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_fixed",
+    count_col: str | None = "n_mojibake",
+) -> DataFrame:
+    """Input + repaired text (+ optional occurrence count). Idempotent:
+    repaired output contains no broken sequence by construction."""
+    out = df
+    if count_col is not None:
+        out = out.withColumn(count_col, mojibake_count(F.col(text_col)))
+    return out.withColumn(out_col, fix_text(F.col(text_col)))

@@ -1,0 +1,56 @@
+"""Mojibake repair: the rule table is derived from the actual encoding
+round-trip, so tests pin the derivation, the exact counts, repair
+round-trips, and idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import encoding
+
+
+def _df(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_map_is_the_real_round_trip():
+    for broken, fixed in encoding.MOJIBAKE_MAP.items():
+        assert fixed.encode("utf-8").decode("cp1252") == broken
+    # undefined-cp1252-byte characters are excluded, not mis-mapped
+    assert "”" not in encoding.MOJIBAKE_MAP.values()  # ” hits 0x9d
+    # longest rules first (3-byte punctuation before 2-byte letters)
+    lens = [len(k) for k in encoding.MOJIBAKE_MAP]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_fix_repairs_forward_corruption(spark):
+    clean = "café — naïve?  don’t… straße"
+    # corrupt only the repairable chars (— and ’ and … and é and ß)
+    broken = "".join(
+        encoding._broken_form(ch) if ch in encoding.FIXABLE_CHARS else ch
+        for ch in clean
+    )
+    assert broken != clean
+    row = encoding.fix_mojibake(_df(spark, broken)).collect()[0]
+    assert row.text_fixed == clean
+    assert row.n_mojibake == sum(ch in encoding.FIXABLE_CHARS for ch in clean)
+
+
+def test_count_exact_and_clean_text_zero(spark):
+    b = encoding._broken_form("é")
+    row = encoding.fix_mojibake(_df(spark, f"x{b}y{b}z")).collect()[0]
+    assert row.n_mojibake == 2
+    clean = encoding.fix_mojibake(_df(spark, "plain ascii text")).collect()[0]
+    assert clean.n_mojibake == 0
+    assert clean.text_fixed == "plain ascii text"
+
+
+def test_idempotent(spark):
+    b = encoding._broken_form("’")
+    once = encoding.fix_mojibake(_df(spark, f"don{b}t")).collect()[0].text_fixed
+    twice = (
+        encoding.fix_mojibake(
+            _df(spark, once), text_col="text", out_col="t2", count_col="n2"
+        ).collect()[0]
+    )
+    assert twice.t2 == once and twice.n2 == 0
