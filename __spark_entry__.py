@@ -1480,6 +1480,113 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semdedup(emb, n_seeds=16, tau2_x100=9)
 
 
+def q_comment_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-density code signal (operators/code_quality.py
+    comment_line_stats, StarCoder arXiv:2305.06161 §3's comment-ratio
+    band): documents respelled one token per line, with 0-3 '# header
+    comment' lines planted by doc_id % 4 and a '// trailing note' on
+    every 7th doc. Per-lang accounting of line/comment totals and the
+    out-of-band flags; comment fraction is INTEGER basis points
+    (10000·comments div lines), so every boundary file is decided
+    identically on both engines. All scan-side JVM expressions."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    content = F.concat(
+        F.repeat(
+            F.lit("# header comment\n"), (F.col("doc_id") % 4).cast("int")
+        ),
+        F.translate(F.col("text"), " ", "\n"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\n// trailing note")
+        ).otherwise(F.lit("")),
+    )
+    stats = code_quality.comment_line_stats(d.withColumn("content", content))
+    b = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_lines").alias("total_lines"),
+        F.sum("n_comment_lines").alias("comment_lines"),
+        b("too_few_comments").alias("n_too_few"),
+        b("too_many_comments").alias("n_too_many"),
+    )
+
+
+def q_template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus template mining (operators/repetition.py
+    top_duplicated_ngrams, the Lee et al. 2021 'most common duplicated
+    substrings' report): an 8-token template header planted on every
+    5th doc yields 4 token-5-grams shared by ~20% of the corpus; the
+    top-50 grams appearing in >= 3 distinct docs come back with total
+    occurrences and doc counts, ties broken by gram ASC so the cut is
+    deterministic. Two-level hash aggregates + TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("tpl alpha beta gamma delta epsilon zeta eta "),
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return repetition.top_duplicated_ngrams(
+        planted, n=5, min_docs=3, top_k=50
+    )
+
+
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-campaign budget report: per language, how many
+    whitespace tokens the REAL pipeline's clusters save once each
+    cluster keeps only its canonical representative (keep-the-longest,
+    operators/dedup.py canonical_representatives). Composes the shared
+    pipeline run with the token counter; the fraction saved is INTEGER
+    basis points. Lang rides in on a broadcast dim join (copies map to
+    their base doc via doc_id % 1e6); oracle replays the reachability
+    CTE + the same argmax + the same token rule."""
+    res = _pipeline_result(spark, sf_dir)
+    docs = _planted_docs(spark, sf_dir)
+    keepers = canonical_representatives(
+        res.clusters, docs.select("doc_id", F.col("text").alias("content"))
+    )
+    langs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("base_id"), "lang"
+    )
+    per_doc = (
+        res.clusters.join(
+            keepers.select("component", "keeper_id"), "component"
+        )
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+            textstats.token_count(F.col("text")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .withColumn("base_id", F.col("doc_id") % 1_000_000)
+        .join(F.broadcast(langs), "base_id")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .alias("kept_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_kept_docs",
+        "total_tokens",
+        "kept_tokens",
+        (F.col("total_tokens") - F.col("kept_tokens")).alias("saved_tokens"),
+        F.expr(
+            "(10000 * (total_tokens - kept_tokens))"
+            " div greatest(total_tokens, 1L)"
+        ).alias("saved_bps"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1541,6 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_spdx_counts": q_license_spdx_counts,
         "repo_dup_fraction": q_repo_dup_fraction,
         "mojibake_repair": q_mojibake_repair,
+        "comment_density": q_comment_density,
+        "template_ngrams": q_template_ngrams,
+        "dedup_token_savings": q_dedup_token_savings,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -2882,6 +2992,76 @@ def oracle_sql() -> dict[str, str]:
             FROM files f JOIN per_sha p USING (sha)
             GROUP BY f.repo
         """,
+        # identical planted comment lines; per-line rule = prefix match
+        # after space-ltrim; the fraction is integer basis points so the
+        # band flags are bit-exact on both engines
+        "comment_density": """
+            WITH planted AS (
+              SELECT doc_id, lang,
+                     repeat('# header comment' || chr(10),
+                            CAST(doc_id % 4 AS INT))
+                     || replace(text, ' ', chr(10))
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || '// trailing note' ELSE '' END AS c
+              FROM documents
+            ), stats AS (
+              SELECT lang,
+                     len(string_split(c, chr(10))) AS n_lines,
+                     len(list_filter(string_split(c, chr(10)),
+                         x -> starts_with(ltrim(x), '#')
+                           OR starts_with(ltrim(x), '//')
+                           OR starts_with(ltrim(x), '--')
+                           OR starts_with(ltrim(x), ';'))) AS n_comment
+              FROM planted
+            ), flagged AS (
+              SELECT lang, n_lines, n_comment,
+                     (10000 * n_comment) // n_lines AS bps
+              FROM stats
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(n_lines) AS BIGINT) AS total_lines,
+                   CAST(sum(n_comment) AS BIGINT) AS comment_lines,
+                   CAST(sum(CASE WHEN bps < 100 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_too_few,
+                   CAST(sum(CASE WHEN bps > 8000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_too_many
+            FROM flagged GROUP BY lang
+        """,
+        # identical planted template header; grams built per position
+        # exactly as the operator (single-space split, n=5); same
+        # min_docs filter and (count DESC, gram ASC) deterministic cut
+        "template_ngrams": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                       THEN 'tpl alpha beta gamma delta epsilon zeta eta '
+                            || text
+                       ELSE text END AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, string_split(t, ' ') AS ts FROM planted
+            ), pos AS (
+              SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts) - 4)) AS i
+              FROM toks WHERE len(ts) >= 5
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ts, i, i + 4), ' ') AS gram
+              FROM pos
+            ), perdoc AS (
+              SELECT gram, doc_id, count(*) AS c
+              FROM grams GROUP BY gram, doc_id
+            ), pergram AS (
+              SELECT gram,
+                     CAST(sum(c) AS BIGINT) AS n_occurrences,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM perdoc GROUP BY gram
+            )
+            SELECT gram, n_occurrences, n_docs FROM pergram
+            WHERE n_docs >= 3
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 50
+        """,
         # identical derived broken forms planted; the fix chain and the
         # per-rule counts are GENERATED from the operator's rule table
         "mojibake_repair": f"""
@@ -3123,6 +3303,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.component, k.keeper_id,
                    CAST(s.cluster_size AS BIGINT) AS cluster_size
             FROM keep k JOIN sizes s USING (component)
+        """,
+        # same reachability + keep-the-longest argmax, then the identical
+        # whitespace token rule and integer-bps savings per language
+        # (copies map to their base doc's lang via doc_id % 1e6)
+        "dedup_token_savings": f"""
+            WITH RECURSIVE {edges_cte},
+            edges AS (
+              SELECT src, dst FROM exact_e
+              UNION SELECT src, dst FROM near
+              UNION SELECT src, dst FROM cont
+            ),
+            sym AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst AS u, src AS v FROM edges),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM planted
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS component
+                     FROM reach GROUP BY a),
+            scored AS (
+              SELECT c.component, c.doc_id, length(p.text) AS len
+              FROM comp c JOIN planted p USING (doc_id)
+            ),
+            keep AS (
+              SELECT component, doc_id AS keeper_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY component
+                  ORDER BY len DESC, doc_id ASC) AS rk
+                FROM scored) WHERE rk = 1
+            ),
+            perdoc AS (
+              SELECT c.doc_id, (c.doc_id = k.keeper_id) AS kept,
+                     CASE WHEN length(trim(p.text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(p.text),
+                                                         '\\s+')) END
+                       AS n_tokens,
+                     d.lang
+              FROM comp c
+              JOIN keep k USING (component)
+              JOIN planted p ON p.doc_id = c.doc_id
+              JOIN documents d ON d.doc_id = c.doc_id % 1000000
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END)
+                     AS BIGINT) AS kept_tokens,
+                   CAST(sum(n_tokens)
+                        - sum(CASE WHEN kept THEN n_tokens ELSE 0 END)
+                     AS BIGINT) AS saved_tokens,
+                   CAST((10000 * (sum(n_tokens)
+                         - sum(CASE WHEN kept THEN n_tokens ELSE 0 END)))
+                        // greatest(sum(n_tokens), 1) AS BIGINT)
+                     AS saved_bps
+            FROM perdoc GROUP BY lang
         """,
         # same reachability CTE, then the identical sha256-prefix split
         # CASE evaluated on component (safe) vs doc_id (naive contrast)

@@ -191,6 +191,9 @@ def bench_queries(spark, sf_dir: str):
         "bpe_train_merges": q("bpe_train_merges"),  # NEW r5 (iterative trainer)
         "bpe_encoded_stats": q("bpe_encoded_stats"),  # NEW r5 (train+encode)
         "ccnet_quality_buckets": q("ccnet_quality_buckets"),  # NEW r5
+        "comment_density": q("comment_density"),  # NEW r5 (comment band)
+        "template_ngrams": q("template_ngrams"),  # NEW r5 (template mining)
+        "dedup_token_savings": q("dedup_token_savings"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -100,6 +100,67 @@ def stack_quality_flags(df: DataFrame, content_col: str = "content") -> DataFram
     )
 
 
+# line-comment prefixes across the lang set a code corpus carries; a
+# prefix match after ltrim is the per-line rule — cheap, language-union
+# (a '#' line in C code still reads as commentary: shell-outs, configs)
+COMMENT_PREFIXES = ("#", "//", "--", ";")
+COMMENT_MIN_BPS = 100  # < 1% comment lines: undocumented / generated
+COMMENT_MAX_BPS = 8000  # > 80% comment lines: license boilerplate / data
+
+
+def comment_line_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    prefixes: tuple[str, ...] = COMMENT_PREFIXES,
+    min_bps: int = COMMENT_MIN_BPS,
+    max_bps: int = COMMENT_MAX_BPS,
+) -> DataFrame:
+    """Input + comment-density columns (StarCoder §3's comment-ratio
+    band, arXiv:2305.06161, as a per-line prefix rule).
+
+    Columns added: ``n_lines``, ``n_comment_lines`` (lines whose
+    space-ltrimmed form starts with any prefix), ``comment_bps``
+    (``10000·comments div lines`` — INTEGER basis points: a float ratio
+    is one ULP from flipping a boundary file, the integer never is),
+    ``too_few_comments`` / ``too_many_comments`` (outside the
+    [min_bps, max_bps] band).
+
+    Scale: the line array materializes ONCE as a column (perf finding
+    14 — inlining split into the filter lambda re-splits per line), the
+    filter is a JVM higher-order function; no shuffle, no Python, and
+    the whole block composes with the parquet scan."""
+    if not prefixes:
+        raise ValueError("prefixes must be non-empty")
+    lines_df = df.withColumn("__lines", F.split(F.col(content_col), "\n"))
+    lines = F.col("__lines")
+
+    def _is_comment(x: Column) -> Column:
+        t = F.ltrim(x)
+        pred = t.startswith(prefixes[0])
+        for p in prefixes[1:]:
+            pred = pred | t.startswith(p)
+        return pred
+
+    out = (
+        lines_df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn(
+            "n_comment_lines",
+            F.size(F.filter(lines, _is_comment)).cast("long"),
+        )
+        .drop("__lines")
+        # split() yields >= 1 element, so n_lines is never 0
+        .withColumn(
+            "comment_bps",
+            F.expr("(10000 * n_comment_lines) div n_lines"),
+        )
+    )
+    return out.withColumn(
+        "too_few_comments", F.col("comment_bps") < F.lit(int(min_bps))
+    ).withColumn(
+        "too_many_comments", F.col("comment_bps") > F.lit(int(max_bps))
+    )
+
+
 def stack_quality_filter(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Only the files every rule keeps, original columns. The predicate
     is scan-side, so Catalyst pushes it against the source."""

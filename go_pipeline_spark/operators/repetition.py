@@ -192,3 +192,48 @@ def repetition_filter(
         .select(id_col)
     )
     return df.join(bad, id_col, "left_anti")
+
+
+def top_duplicated_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (gram, n_occurrences, n_docs): the corpus's most-duplicated
+    token n-grams — the curator's template/boilerplate discovery report
+    (Lee et al. 2021, arXiv:2107.06499 §5 publish exactly this table:
+    the most common duplicated substrings drive the dedup decision).
+
+    Only grams present in >= ``min_docs`` DISTINCT documents qualify
+    (within-doc repetition is `top_ngram_stats`' job); output is the
+    top ``top_k`` by total occurrences, ties broken by gram ASC so the
+    cut is deterministic on any engine and any partitioning.
+
+    Scale (10^12 docs): gram explosion is map-side (the token array
+    materializes once — perf finding 14 — via decontaminate.token_ngrams);
+    the per-(gram, doc) collapse then the per-gram rollup are TWO-LEVEL
+    hash aggregates, so a corpus-hot gram's copies combine map-side
+    before either exchange (the N57/N80 discipline — never countDistinct);
+    the final top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    """
+    from go_pipeline_spark.operators.decontaminate import token_ngrams
+
+    if n < 1 or min_docs < 1 or top_k < 1:
+        raise ValueError("n, min_docs and top_k must all be >= 1")
+    grams = token_ngrams(df, n, text_col=text_col, id_col=id_col)
+    per_doc = grams.groupBy("gram", id_col).agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    per_gram = per_doc.groupBy("gram").agg(
+        F.sum("__occ").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        per_gram.where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(top_k)
+    )

@@ -100,3 +100,44 @@ def test_repo_dup_stats_hand_built(spark):
     assert (got["r3"].n_files, got["r3"].n_cross_dup) == (1, 0)
     assert got["r1"].dup_pct_x10000 == 5000
     assert got["r2"].dup_pct_x10000 == 10000
+
+
+# ---- comment-density band (comment_line_stats) ----
+
+def test_comment_stats_hand_checked(spark):
+    content = "# a\ncode line\n  // b\n;c\n--d\n\nmore code"
+    row = cq.comment_line_stats(_df(spark, content)).collect()[0]
+    assert row.n_lines == 7
+    assert row.n_comment_lines == 4  # '#', indented '//', ';', '--'
+    assert row.comment_bps == (10000 * 4) // 7
+
+
+def test_comment_band_boundaries_exact(spark):
+    # exactly min_bps (1 comment / 100 lines = 100 bps): NOT too few
+    at_min = "# c\n" + "x\n" * 98 + "x"
+    r = cq.comment_line_stats(_df(spark, at_min)).collect()[0]
+    assert r.n_lines == 100 and r.comment_bps == 100
+    assert not r.too_few_comments
+    # one fewer comment line: 0 bps -> too few
+    r2 = cq.comment_line_stats(_df(spark, "x\n" * 99 + "x")).collect()[0]
+    assert r2.too_few_comments
+    # exactly max_bps (4 comments / 5 lines = 8000): NOT too many
+    at_max = "# a\n# b\n# c\n# d\ncode"
+    r3 = cq.comment_line_stats(_df(spark, at_max)).collect()[0]
+    assert r3.comment_bps == 8000 and not r3.too_many_comments
+    # 5 of 5 -> 10000 bps -> too many
+    r4 = cq.comment_line_stats(_df(spark, "# a\n# b\n# c\n# d\n# e")).collect()[0]
+    assert r4.too_many_comments
+
+
+def test_comment_prefix_requires_line_start(spark):
+    # '#' mid-line is not a comment line; blank lines never count
+    row = cq.comment_line_stats(_df(spark, "x # y\n\ncode")).collect()[0]
+    assert row.n_comment_lines == 0
+
+
+def test_comment_stats_empty_prefixes_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        cq.comment_line_stats(_df(spark, "x"), prefixes=())

@@ -82,3 +82,55 @@ def test_filter_passes_all_columns_through(spark):
     out = repetition.repetition_filter(df)
     assert out.columns == ["doc_id", "text", "lang"]
     assert out.count() == 1
+
+
+# ---- corpus template mining (top_duplicated_ngrams) ----
+
+def test_top_duplicated_ngrams_planted(spark):
+    tpl = "one two three four five"
+    df = _docs(
+        spark,
+        [
+            (1, tpl + " tail a"),
+            (2, tpl + " tail b"),
+            (3, tpl + " tail c"),
+            (4, "entirely different words here now"),
+        ],
+    )
+    rows = repetition.top_duplicated_ngrams(df, n=5, min_docs=3).collect()
+    grams = {r.gram: r for r in rows}
+    assert tpl in grams
+    assert grams[tpl].n_docs == 3 and grams[tpl].n_occurrences == 3
+    # grams crossing into the unique tails are in 1 doc each: filtered
+    assert all(r.n_docs >= 3 for r in rows)
+
+
+def test_top_duplicated_ngrams_counts_within_doc_occurrences(spark):
+    # "a b a b a b" has gram "a b" at... use n=2: positions 1-5 give
+    # 'a b','b a','a b','b a','a b' -> total 3 + 2; plus doc 2's one
+    df = _docs(spark, [(1, "a b a b a b"), (2, "a b z")])
+    rows = repetition.top_duplicated_ngrams(df, n=2, min_docs=2).collect()
+    g = {r.gram: r for r in rows}
+    assert g["a b"].n_occurrences == 4 and g["a b"].n_docs == 2
+    assert "b a" not in g  # only doc 1
+
+
+def test_top_duplicated_ngrams_deterministic_cut(spark):
+    # two grams tie on occurrences at the top_k boundary: gram ASC wins
+    df = _docs(spark, [(1, "p q\nx y"), (2, "p q x y")])
+    # use n=2 over space-split: doc1 tokens ['p','q\nx','y'] differ from
+    # doc2; instead plant exact two shared bigrams via identical texts
+    df = _docs(spark, [(1, "p q"), (2, "p q"), (3, "x y"), (4, "x y")])
+    out = repetition.top_duplicated_ngrams(df, n=2, min_docs=2, top_k=1)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].gram == "p q"  # tie -> ASC
+
+
+def test_top_duplicated_ngrams_validates_params(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        repetition.top_duplicated_ngrams(df, n=0)
+    with pytest.raises(ValueError):
+        repetition.top_duplicated_ngrams(df, top_k=0)
