@@ -66,6 +66,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
 )
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators import code_quality  # noqa: E402
+from go_pipeline_spark.operators import code_units  # noqa: E402
 from go_pipeline_spark.operators import encoding  # noqa: E402
 from go_pipeline_spark.operators import shards  # noqa: E402
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
@@ -1587,6 +1588,66 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-granularity dedup (operators/code_units.py, the DejaVu
+    duplication mode): the input_hint source-files table respelled as
+    3-function files — content split into thirds by integer substring
+    arithmetic, each third newline-respelled under a 'def fj:' header
+    (bodies contain no spaces, so they can never fake a header) — then
+    split back by the operator and rolled up per repo. Fork files
+    (every 10th doc) duplicate all three functions cross-repo. The
+    oracle constructs the expected units DIRECTLY from the planting
+    layout, so it independently checks the splitter's output strings,
+    not just the rollup."""
+    files = _source_files(spark, sf_dir)
+    c = F.col("content")
+    third = F.expr("length(content) div 3")
+    t1 = c.substr(F.lit(1), third)
+    t2 = c.substr(third + 1, third)
+    t3 = c.substr(third * 2 + 1, F.length(c) - third * 2)
+    tr = lambda col: F.translate(col, " ", "\n")  # noqa: E731
+    planted = files.withColumn(
+        "content",
+        F.concat(
+            F.lit("def f1:\n"), tr(t1),
+            F.lit("\ndef f2:\n"), tr(t2),
+            F.lit("\ndef f3:\n"), tr(t3),
+        ),
+    )
+    units = code_units.function_units(planted)
+    return code_units.duplicate_function_stats(units)
+
+
+def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/selection.py): keep the
+    highest-quality docs until 25k training tokens are spent — quality
+    = integer alnum basis points, weight = whitespace tokens, order
+    (score DESC, doc_id ASC), a doc selected iff its INCLUSIVE running
+    total fits. The three-level distributed cumsum must be bit-equal to
+    the oracle's flat window; per-lang selected/total accounting."""
+    from go_pipeline_spark.operators import selection
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "(10000 * (length(text)"
+            " - length(regexp_replace(text, '[A-Za-z0-9]', ''))))"
+            " div greatest(length(text), 1L)"
+        ).alias("score"),
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    sel = selection.select_to_token_budget(scored, budget=12_000)
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("selected").cast("int")).cast("long").alias("n_selected"),
+        F.sum(F.when(F.col("selected"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .alias("sel_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1651,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_density": q_comment_density,
         "template_ngrams": q_template_ngrams,
         "dedup_token_savings": q_dedup_token_savings,
+        "function_dedup": q_function_dedup,
+        "budget_selection": q_budget_selection,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -3061,6 +3124,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, n_occurrences, n_docs FROM pergram
             WHERE n_docs >= 3
             ORDER BY n_occurrences DESC, gram ASC LIMIT 50
+        """,
+        # the expected units are constructed DIRECTLY from the planting
+        # layout (header || newline-respelled third), independently of the
+        # operator's splitter — bodies contain no spaces, so no body line
+        # can start with 'def ' and the layout is the full unit set
+        "function_dedup": """
+            WITH files AS (
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                     text
+              FROM documents
+              UNION ALL
+              SELECT 'fork-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                     text
+              FROM documents WHERE doc_id % 10 = 0
+            ), units AS (
+              SELECT repo, path,
+                     'def f' || CAST(j AS VARCHAR) || ':' || chr(10) ||
+                     replace(
+                       CASE j
+                         WHEN 1 THEN substring(text, 1, length(text) // 3)
+                         WHEN 2 THEN substring(text, length(text) // 3 + 1,
+                                               length(text) // 3)
+                         ELSE substring(text, 2 * (length(text) // 3) + 1,
+                                        length(text)
+                                        - 2 * (length(text) // 3))
+                       END, ' ', chr(10)) AS unit
+              FROM files
+              CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) s
+            ), per_sha AS (
+              SELECT sha, count(*) AS n_files FROM (
+                SELECT DISTINCT sha256(unit) AS sha, repo, path FROM units
+              ) GROUP BY sha
+            )
+            SELECT u.repo,
+                   CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(CASE WHEN p.n_files >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dup_units,
+                   CAST((10000 *
+                         sum(CASE WHEN p.n_files >= 2 THEN 1 ELSE 0 END))
+                        // count(*) AS BIGINT) AS dup_bps_x10000
+            FROM units u JOIN per_sha p ON sha256(u.unit) = p.sha
+            GROUP BY u.repo
+        """,
+        # the engine's three-level decomposed cumsum must be bit-equal
+        # to this flat window in (score DESC, doc_id ASC) order
+        "budget_selection": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     (10000 * (length(text)
+                       - length(regexp_replace(text, '[A-Za-z0-9]', '',
+                                               'g'))))
+                     // greatest(length(text), 1) AS score,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+')) END AS w
+              FROM documents
+            ), cum AS (
+              SELECT lang, w,
+                     sum(w) OVER (ORDER BY score DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c
+              FROM scored
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN c <= 12000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_selected,
+                   CAST(sum(CASE WHEN c <= 12000 THEN w ELSE 0 END)
+                     AS BIGINT) AS sel_tokens,
+                   CAST(sum(w) AS BIGINT) AS total_tokens
+            FROM cum GROUP BY lang
         """,
         # identical derived broken forms planted; the fix chain and the
         # per-rule counts are GENERATED from the operator's rule table

@@ -194,6 +194,8 @@ def bench_queries(spark, sf_dir: str):
         "comment_density": q("comment_density"),  # NEW r5 (comment band)
         "template_ngrams": q("template_ngrams"),  # NEW r5 (template mining)
         "dedup_token_savings": q("dedup_token_savings"),  # NEW r5
+        "function_dedup": q("function_dedup"),  # NEW r5 (unit granularity)
+        "budget_selection": q("budget_selection"),  # NEW r5 (global cumsum)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,105 @@
+"""Corpus selection under a token budget: greedy highest-quality-first.
+
+The last decision of a data-curation campaign is not a per-doc filter
+but a GLOBAL one: "spend B training tokens on the best documents"
+(the selection step of quality-pruning recipes — e.g. the perplexity-
+ranked selection in CCNet, Wenzek et al. 2020, arXiv:1911.00359, and
+the quality-bucket budgeting LLM corpus reports publish). That is an
+ordered prefix-sum over the whole corpus — the one aggregation shape
+that naively funnels 10^12 rows through a single sorted partition.
+
+This module computes the exact inclusive running sum in the order
+(score DESC, id ASC) with a THREE-LEVEL decomposition instead:
+
+1. per-score totals -> one cumulative window over the score DOMAIN
+   (bounded: scores are integer basis points, <= ~10^4 distinct rows —
+   the N74/N83 histogram discipline: windows over domains, not rows);
+2. within a score, per-(id div 2^bits) sub-bucket totals -> a window
+   partitioned BY SCORE over sub-bucket ids (integer division is
+   monotone, so sub-bucket ASC refines id ASC exactly);
+3. a row-level running sum partitioned by (score, sub-bucket) —
+   every window partition is bounded by 2^bits rows by construction.
+
+cum = score_offset + sub_offset + within-group running sum. Every term
+is an int64 sum of int64 weights, so the decomposition is bit-equal to
+the flat window on any engine and any partitioning (pinned by test,
+including sub-bucket-width invariance). A doc is selected iff its
+INCLUSIVE cumulative weight fits the budget — the straddling document
+is excluded, never truncated.
+
+No reference analogue; part of the LLM training-data prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    sub_bucket_bits: int = 20,
+) -> DataFrame:
+    """Input + ``cum_weight`` (inclusive, in (score DESC, id ASC) order)
+    + ``selected`` (cum_weight <= budget). Exact integer arithmetic
+    end to end; ties are impossible because (score, id) is unique per
+    row. See module docstring for the decomposition."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if sub_bucket_bits < 0 or sub_bucket_bits > 62:
+        raise ValueError("sub_bucket_bits must be in [0, 62]")
+    score, w, i = F.col(score_col), F.col(weight_col), F.col(id_col)
+    width = 1 << sub_bucket_bits
+    base = df.withColumn("__sub", F.expr(f"{id_col} div {width}L"))
+
+    # level 1: offsets over the score domain (tiny single-partition
+    # window — |distinct scores|, never |docs|)
+    w_score = Window.orderBy(F.desc(score_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_score = (
+        base.groupBy(score_col)
+        .agg(F.sum(w).cast("long").alias("__score_total"))
+        .withColumn(
+            "__score_off",
+            F.coalesce(F.sum("__score_total").over(w_score), F.lit(0)),
+        )
+        .drop("__score_total")
+    )
+
+    # level 2: sub-bucket offsets, distributed by score
+    w_sub = Window.partitionBy(score_col).orderBy("__sub").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_sub = (
+        base.groupBy(score_col, "__sub")
+        .agg(F.sum(w).cast("long").alias("__sub_total"))
+        .withColumn(
+            "__sub_off",
+            F.coalesce(F.sum("__sub_total").over(w_sub), F.lit(0)),
+        )
+        .drop("__sub_total")
+    )
+
+    # level 3: running sum inside each (score, sub-bucket) group —
+    # bounded by 2^bits rows per partition by construction
+    w_row = Window.partitionBy(score_col, "__sub").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        base.withColumn("__run", F.sum(w).over(w_row).cast("long"))
+        .join(F.broadcast(per_score), score_col)
+        .join(per_sub, [score_col, "__sub"])
+        .withColumn(
+            "cum_weight",
+            F.col("__score_off") + F.col("__sub_off") + F.col("__run"),
+        )
+        .withColumn("selected", F.col("cum_weight") <= F.lit(int(budget)))
+        .drop("__sub", "__run", "__score_off", "__sub_off")
+    )
+    return out

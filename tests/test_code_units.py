@@ -1,0 +1,83 @@
+"""Function-unit splitter + unit-granularity dedup rollup: hand-checked
+splits (preamble, empty bodies, trailing header, no headers) and a
+hand-built cross-file duplicate table."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators import code_units as cu
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string"
+    )
+
+
+def _units(spark, content):
+    df = _files(spark, [("r", "p", content)])
+    return [
+        (r.unit_idx, r.unit)
+        for r in cu.function_units(df).orderBy("unit_idx").collect()
+    ]
+
+
+def test_split_hand_checked(spark):
+    content = "import os\n\ndef a():\n  x\n  y\ndef b():\n  z"
+    assert _units(spark, content) == [
+        (0, "def a():\n  x\n  y"),
+        (1, "def b():\n  z"),
+    ]
+
+
+def test_preamble_only_file_has_no_units(spark):
+    assert _units(spark, "just\nplain\nlines") == []
+
+
+def test_consecutive_headers_and_trailing_header(spark):
+    # empty body between headers; a header on the last line is a unit
+    assert _units(spark, "def a:\ndef b:\nbody\ndef c:") == [
+        (0, "def a:"),
+        (1, "def b:\nbody"),
+        (2, "def c:"),
+    ]
+
+
+def test_header_must_be_line_start_with_space(spark):
+    # indented 'def' and 'definitely' are not headers
+    assert _units(spark, "  def a():\ndefinitely not\ndef x:\nb") == [
+        (0, "def x:\nb")
+    ]
+
+
+def test_units_concat_reconstructs_from_first_header(spark):
+    content = "pre\ndef a:\n1\n2\ndef b:\n3"
+    units = [u for _, u in _units(spark, content)]
+    assert "\n".join(units) == content[len("pre\n"):]
+
+
+def test_empty_prefix_rejected(spark):
+    with pytest.raises(ValueError):
+        cu.function_units(_files(spark, [("r", "p", "x")]), header_prefix="")
+
+
+def test_duplicate_stats_cross_file_only(spark):
+    # unit 'def a:\nshared' is in 2 files (distinct paths); 'def b:\nsolo'
+    # appears twice WITHIN one file only -> not a cross-file dup
+    df = _files(
+        spark,
+        [
+            ("r1", "p1", "def a:\nshared\ndef b:\nsolo\ndef b:\nsolo"),
+            ("r2", "p2", "def a:\nshared\ndef c:\nother"),
+        ],
+    )
+    units = cu.function_units(df)
+    rows = {
+        r.repo: r
+        for r in cu.duplicate_function_stats(units).collect()
+    }
+    assert rows["r1"].n_units == 3 and rows["r1"].n_dup_units == 1
+    assert rows["r2"].n_units == 2 and rows["r2"].n_dup_units == 1
+    assert rows["r1"].dup_bps_x10000 == 10000 // 3
+    assert rows["r2"].dup_bps_x10000 == 5000

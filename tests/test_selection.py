@@ -1,0 +1,98 @@
+"""Token-budget selection: the three-level decomposed cumsum must be
+bit-equal to a flat python reference; boundary and width-invariance
+cases pinned."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators import selection
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, score long, n_tokens long"
+    )
+
+
+def _reference(rows, budget):
+    out = {}
+    cum = 0
+    for doc_id, score, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += w
+        out[doc_id] = (cum, cum <= budget)
+    return out
+
+
+def _run(spark, rows, budget, **kw):
+    df = _df(spark, rows)
+    got = selection.select_to_token_budget(df, budget, **kw).collect()
+    return {r.doc_id: (r.cum_weight, r.selected) for r in got}
+
+
+def test_matches_flat_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(0, 5), rng.randrange(0, 40)) for i in range(200)
+    ]
+    budget = 900
+    assert _run(spark, rows, budget) == _reference(rows, budget)
+
+
+def test_inclusive_boundary_exact(spark):
+    rows = [(1, 2, 10), (2, 1, 10), (3, 0, 10)]
+    # budget exactly covers the first two docs: both selected, third not
+    got = _run(spark, rows, 20)
+    assert got == {1: (10, True), 2: (20, True), 3: (30, False)}
+    # one token less: the straddling doc 2 is EXCLUDED, never truncated
+    got = _run(spark, rows, 19)
+    assert got[2] == (20, False)
+
+
+def test_same_score_ordered_by_id(spark):
+    rows = [(5, 1, 10), (1, 1, 10), (9, 1, 10)]
+    got = _run(spark, rows, 20)
+    assert got[1][1] and got[5][1] and not got[9][1]
+
+
+def test_sub_bucket_width_invariance(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(0, 10_000_000), s, rng.randrange(0, 9))
+        for s in range(40)
+        for _ in range(5)
+    ]
+    rows = [(i * 17 + r[0] % 13, r[1], r[2]) for i, r in enumerate(rows)]
+    a = _run(spark, rows, 300, sub_bucket_bits=0)
+    b = _run(spark, rows, 300, sub_bucket_bits=3)
+    c = _run(spark, rows, 300, sub_bucket_bits=20)
+    assert a == b == c
+
+
+def test_repartition_invariance(spark):
+    rows = [(i, i % 7, (i * 3) % 11) for i in range(100)]
+    df = _df(spark, rows).repartition(13)
+    got = {
+        r.doc_id: (r.cum_weight, r.selected)
+        for r in selection.select_to_token_budget(df, 150).collect()
+    }
+    assert got == _reference(rows, 150)
+
+
+def test_param_validation(spark):
+    df = _df(spark, [(1, 1, 1)])
+    with pytest.raises(ValueError):
+        selection.select_to_token_budget(df, -1)
+    with pytest.raises(ValueError):
+        selection.select_to_token_budget(df, 10, sub_bucket_bits=63)
+
+
+def test_zero_budget_selects_nothing_with_zero_weights_edge(spark):
+    # zero-weight docs at the top still "fit" a zero budget (cum == 0)
+    rows = [(1, 5, 0), (2, 4, 3)]
+    got = _run(spark, rows, 0)
+    assert got[1] == (0, True) and got[2] == (3, False)
