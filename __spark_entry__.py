@@ -1648,6 +1648,33 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal (operators/markup.py): documents wrapped in a
+    deterministic HTML frame (script/style/comment blocks, heading,
+    entity-laden footer) and stripped back to visible text — per doc
+    the clean string plus raw/clean length accounting. The oracle runs
+    the IDENTICAL RE2-compatible patterns and the same amp-last entity
+    chain; hash equality is on the full cleaned strings."""
+    from go_pipeline_spark.operators import markup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    content = F.concat(
+        F.lit(
+            '<html><!-- nav\nbar --><head><script type="x">var a = 1 < 2;'
+            "</script><style>p { color: red; }</style></head>"
+            "<body><h1>Doc</h1><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><div class="f">&amp; &lt;b&gt; &quot;q&#39; &nbsp;end'
+            "</div></body></html>"
+        ),
+    )
+    return markup.strip_markup_docs(
+        d.withColumn("content", content)
+    ).select("doc_id", "clean", "n_raw", "n_clean")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1714,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_savings": q_dedup_token_savings,
         "function_dedup": q_function_dedup,
         "budget_selection": q_budget_selection,
+        "html_strip": q_html_strip,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -3197,6 +3225,41 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS sel_tokens,
                    CAST(sum(w) AS BIGINT) AS total_tokens
             FROM cum GROUP BY lang
+        """,
+        # identical planted frame; identical RE2 patterns ((?is) inline
+        # flags, non-greedy), identical amp-LAST entity order
+        "html_strip": """
+            WITH planted AS (
+              SELECT doc_id,
+                     '<html><!-- nav' || chr(10)
+                     || 'bar --><head><script type="x">var a = 1 < 2;'
+                     || '</script><style>p { color: red; }</style></head>'
+                     || '<body><h1>Doc</h1><p>'
+                     || text
+                     || '</p><div class="f">&amp; &lt;b&gt; &quot;q&#39;'
+                     || ' &nbsp;end</div></body></html>' AS c
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id, c,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(c,
+                            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?s)<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                  '\\s+', ' ', 'g')) AS clean
+              FROM planted
+            )
+            SELECT doc_id, clean,
+                   CAST(length(c) AS BIGINT) AS n_raw,
+                   CAST(length(clean) AS BIGINT) AS n_clean
+            FROM stripped
         """,
         # identical derived broken forms planted; the fix chain and the
         # per-rule counts are GENERATED from the operator's rule table

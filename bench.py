@@ -196,6 +196,7 @@ def bench_queries(spark, sf_dir: str):
         "dedup_token_savings": q("dedup_token_savings"),  # NEW r5
         "function_dedup": q("function_dedup"),  # NEW r5 (unit granularity)
         "budget_selection": q("budget_selection"),  # NEW r5 (global cumsum)
+        "html_strip": q("html_strip"),  # NEW r5 (markup removal)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,69 @@
+"""Markup stripping: HTML → visible text, as scan-side JVM expressions.
+
+The extraction step every crawl-derived corpus runs before any quality
+or dedup stage (CCNet/RefinedWeb describe it as boilerplate+markup
+removal). This is the regex rung of that ladder — script/style/comment
+blocks dropped, tags dropped, the common entities unescaped, whitespace
+collapsed — NOT a browser-grade parser (no DOM, no CSS visibility); the
+point is a deterministic, engine-portable transform for the 90% case.
+
+Discipline (matches operators/redact.py / urls.py):
+- every pattern is RE2-compatible (inline ``(?is)`` flags + non-greedy,
+  no lookaround/backreferences) so the IDENTICAL strings run on Spark's
+  java.util.regex and DuckDB's RE2;
+- the whole transform is one chained column expression — no shuffle, no
+  Python, whole-stage codegen, composes with the parquet scan;
+- entity unescape order is load-bearing: ``&amp;`` is replaced LAST so
+  double-escaped text (``&amp;lt;``) unescapes one level per pass
+  (``&lt;``), never jumping straight to ``<``.
+
+No reference analogue; part of the LLM training-data prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# order matters: block contents first (their bodies may contain '<'),
+# then comments, then remaining tags
+BLOCK_PATTERNS = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]+>",
+)
+
+# (entity, replacement); '&amp;' LAST — see module docstring
+ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column) -> Column:
+    """Visible text of an HTML-ish string: blocks/comments/tags → one
+    space, entities unescaped, whitespace collapsed and trimmed."""
+    out = col
+    for pat in BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
+    for ent, rep in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_markup_docs(
+    df: DataFrame, content_col: str = "content", out_col: str = "clean"
+) -> DataFrame:
+    """Input + ``out_col`` (stripped text) + ``n_raw`` / ``n_clean``
+    length accounting (the curator's markup-overhead measure)."""
+    return (
+        df.withColumn(out_col, strip_markup(F.col(content_col)))
+        .withColumn("n_raw", F.length(F.col(content_col)).cast("long"))
+        .withColumn("n_clean", F.length(F.col(out_col)).cast("long"))
+    )

@@ -1,0 +1,43 @@
+"""Markup stripping: hand-checked block/tag/entity/whitespace cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import markup
+
+
+def _strip(spark, s):
+    df = spark.createDataFrame([(s,)], "c string")
+    return df.select(markup.strip_markup(F.col("c")).alias("o")).collect()[0].o
+
+
+def test_script_with_tags_and_lt_inside_is_dropped(spark):
+    s = '<p>keep</p><script a="b">if (1 < 2) { x("<div>"); }</script><p>too</p>'
+    assert _strip(spark, s) == "keep too"
+
+
+def test_style_and_multiline_comment_dropped(spark):
+    s = "a<style>p{}</style>b<!-- line1\nline2 -->c"
+    assert _strip(spark, s) == "a b c"
+
+
+def test_entities_unescape_one_level_amp_last(spark):
+    assert _strip(spark, "&lt;b&gt; &quot;q&#39; &nbsp;x &amp; y") == '<b> "q\' x & y'
+    # double-escaped stays one level down, never jumps to '<'
+    assert _strip(spark, "&amp;lt;") == "&lt;"
+
+
+def test_whitespace_collapsed_and_trimmed(spark):
+    assert _strip(spark, "  <p>a</p>\n\t<p>b</p>  ") == "a b"
+
+
+def test_plain_text_passthrough(spark):
+    assert _strip(spark, "no markup at all") == "no markup at all"
+
+
+def test_strip_markup_docs_accounting(spark):
+    df = spark.createDataFrame([(1, "<b>hi</b>")], "doc_id long, content string")
+    row = markup.strip_markup_docs(df).collect()[0]
+    assert row.clean == "hi"
+    assert row.n_raw == 9 and row.n_clean == 2
