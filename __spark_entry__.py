@@ -1675,6 +1675,32 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "clean", "n_raw", "n_clean")
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change report (operators/snapshot_diff.py): old = the
+    documents table; new = the same table with every 7th doc's text
+    appended ' v2' (changed), every 11th dropped (removed), and a new
+    doc planted per 13th id (added, id+2e6). One full-outer join on
+    (id, sha) pairs — content never shuffles — and one aggregate. The
+    oracle replays the identical snapshot derivation and join."""
+    from go_pipeline_spark.operators import snapshot_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    changed = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("content"), F.lit(" v2"))
+    ).otherwise(F.col("content"))
+    new = (
+        d.withColumn("content", changed)
+        .where(F.col("doc_id") % 11 != 0)
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("content")).alias("content"),
+            )
+        )
+    )
+    return snapshot_diff.corpus_diff_stats(d, new)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1742,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_dedup": q_function_dedup,
         "budget_selection": q_budget_selection,
         "html_strip": q_html_strip,
+        "corpus_diff": q_corpus_diff,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -3260,6 +3287,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(c) AS BIGINT) AS n_raw,
                    CAST(length(clean) AS BIGINT) AS n_clean
             FROM stripped
+        """,
+        # identical snapshot derivation (a %7-changed doc that is also
+        # %11 counts as removed — the filter applies to the NEW side);
+        # sha compare is within-engine only
+        "corpus_diff": """
+            WITH old AS (
+              SELECT doc_id, text AS content FROM documents
+            ), new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN content || ' v2'
+                          ELSE content END AS content
+              FROM old WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, 'new ' || content
+              FROM old WHERE doc_id % 13 = 0
+            ), j AS (
+              SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN sha256(o.content) = sha256(n.content)
+                            THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+            FROM j GROUP BY status
         """,
         # identical derived broken forms planted; the fix chain and the
         # per-rule counts are GENERATED from the operator's rule table

@@ -197,6 +197,7 @@ def bench_queries(spark, sf_dir: str):
         "function_dedup": q("function_dedup"),  # NEW r5 (unit granularity)
         "budget_selection": q("budget_selection"),  # NEW r5 (global cumsum)
         "html_strip": q("html_strip"),  # NEW r5 (markup removal)
+        "corpus_diff": q("corpus_diff"),  # NEW r5 (snapshot change report)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,70 @@
+"""Corpus snapshot diff: added / removed / changed / unchanged between
+two versions of a document table.
+
+The reporting complement of the incremental-dedup path
+(plans/incremental.py): before re-running dedup on a new crawl or repo
+snapshot, the curator asks what actually changed. Answered as one
+full-outer join on the id with a content-hash compare — the only
+corpus-sized structures shuffled are (id, 32-byte sha) pairs, never
+content, and the hash is used strictly within-engine (each side may
+substitute its native sha256).
+
+Scale (10^12 rows): one shuffle per side on the id (or zero if both
+snapshots are bucketed/partitioned by id — the join then co-locates),
+one hash aggregate for the rollup. The per-row output is a lazy
+DataFrame, so callers can anti-filter ("only changed docs") and keep
+the pipeline O(delta) downstream, which is exactly what
+plans/incremental.py does with the surviving ids.
+
+No reference analogue; part of the LLM training-data prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATUSES = ("added", "removed", "changed", "unchanged")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """-> (id_col, status): one row per doc present in either snapshot.
+
+    ``added`` = only in new, ``removed`` = only in old, ``changed`` =
+    both sides with different content bytes, ``unchanged`` otherwise."""
+    a = old.select(
+        F.col(id_col),
+        F.sha2(F.col(content_col), 256).alias("__sha_old"),
+    )
+    b = new.select(
+        F.col(id_col),
+        F.sha2(F.col(content_col), 256).alias("__sha_new"),
+    )
+    j = a.join(b, id_col, "full_outer")
+    status = (
+        F.when(F.col("__sha_old").isNull(), F.lit("added"))
+        .when(F.col("__sha_new").isNull(), F.lit("removed"))
+        .when(F.col("__sha_old") == F.col("__sha_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_stats(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """-> (status, n_docs): the four-line change report, one aggregate."""
+    return (
+        corpus_diff(old, new, id_col, content_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

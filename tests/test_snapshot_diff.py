@@ -1,0 +1,40 @@
+"""Snapshot diff: all four statuses on a hand-built pair of corpora."""
+
+from __future__ import annotations
+
+from go_pipeline_spark.operators import snapshot_diff
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_all_four_statuses(spark):
+    old = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _df(spark, [(1, "a"), (2, "B"), (4, "d")])
+    got = {
+        r.doc_id: r.status
+        for r in snapshot_diff.corpus_diff(old, new).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_stats_rollup(spark):
+    old = _df(spark, [(1, "a"), (2, "b")])
+    new = _df(spark, [(1, "a"), (2, "b2"), (3, "c"), (4, "d")])
+    got = {
+        r.status: r.n_docs
+        for r in snapshot_diff.corpus_diff_stats(old, new).collect()
+    }
+    assert got == {"unchanged": 1, "changed": 1, "added": 2}
+
+
+def test_empty_sides(spark):
+    old = _df(spark, [(1, "a")])
+    new = _df(spark, []) if False else spark.createDataFrame(
+        [], "doc_id long, content string"
+    )
+    got = snapshot_diff.corpus_diff(old, new).collect()
+    assert [(r.doc_id, r.status) for r in got] == [(1, "removed")]
+    got2 = snapshot_diff.corpus_diff(new, old).collect()
+    assert [(r.doc_id, r.status) for r in got2] == [(1, "added")]
