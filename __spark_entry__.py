@@ -66,6 +66,8 @@ from go_pipeline_spark.operators import (  # noqa: E402
 )
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators import code_quality  # noqa: E402
+from go_pipeline_spark.operators import deps  # noqa: E402
+from go_pipeline_spark.operators import path_rules  # noqa: E402
 from go_pipeline_spark.operators import code_units  # noqa: E402
 from go_pipeline_spark.operators import encoding  # noqa: E402
 from go_pipeline_spark.operators import shards  # noqa: E402
@@ -1701,6 +1703,97 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff.corpus_diff_stats(d, new)
 
 
+# path plant: (prefix, suffix) templates cycled by doc_id % 8, one per
+# triage class (vendored, lockfile, generated, minified, build_dir,
+# test, docs, source) — doc_id keeps every path unique
+_PATH_PREFIXES = [
+    "node_modules/pkg", "pkg", "api/svc", "assets/app",
+    "dist/main", "tests/test_f", "docs/guide", "src/f",
+]
+_PATH_SUFFIXES = [
+    "/index.js", "/Cargo.lock", ".pb.go", ".min.js",
+    ".js", ".py", ".md", ".py",
+]
+
+
+def q_path_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-based corpus triage (operators/path_rules.py, The Stack's
+    pre-content filter): paths planted deterministically from doc_id,
+    one template per triage class, classified by the RE2-compatible
+    rule set under the fixed priority CASE and rolled up per
+    (lang, path_class). Classification is scan-side; the oracle
+    replays the identical patterns via regexp_matches — the CASE is
+    GENERATED from the same PATH_RULES table, so it cannot drift."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    idx = (F.col("doc_id") % 8 + 1).cast("int")
+    path = F.concat(
+        F.element_at(F.array(*[F.lit(p) for p in _PATH_PREFIXES]), idx),
+        F.col("doc_id").cast("string"),
+        F.element_at(F.array(*[F.lit(s) for s in _PATH_SUFFIXES]), idx),
+    )
+    return path_rules.path_class_counts(d.withColumn("path", path), by="lang")
+
+
+def q_import_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-dependency popularity (operators/deps.py, the StarCoder
+    dependency-mining stage): languages and import headers planted
+    deterministically from doc_id (python/go/javascript/java cycling;
+    every 3rd doc gains a second statement), extracted by the per-lang
+    RE2-compatible patterns, rolled up to (lang, root module, n_refs,
+    n_docs). The oracle runs the IDENTICAL pattern strings (generated
+    from IMPORT_PATTERNS) through DuckDB's regexp_extract_all and the
+    same root-segment rule, over the same planted strings — matches in
+    the natural text tail are engine-identical by construction."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lang = F.element_at(
+        F.array(
+            F.lit("python"), F.lit("go"), F.lit("javascript"), F.lit("java")
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    third = F.col("doc_id") % 3 == 0
+    empty = F.lit("")
+    header = (
+        F.when(
+            lang == "python",
+            F.concat(
+                F.lit("import numpy\nfrom os.path import join\n"),
+                F.when(third, F.lit("import pandas.core\n")).otherwise(empty),
+            ),
+        )
+        .when(
+            lang == "go",
+            F.concat(
+                F.lit('import "fmt"\n'),
+                F.when(third, F.lit('import "net/http"\n')).otherwise(empty),
+            ),
+        )
+        .when(
+            lang == "javascript",
+            F.concat(
+                F.lit("import React from 'react'\n"),
+                F.when(
+                    third, F.lit("const g = require('lodash/get')\n")
+                ).otherwise(empty),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("import java.util.List;\n"),
+                F.when(
+                    third, F.lit("import static org.junit.Assert.eq;\n")
+                ).otherwise(empty),
+            )
+        )
+    )
+    planted = d.select(
+        "doc_id",
+        lang.alias("lang"),
+        F.concat(header, F.col("text")).alias("content"),
+    )
+    return deps.dependency_counts(planted)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1769,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_selection": q_budget_selection,
         "html_strip": q_html_strip,
         "corpus_diff": q_corpus_diff,
+        "path_triage": q_path_triage,
+        "import_deps": q_import_deps,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -1790,6 +1885,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # operator uses (operators/encoding.MOJIBAKE_MAP) so oracle and engine
 # cannot drift: a nested literal-replace chain over column `t` / `f`,
 # and per-rule exact occurrence counts via character-length deltas.
+def _path_class_sql(col: str) -> str:
+    """Priority CASE generated from operators/path_rules.PATH_RULES —
+    the oracle classifies with the literally identical pattern strings
+    (RE2-compatible by construction), so rule edits cannot drift."""
+    whens = "".join(
+        f" WHEN regexp_matches({col}, '{path_rules.PATH_RULES[name]}')"
+        f" THEN '{name}'"
+        for name in path_rules.CLASS_PRIORITY
+    )
+    return f"CASE{whens} ELSE 'source' END"
+
+
+def _import_branches_sql() -> str:
+    """Per-language UNION ALL extraction generated from
+    operators/deps.IMPORT_PATTERNS (single quotes doubled for SQL)."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, lang, unnest(regexp_extract_all(c, "
+        f"'{pat.replace(chr(39), chr(39) * 2)}', 1)) AS module_path "
+        f"FROM planted WHERE lang = '{lang}'"
+        for lang, pat in deps.IMPORT_PATTERNS.items()
+    )
+
+
 def _mojibake_fix_sql(col: str) -> str:
     expr = col
     for broken, fixed in encoding.MOJIBAKE_MAP.items():
@@ -3312,6 +3430,82 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT status, CAST(count(*) AS BIGINT) AS n_docs
             FROM j GROUP BY status
+        """,
+        # identical planted path templates; the priority CASE is
+        # GENERATED from PATH_RULES, so both engines run the same RE2
+        # patterns under the same first-match-wins order
+        "path_triage": f"""
+            WITH planted AS (
+              SELECT lang,
+                     lower(
+                       list_extract(
+                         ['node_modules/pkg', 'pkg', 'api/svc', 'assets/app',
+                          'dist/main', 'tests/test_f', 'docs/guide', 'src/f'],
+                         CAST(doc_id % 8 + 1 AS INT))
+                       || CAST(doc_id AS VARCHAR)
+                       || list_extract(
+                         ['/index.js', '/Cargo.lock', '.pb.go', '.min.js',
+                          '.js', '.py', '.md', '.py'],
+                         CAST(doc_id % 8 + 1 AS INT))
+                     ) AS p
+              FROM documents
+            )
+            SELECT lang, {_path_class_sql("p")} AS path_class,
+                   CAST(count(*) AS BIGINT) AS n_files
+            FROM planted GROUP BY lang, path_class
+        """,
+        # identical planted headers + the same generated pattern strings;
+        # root-module rule replayed segment for segment
+        "import_deps": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     list_extract(['python', 'go', 'javascript', 'java'],
+                                  CAST(doc_id % 4 + 1 AS INT)) AS lang,
+                     CASE list_extract(['python', 'go', 'javascript', 'java'],
+                                       CAST(doc_id % 4 + 1 AS INT))
+                       WHEN 'python' THEN
+                         'import numpy' || chr(10)
+                         || 'from os.path import join' || chr(10)
+                         || CASE WHEN doc_id % 3 = 0
+                            THEN 'import pandas.core' || chr(10)
+                            ELSE '' END
+                       WHEN 'go' THEN
+                         'import "fmt"' || chr(10)
+                         || CASE WHEN doc_id % 3 = 0
+                            THEN 'import "net/http"' || chr(10)
+                            ELSE '' END
+                       WHEN 'javascript' THEN
+                         'import React from ''react''' || chr(10)
+                         || CASE WHEN doc_id % 3 = 0
+                            THEN 'const g = require(''lodash/get'')' || chr(10)
+                            ELSE '' END
+                       ELSE
+                         'import java.util.List;' || chr(10)
+                         || CASE WHEN doc_id % 3 = 0
+                            THEN 'import static org.junit.Assert.eq;' || chr(10)
+                            ELSE '' END
+                     END || text AS c
+              FROM documents
+            ), extracted AS (
+              {_import_branches_sql()}
+            ), roots AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lang IN ('python', 'java')
+                            THEN string_split(module_path, '.')[1]
+                          WHEN starts_with(module_path, '@')
+                            THEN string_split(module_path, '/')[1] || '/'
+                                 || string_split(module_path, '/')[2]
+                          ELSE string_split(module_path, '/')[1]
+                     END AS module
+              FROM extracted
+            ), per_doc AS (
+              SELECT lang, module, doc_id, count(*) AS refs_in_doc
+              FROM roots GROUP BY lang, module, doc_id
+            )
+            SELECT lang, module,
+                   CAST(sum(refs_in_doc) AS BIGINT) AS n_refs,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM per_doc GROUP BY lang, module
         """,
         # identical derived broken forms planted; the fix chain and the
         # per-rule counts are GENERATED from the operator's rule table

@@ -198,6 +198,8 @@ def bench_queries(spark, sf_dir: str):
         "budget_selection": q("budget_selection"),  # NEW r5 (global cumsum)
         "html_strip": q("html_strip"),  # NEW r5 (markup removal)
         "corpus_diff": q("corpus_diff"),  # NEW r5 (snapshot change report)
+        "path_triage": q("path_triage"),  # NEW r5 (path-based triage)
+        "import_deps": q("import_deps"),  # NEW r5 (dependency mining)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,126 @@
+"""Import-dependency extraction over a source-code corpus.
+
+Code-corpus curation pipelines mine import/require statements to rank
+ecosystem dependencies, build repo-level dependency graphs, and select
+training files by what they exercise (StarCoder's dependency-aware
+file ordering, arXiv:2305.06161 §4, orders files within a repo by
+import relations; The Stack reports per-ecosystem composition). This
+module is the extraction + rollup stage for the input_hint table
+(repo, path, commit, lang, content).
+
+Regex-grade, deliberately not a parser (the markup.py trade): one
+RE2-compatible pattern per language captures the imported module path
+from the syntactic forms that dominate real code — Python
+``import x`` / ``from x import``, Java ``import a.b.C;``, single-line
+Go ``import "a/b"``, JS ``import ... from 'm'`` / ``require('m')``.
+Block-form Go imports and exotic dynamic imports are out of scope and
+documented as such.
+
+Scale discipline (10^12 files):
+- Extraction is a CASE over the lang column whose branches are
+  ``regexp_extract_all`` — one regex evaluated per row (CASE branches
+  are lazy), scan-side, no shuffle, no Python.
+- The import array materializes as a COLUMN before any per-element
+  work, and explosion uses ``explode_outer`` + a null filter on the
+  generator OUTPUT attribute — both halves of perf findings 14/16
+  (a non-outer explode would make Catalyst infer ``size(arr) > 0``
+  and push the full regexp alias back through the projects).
+- The rollup is two-level by construction: per-(lang, module) counts
+  are one hash aggregate (hot modules — stdlib, react — combine
+  map-side); distinct-doc counts collapse (module, doc) first, never
+  ``countDistinct`` over a skewed group.
+
+No reference analogue; part of the LLM training-data prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lang -> (pattern, group) capturing the imported module path; all
+# patterns RE2-compatible (no lookaround) so DuckDB's regexp_extract_all
+# runs the identical strings (the redact.py parity discipline).
+IMPORT_PATTERNS: dict[str, str] = {
+    "python": r"(?m)^[ \t]*(?:import|from)[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+    "java": r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)",
+    "go": r"(?m)^[ \t]*import[ \t]+\"([A-Za-z0-9_./-]+)\"",
+    "javascript": (
+        r"(?:import[ \t][^\n;]*?from[ \t]+|require\()"
+        r"[\"']([A-Za-z0-9@_./-]+)[\"']"
+    ),
+}
+
+# languages whose module paths nest with '.' (root = first dotted
+# segment); the rest nest with '/'
+DOTTED_LANGS = ("python", "java")
+
+
+def extract_imports(
+    df: DataFrame,
+    lang_col: str = "lang",
+    content_col: str = "content",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Input + ``imports array<string>`` (full module paths, one per
+    import statement, duplicates kept — they are reference counts).
+    Languages without a pattern get an empty array."""
+    patterns = IMPORT_PATTERNS if patterns is None else patterns
+    c = F.col(content_col)
+    arr = F.array().cast("array<string>")
+    for lang, pat in patterns.items():
+        arr = F.when(
+            F.col(lang_col) == lang,
+            F.regexp_extract_all(c, F.lit(pat), F.lit(1)),
+        ).otherwise(arr)
+    return df.withColumn("imports", arr)
+
+
+def root_module(lang_col: str = "lang", module_col: str = "module"):
+    """Column: ecosystem-level root of a module path — first dotted
+    segment for python/java, first slash segment otherwise, except
+    scoped npm packages (``@scope/pkg``) keep both segments."""
+    m = F.col(module_col)
+    slash = F.split(m, "/")
+    scoped = F.concat_ws("/", F.element_at(slash, 1), F.element_at(slash, 2))
+    return (
+        F.when(
+            F.col(lang_col).isin(*DOTTED_LANGS),
+            F.element_at(F.split(m, r"\."), 1),
+        )
+        .when(m.startswith("@"), scoped)
+        .otherwise(F.element_at(slash, 1))
+    )
+
+
+def dependency_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """(lang, module, n_refs, n_docs) — the per-ecosystem dependency
+    popularity table, module at root granularity. ``n_refs`` counts
+    import statements, ``n_docs`` distinct importing files."""
+    imported = extract_imports(
+        df, lang_col=lang_col, content_col=content_col, patterns=patterns
+    ).select(id_col, lang_col, "imports")
+    # explode_outer + null filter on the OUTPUT attribute: perf finding 16
+    exploded = imported.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode_outer("imports").alias("module_path"),
+    ).where(F.col("module_path").isNotNull())
+    per_mod_doc = exploded.select(
+        F.col(lang_col).alias("lang"),
+        root_module(lang_col, "module_path").alias("module"),
+        F.col(id_col),
+    ).groupBy("lang", "module", id_col).agg(
+        F.count(F.lit(1)).alias("refs_in_doc")
+    )
+    return per_mod_doc.groupBy("lang", "module").agg(
+        F.sum("refs_in_doc").cast("long").alias("n_refs"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

@@ -1,0 +1,136 @@
+"""Path-based corpus triage for source-code tables.
+
+Before any content rule runs, large code-corpus builds (The Stack,
+Kocetkov et al. 2022, arXiv:2211.15533 §II; StarCoder, Li et al. 2023,
+arXiv:2305.06161 §3) triage files by PATH alone: vendored dependency
+trees, build outputs, lockfiles, generated/minified artifacts, tests and
+prose docs are segregated (usually dropped) without reading a byte of
+content. At 10^12 files this is the cheapest filter in the pipeline —
+the `path` column is tiny next to `content`, so a path-only stage lets
+the parquet scan prune the content column entirely for dropped files.
+
+Scale discipline:
+- Every rule is ONE scan-side ``rlike`` over the lowercased path — no
+  shuffle, no Python, whole-stage codegen; classification composes with
+  the scan, and the rollup is a single hash aggregate on the tiny
+  (group_col, path_class) key space.
+- All patterns are RE2-compatible (no lookaround/backreferences) and
+  case-folded explicitly via ``lower(path)``, so the identical strings
+  run on Spark's java.util.regex and DuckDB's RE2 with ``regexp_matches``
+  find-semantics — the operators/redact.py parity discipline.
+- ``path_class`` is a PRIORITY CASE (first matching rule wins, order
+  fixed in ``CLASS_PRIORITY``), so the single-label answer is
+  deterministic even when several flags fire (a ``.min.js`` inside
+  ``node_modules/`` is both vendored and minified; it classifies
+  vendored).
+
+Regex-grade heuristics, deliberately not a build-system parser — the
+same trade markup.py makes for HTML. No reference analogue (go-pipeline
+has no notion of paths); part of the LLM training-data prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# rule name -> RE2-compatible pattern, matched find-style against
+# lower(path). Segment rules anchor on (^|/) ... (/|$) so `vendor/x`
+# matches but `myvendor/x` does not.
+PATH_RULES: dict[str, str] = {
+    # vendored dependency trees checked into the repo
+    "vendored": (
+        r"(^|/)(node_modules|vendor|vendors|third_party|thirdparty|"
+        r"external|bower_components)/"
+    ),
+    # dependency lockfiles: machine-written, near-zero training value
+    "lockfile": (
+        r"(^|/)(package-lock\.json|yarn\.lock|pnpm-lock\.yaml|cargo\.lock|"
+        r"poetry\.lock|pipfile\.lock|composer\.lock|gemfile\.lock|go\.sum)$"
+    ),
+    # generated-code artifacts recognizable from the name alone
+    "generated": (
+        r"(^|/)generated/|\.pb\.(go|cc|h)$|_pb2(_grpc)?\.py$|\.g\.(cs|dart)$"
+    ),
+    # minified/bundled web assets
+    "minified": r"\.(min|bundle)\.(js|css)$|\.min\.map$",
+    # build output trees
+    "build_dir": r"(^|/)(dist|build|target|out)/",
+    # test code (segment or filename convention)
+    "test": (
+        r"(^|/)(tests?|spec|__tests__|testdata)/|(^|/)test_[^/]*\.py$|"
+        r"_test\.(go|py|rb|cc|ts|js)$|\.(spec|test)\.(js|jsx|ts|tsx)$|"
+        r"tests?\.java$"
+    ),
+    # prose documentation
+    "docs": r"\.(md|rst|txt|adoc|org)$",
+}
+
+# first matching rule wins; anything unmatched is plain source
+CLASS_PRIORITY: tuple[str, ...] = (
+    "vendored",
+    "lockfile",
+    "generated",
+    "minified",
+    "build_dir",
+    "test",
+    "docs",
+)
+SOURCE_CLASS = "source"
+# classes a training corpus typically keeps (StarCoder keeps tests;
+# callers opt out via the keep_classes parameter)
+DEFAULT_KEEP: tuple[str, ...] = (SOURCE_CLASS, "test", "docs")
+
+
+def path_flags(
+    df: DataFrame,
+    path_col: str = "path",
+    rules: dict[str, str] | None = None,
+    priority: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Input + one ``is_<rule>`` boolean per rule + ``path_class``.
+
+    All columns are scan-side expressions over ``lower(path)``; flags
+    are independent (several may fire), ``path_class`` is the first
+    match in ``priority`` order, else ``source``."""
+    rules = PATH_RULES if rules is None else rules
+    priority = CLASS_PRIORITY if priority is None else priority
+    missing = [p for p in priority if p not in rules]
+    if missing:
+        raise ValueError(f"priority names without a rule: {missing}")
+    p = F.lower(F.col(path_col))
+    out = df
+    for name, pattern in rules.items():
+        out = out.withColumn(f"is_{name}", p.rlike(pattern))
+    cls: Column = F.lit(SOURCE_CLASS)
+    for name in reversed(priority):  # build CASE inside-out
+        cls = F.when(F.col(f"is_{name}"), F.lit(name)).otherwise(cls)
+    return out.withColumn("path_class", cls)
+
+
+def path_class_counts(
+    df: DataFrame,
+    by: str = "lang",
+    path_col: str = "path",
+) -> DataFrame:
+    """(by, path_class, n_files) — the triage report a curator reads
+    before dropping classes. One hash aggregate over a tiny key space."""
+    return (
+        path_flags(df, path_col=path_col)
+        .groupBy(by, "path_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    )
+
+
+def triage_filter(
+    df: DataFrame,
+    keep_classes: tuple[str, ...] = DEFAULT_KEEP,
+    path_col: str = "path",
+) -> DataFrame:
+    """Input rows whose ``path_class`` is in ``keep_classes``, original
+    schema preserved. The filter is scan-side, so at 10^12 files dropped
+    paths never materialize their content column past the scan."""
+    flagged = path_flags(df, path_col=path_col)
+    kept = flagged.where(F.col("path_class").isin(*keep_classes))
+    return kept.select(*df.columns)

@@ -1,0 +1,112 @@
+"""Path-based corpus triage: per-rule hand-checked paths, priority
+resolution when several flags fire, segment anchoring (no substring
+false positives), the schema-preserving filter, and a scan-side plan
+assertion (classification must not introduce an Exchange)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import path_rules as pr
+
+
+def _classify(spark, *paths):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)], "doc_id long, path string"
+    )
+    rows = pr.path_flags(df).orderBy("doc_id").collect()
+    return [r.path_class for r in rows]
+
+
+def test_each_rule_hand_checked(spark):
+    got = _classify(
+        spark,
+        "node_modules/react/index.js",   # vendored
+        "pkg/Cargo.lock",                # lockfile (case-folded)
+        "api/service.pb.go",             # generated
+        "assets/app.min.js",             # minified
+        "dist/main.js",                  # build_dir
+        "tests/test_utils.py",           # test (segment)
+        "pkg/foo_test.go",               # test (filename)
+        "src/FooTest.java",              # test (java convention)
+        "README.md",                     # docs
+        "src/main.py",                   # source
+    )
+    assert got == [
+        "vendored", "lockfile", "generated", "minified", "build_dir",
+        "test", "test", "test", "docs", "source",
+    ]
+
+
+def test_segment_anchoring_no_substring_hits(spark):
+    # rule segments must match whole path segments, not substrings
+    got = _classify(
+        spark,
+        "myvendor/x.py",          # 'vendor' not a segment
+        "src/distillation/a.py",  # 'dist' not a segment
+        "contest/t.py",           # 'test' not a segment
+        "src/latest_news.py",     # 'test' inside a word, not a dir
+    )
+    assert got == ["source"] * 4
+
+
+def test_priority_first_match_wins(spark):
+    # vendored beats minified beats test when several rules fire
+    got = _classify(
+        spark,
+        "node_modules/pkg/app.min.js",  # vendored + minified -> vendored
+        "tests/app.min.js",             # minified + test -> minified
+        "tests/notes.md",               # test + docs -> test
+    )
+    assert got == ["vendored", "minified", "test"]
+
+
+def test_flags_independent_of_class(spark):
+    df = spark.createDataFrame(
+        [(1, "node_modules/pkg/app.min.js")], "doc_id long, path string"
+    )
+    row = pr.path_flags(df).collect()[0]
+    assert row.is_vendored and row.is_minified
+    assert row.path_class == "vendored"
+
+
+def test_triage_filter_schema_and_rows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "src/a.py", "x"),
+            (2, "node_modules/b.js", "y"),
+            (3, "tests/test_a.py", "z"),
+            (4, "docs/guide.md", "w"),
+            (5, "dist/bundle.js", "v"),
+        ],
+        "doc_id long, path string, content string",
+    )
+    kept = pr.triage_filter(df)
+    assert kept.columns == df.columns  # no helper columns leak
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+    only_src = pr.triage_filter(df, keep_classes=("source",))
+    assert [r.doc_id for r in only_src.collect()] == [1]
+
+
+def test_priority_without_rule_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, path string")
+    with pytest.raises(ValueError):
+        pr.path_flags(df, rules={"docs": r"\.md$"})
+
+
+def test_counts_scan_side_plan(spark):
+    # classification itself is scan-side: the only Exchange in the
+    # counts plan is the one hash-aggregate shuffle
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src/f"), F.col("id"), F.lit(".py")).alias("path"),
+    )
+    plan = (
+        pr.path_class_counts(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
