@@ -1794,6 +1794,38 @@ def q_import_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deps.dependency_counts(planted)
 
 
+def q_repo_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-aware file ordering (operators/deps.py repo_file_rank,
+    the StarCoder §4 stage that puts definitions before uses when
+    concatenating a repo into training context): documents grouped into
+    3-file repos (utils.py / main.py / app.py by doc_id % 3; main
+    imports utils, app imports both), import→file resolution by
+    basename, rank = in-degree DESC then path. The oracle replays the
+    identical generated python pattern, the same basename rule, and the
+    same window ordering."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    role = F.col("doc_id") % 3
+    header = (
+        F.when(role == 1, F.lit("import utils\n"))
+        .when(role == 2, F.lit("import utils\nimport main\n"))
+        .otherwise(F.lit(""))
+    )
+    files = d.select(
+        F.concat(
+            F.lit("repo-"), F.floor(F.col("doc_id") / 3).cast("string")
+        ).alias("repo"),
+        F.element_at(
+            F.array(
+                F.lit("src/utils.py"), F.lit("src/main.py"), F.lit("src/app.py")
+            ),
+            (role + 1).cast("int"),
+        ).alias("path"),
+        F.lit("python").alias("lang"),
+        F.concat(header, F.col("text")).alias("content"),
+    )
+    return deps.repo_file_rank(files)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1864,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "path_triage": q_path_triage,
         "import_deps": q_import_deps,
+        "repo_file_order": q_repo_file_order,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -3506,6 +3539,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(refs_in_doc) AS BIGINT) AS n_refs,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM per_doc GROUP BY lang, module
+        """,
+        # identical 3-file repos planted; the python pattern string is
+        # GENERATED from IMPORT_PATTERNS, the basename rule and window
+        # ordering are replayed verbatim
+        "repo_file_order": f"""
+            WITH files AS (
+              SELECT 'repo-' || CAST(doc_id // 3 AS VARCHAR) AS repo,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'src/utils.py'
+                       WHEN 1 THEN 'src/main.py'
+                       ELSE 'src/app.py' END AS path,
+                     CASE doc_id % 3
+                       WHEN 0 THEN ''
+                       WHEN 1 THEN 'import utils' || chr(10)
+                       ELSE 'import utils' || chr(10)
+                            || 'import main' || chr(10) END || text AS c
+              FROM documents
+            ), refs AS (
+              SELECT repo, path AS importer_path,
+                     unnest(regexp_extract_all(c,
+                       '{deps.IMPORT_PATTERNS["python"].replace(chr(39), chr(39) * 2)}',
+                       1)) AS module_path
+              FROM files
+            ), roots AS (
+              SELECT DISTINCT repo, importer_path,
+                     string_split(module_path, '.')[1] AS module
+              FROM refs
+            ), edges AS (
+              SELECT r.repo, f.path AS importee_path
+              FROM roots r JOIN files f
+                ON r.repo = f.repo
+               AND r.module = regexp_replace(
+                     string_split(f.path, '/')[-1], '\\.[A-Za-z0-9]+$', '')
+              WHERE r.importer_path <> f.path
+            ), indeg AS (
+              SELECT repo, importee_path, count(*) AS d
+              FROM edges GROUP BY repo, importee_path
+            )
+            SELECT f.repo, f.path,
+                   CAST(coalesce(i.d, 0) AS BIGINT) AS in_degree,
+                   CAST(row_number() OVER (
+                     PARTITION BY f.repo
+                     ORDER BY coalesce(i.d, 0) DESC, f.path
+                   ) AS BIGINT) AS file_rank
+            FROM files f LEFT JOIN indeg i
+              ON f.repo = i.repo AND f.path = i.importee_path
         """,
         # identical derived broken forms planted; the fix chain and the
         # per-rule counts are GENERATED from the operator's rule table

@@ -200,6 +200,7 @@ def bench_queries(spark, sf_dir: str):
         "corpus_diff": q("corpus_diff"),  # NEW r5 (snapshot change report)
         "path_triage": q("path_triage"),  # NEW r5 (path-based triage)
         "import_deps": q("import_deps"),  # NEW r5 (dependency mining)
+        "repo_file_order": q("repo_file_order"),  # NEW r5 (dep-aware ordering)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

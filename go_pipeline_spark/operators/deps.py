@@ -36,7 +36,7 @@ No reference analogue; part of the LLM training-data prep operator set
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # lang -> (pattern, group) capturing the imported module path; all
@@ -124,3 +124,90 @@ def dependency_counts(
         F.sum("refs_in_doc").cast("long").alias("n_refs"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+def repo_file_rank(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """(repo, path, in_degree, file_rank) — dependency-aware file
+    ordering within each repo (StarCoder §4 orders a repo's files so
+    definitions precede uses before concatenation into training
+    context). Topological sort is iterative and ambiguous under cycles;
+    this is the standard deterministic approximation: rank by how many
+    sibling files import you (in-degree DESC, path ASC tie-break) —
+    heavily-imported utility files come first.
+
+    Import→file resolution is name-based (a file resolves an import
+    whose root module equals its extension-stripped basename, same
+    repo) — regex-grade like the extraction itself.
+
+    Scale: one (repo, name) equi-join builds the edge list, one hash
+    aggregate the in-degrees; the per-repo rank window is bounded by
+    repo size (monorepos are the skew case — at that point swap in the
+    shards.py distributed-rank decomposition; a window keeps the common
+    case one-pass)."""
+    base_name = F.regexp_replace(
+        F.element_at(F.split(F.col(path_col), "/"), -1),
+        r"\.[A-Za-z0-9]+$",
+        "",
+    )
+    files = df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        F.col(lang_col).alias("lang"),
+        F.col(content_col).alias("content"),
+    ).withColumn("base_name", base_name)
+    imported = extract_imports(files, patterns=patterns).select(
+        "repo", F.col("path").alias("importer_path"), "lang", "imports"
+    )
+    refs = imported.select(
+        "repo",
+        "importer_path",
+        F.explode_outer("imports").alias("module_path"),
+        "lang",
+    ).where(F.col("module_path").isNotNull())
+    refs = refs.select(
+        "repo",
+        "importer_path",
+        root_module("lang", "module_path").alias("module"),
+    ).distinct()  # multiple imports of one module are one edge
+    targets = files.select(
+        F.col("repo").alias("t_repo"),
+        F.col("path").alias("importee_path"),
+        "base_name",
+    )
+    edges = refs.join(
+        targets,
+        on=[
+            refs["repo"] == targets["t_repo"],
+            refs["module"] == targets["base_name"],
+        ],
+    ).where(F.col("importer_path") != F.col("importee_path"))
+    indeg = edges.groupBy(
+        F.col("t_repo").alias("d_repo"),
+        F.col("importee_path").alias("d_path"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("in_degree"))
+    out = (
+        files.select("repo", "path")
+        .join(
+            indeg,
+            on=[F.col("repo") == F.col("d_repo"), F.col("path") == F.col("d_path")],
+            how="left",
+        )
+        .select(
+            "repo",
+            "path",
+            F.coalesce(F.col("in_degree"), F.lit(0).cast("long")).alias(
+                "in_degree"
+            ),
+        )
+    )
+    w = Window.partitionBy("repo").orderBy(
+        F.col("in_degree").desc(), F.col("path")
+    )
+    return out.withColumn("file_rank", F.row_number().over(w).cast("long"))

@@ -101,3 +101,72 @@ def test_no_regex_reeval_in_optimized_plan(spark):
     # evaluation per row); substitution into an inferred filter would
     # DOUBLE that count
     assert plan.count("regexp_extract_all") == len(deps.IMPORT_PATTERNS)
+
+
+def _rank_rows(spark, rows):
+    df = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+    return {
+        (r.repo, r.path): (r.in_degree, r.file_rank)
+        for r in deps.repo_file_rank(df).collect()
+    }
+
+
+def test_repo_file_rank_in_degree_order(spark):
+    got = _rank_rows(
+        spark,
+        [
+            ("r1", "src/utils.py", "python", "x = 1"),
+            ("r1", "src/main.py", "python", "import utils\nrun()"),
+            ("r1", "src/app.py", "python", "import utils\nimport main"),
+        ],
+    )
+    # utils imported by 2 files, main by 1, app by none
+    assert got[("r1", "src/utils.py")] == (2, 1)
+    assert got[("r1", "src/main.py")] == (1, 2)
+    assert got[("r1", "src/app.py")] == (0, 3)
+
+
+def test_repo_file_rank_scoped_to_repo(spark):
+    got = _rank_rows(
+        spark,
+        [
+            ("r1", "src/utils.py", "python", "x = 1"),
+            ("r1", "src/main.py", "python", "import utils"),
+            ("r2", "src/utils.py", "python", "y = 2"),  # nobody imports it here
+            ("r2", "src/other.py", "python", "import json"),
+        ],
+    )
+    assert got[("r1", "src/utils.py")][0] == 2 - 1  # in_degree 1
+    assert got[("r2", "src/utils.py")][0] == 0  # r1's import doesn't leak
+
+
+def test_repo_file_rank_dedups_repeat_imports_and_self(spark):
+    got = _rank_rows(
+        spark,
+        [
+            ("r1", "src/utils.py", "python", "import utils\nz = 0"),
+            (
+                "r1",
+                "src/main.py",
+                "python",
+                "import utils\nimport utils.helpers\nfrom utils import x",
+            ),
+        ],
+    )
+    # three statements, one edge; self-import never counts
+    assert got[("r1", "src/utils.py")] == (1, 1)
+    assert got[("r1", "src/main.py")] == (0, 2)
+
+
+def test_repo_file_rank_tie_breaks_on_path(spark):
+    got = _rank_rows(
+        spark,
+        [
+            ("r1", "b.py", "python", "pass"),
+            ("r1", "a.py", "python", "pass"),
+        ],
+    )
+    assert got[("r1", "a.py")] == (0, 1)
+    assert got[("r1", "b.py")] == (0, 2)
