@@ -1826,6 +1826,23 @@ def q_repo_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deps.repo_file_rank(files)
 
 
+def q_opt_out_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out / takedown compliance (operators/optout.py, The Stack §V):
+    the input_hint source-files table filtered against a fixed rule list
+    (whole-repo: repo-3; subtree: repo-7/src/f1*; NULL-prefix whole-repo:
+    fork-0), reported as the per-lang removal audit a release publishes.
+    Broadcast 1:1 rules join + exists prefix test — no corpus shuffle
+    before the audit aggregate. The oracle replays the same rules as a
+    VALUES table with a correlated EXISTS."""
+    from go_pipeline_spark.operators import optout
+
+    rules = spark.createDataFrame(
+        [("repo-3", ""), ("repo-7", "src/f1"), ("fork-0", None)],
+        "repo string, path_prefix string",
+    )
+    return optout.opt_out_audit(_source_files(spark, sf_dir), rules)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1897,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_triage": q_path_triage,
         "import_deps": q_import_deps,
         "repo_file_order": q_repo_file_order,
+        "opt_out_audit": q_opt_out_audit,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -3539,6 +3557,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(refs_in_doc) AS BIGINT) AS n_refs,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM per_doc GROUP BY lang, module
+        """,
+        # same base+fork files derivation as repo_dup_fraction; the rule
+        # list is a VALUES table, matching is a correlated EXISTS with
+        # the identical coalesce('')+starts_with semantics
+        "opt_out_audit": """
+            WITH files AS (
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                     lang
+              FROM documents
+              UNION ALL
+              SELECT 'fork-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                     lang
+              FROM documents WHERE doc_id % 10 = 0
+            ), rules(repo, path_prefix) AS (
+              VALUES ('repo-3', ''), ('repo-7', 'src/f1'), ('fork-0', NULL)
+            ), flags AS (
+              SELECT f.lang, f.repo,
+                     EXISTS (
+                       SELECT 1 FROM rules r
+                       WHERE r.repo = f.repo
+                         AND starts_with(f.path, coalesce(r.path_prefix, ''))
+                     ) AS opted
+              FROM files f
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN opted THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN opted THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_kept,
+                   CAST(count(DISTINCT CASE WHEN opted THEN repo END)
+                     AS BIGINT) AS n_repos_removed
+            FROM flags GROUP BY lang
         """,
         # identical 3-file repos planted; the python pattern string is
         # GENERATED from IMPORT_PATTERNS, the basename rule and window

@@ -1,0 +1,109 @@
+"""Opt-out / takedown filtering for source-code corpora.
+
+The Stack (arXiv:2211.15533 §V) lets repository owners opt out: every
+corpus release removes all files from opted-out repositories and
+publishes how much was removed. This module is that compliance stage
+for the input_hint table (repo, path, commit, lang, content): an
+opt-out rule is ``(repo, path_prefix)`` — ``path_prefix = ''`` removes
+the whole repository, a non-empty prefix removes a subtree (the shape
+takedown requests actually arrive in: "this repo", "this repo's
+/data directory").
+
+Scale discipline (10^12 files):
+- Opt-out lists are small (thousands of rows) next to the corpus, so
+  matching is a BROADCAST left join on ``repo`` with the prefix test as
+  the residual condition — no corpus shuffle, plan-asserted in pytest.
+  The corpus side stays scan-shaped; removal composes with the parquet
+  scan.
+- Removal must be auditable, not silent: ``opt_out_flags`` marks rows,
+  ``opt_out_audit`` aggregates kept/removed per group, and
+  ``opt_out_filter`` is the terminal filter form. The audit is the
+  released artifact (The Stack publishes per-release removal counts).
+
+No reference analogue; part of the LLM training-data prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def opt_out_flags(
+    df: DataFrame,
+    optout: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Input + ``opted_out`` boolean. ``optout`` has columns
+    (repo, path_prefix); '' (or NULL) prefix matches the whole repo.
+
+    Rules first collapse to ONE row per repo (prefix array — the rule
+    table is tiny, this is a cheap aggregate), so the broadcast join is
+    at most 1:1 and the corpus never gains or regroups rows; the match
+    is an ``exists`` over the prefix array, scan-side."""
+    rules = (
+        optout.select(
+            F.col("repo").alias("oo_repo"),
+            F.coalesce(F.col("path_prefix"), F.lit("")).alias("oo_prefix"),
+        )
+        .groupBy("oo_repo")
+        .agg(F.collect_list("oo_prefix").alias("oo_prefixes"))
+    )
+    joined = df.join(
+        broadcast(rules), on=F.col(repo_col) == F.col("oo_repo"), how="left"
+    )
+    path = F.col(path_col)
+    opted = F.coalesce(
+        F.exists("oo_prefixes", lambda p: path.startswith(p)),
+        F.lit(False),
+    )
+    return joined.select(*df.columns, opted.alias("opted_out"))
+
+
+def opt_out_filter(
+    df: DataFrame,
+    optout: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Surviving rows only, original schema. The hot path skips the
+    flag aggregation entirely: a broadcast LEFT ANTI join on repo with
+    the prefix residual — one pass, no shuffle, no row blowup."""
+    rules = optout.select(
+        F.col("repo").alias("oo_repo"),
+        F.coalesce(F.col("path_prefix"), F.lit("")).alias("oo_prefix"),
+    )
+    return df.join(
+        broadcast(rules),
+        on=[
+            F.col(repo_col) == F.col("oo_repo"),
+            F.col(path_col).startswith(F.col("oo_prefix")),
+        ],
+        how="left_anti",
+    )
+
+
+def opt_out_audit(
+    df: DataFrame,
+    optout: DataFrame,
+    by: str = "lang",
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """(by, n_files, n_removed, n_kept, n_repos_removed) — the removal
+    report published alongside a release. One flag pass + one hash
+    aggregate; ``n_repos_removed`` counts distinct repos that lost at
+    least one file in the group."""
+    flagged = opt_out_flags(df, optout, repo_col=repo_col, path_col=path_col)
+    b = F.col("opted_out").cast("int")
+    return flagged.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(b).cast("long").alias("n_removed"),
+        (F.count(F.lit(1)) - F.sum(b)).cast("long").alias("n_kept"),
+        F.count_distinct(
+            F.when(F.col("opted_out"), F.col(repo_col))
+        ).cast("long").alias("n_repos_removed"),
+    )

@@ -1,0 +1,94 @@
+"""Opt-out / takedown filtering: whole-repo vs subtree rules, row
+conservation under overlapping rules, filter/flags agreement, the
+audit rollup, and the broadcast-no-shuffle plan assertion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import optout
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            ("r1", "src/a.py", "python", "a"),
+            ("r1", "data/big.csv", "python", "b"),
+            ("r2", "src/b.py", "python", "c"),
+            ("r2", "src/c.py", "go", "d"),
+            ("r3", "src/d.py", "go", "e"),
+        ],
+        "repo string, path string, lang string, content string",
+    )
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path_prefix string")
+
+
+def test_whole_repo_and_subtree_rules(spark):
+    rules = _rules(spark, [("r2", ""), ("r1", "data/")])
+    flags = {
+        (r.repo, r.path): r.opted_out
+        for r in optout.opt_out_flags(_corpus(spark), rules).collect()
+    }
+    assert flags[("r2", "src/b.py")] and flags[("r2", "src/c.py")]
+    assert flags[("r1", "data/big.csv")]
+    assert not flags[("r1", "src/a.py")]
+    assert not flags[("r3", "src/d.py")]
+
+
+def test_null_prefix_means_whole_repo(spark):
+    rules = _rules(spark, [("r3", None)])
+    flags = {
+        r.repo: r.opted_out
+        for r in optout.opt_out_flags(_corpus(spark), rules).collect()
+        if r.repo == "r3"
+    }
+    assert flags == {"r3": True}
+
+
+def test_overlapping_rules_conserve_rows(spark):
+    # both rules match r1/data/big.csv; the row must stay ONE row
+    rules = _rules(spark, [("r1", ""), ("r1", "data/")])
+    df = _corpus(spark)
+    flagged = optout.opt_out_flags(df, rules)
+    assert flagged.count() == df.count()
+    assert flagged.where("repo = 'r1'").where("opted_out").count() == 2
+
+
+def test_filter_agrees_with_flags(spark):
+    rules = _rules(spark, [("r2", ""), ("r1", "data/")])
+    df = _corpus(spark)
+    kept = optout.opt_out_filter(df, rules)
+    assert kept.columns == df.columns
+    via_flags = sorted(
+        (r.repo, r.path)
+        for r in optout.opt_out_flags(df, rules)
+        .where(~F.col("opted_out"))
+        .collect()
+    )
+    assert sorted((r.repo, r.path) for r in kept.collect()) == via_flags
+
+
+def test_audit_rollup(spark):
+    rules = _rules(spark, [("r2", ""), ("r1", "data/")])
+    audit = {
+        r.lang: (r.n_files, r.n_removed, r.n_kept, r.n_repos_removed)
+        for r in optout.opt_out_audit(_corpus(spark), rules).collect()
+    }
+    # python: r1 has 2 files (1 removed), r2/src/b.py removed
+    assert audit["python"] == (3, 2, 1, 2)
+    # go: r2/src/c.py removed, r3 untouched
+    assert audit["go"] == (2, 1, 1, 1)
+
+
+def test_filter_plan_broadcast_no_corpus_shuffle(spark):
+    rules = _rules(spark, [("r2", "")])
+    plan = (
+        optout.opt_out_filter(_corpus(spark), rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
