@@ -1843,6 +1843,89 @@ def q_opt_out_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return optout.opt_out_audit(_source_files(spark, sf_dir), rules)
 
 
+def q_prep_pipeline_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-payload corpus-build chain composed in ONE plan
+    (the §V→§II order The Stack actually runs): path triage (N98) →
+    opt-out compliance (N101) → Stack quality rules (N86) → cross-repo
+    exact fork dedup (keep the lexicographically first (repo, path) per
+    content group, N88's rollup turned into selection), with per-lang
+    survivor accounting at every stage. Stage gates are FLAG columns
+    (scan-side booleans), so one aggregate reads the whole funnel; the
+    only shuffles are the survivor-side sha keeper aggregate + join and
+    the final accounting aggregate. The oracle replays the identical
+    CTE chain — sha only needs within-engine injectivity because the
+    keeper rule orders by (repo, path), never by hash value."""
+    from go_pipeline_spark.operators import optout
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    idx = (F.col("doc_id") % 8 + 1).cast("int")
+    path = F.concat(
+        F.element_at(F.array(*[F.lit(p) for p in _PATH_PREFIXES]), idx),
+        F.col("doc_id").cast("string"),
+        F.element_at(F.array(*[F.lit(s) for s in _PATH_SUFFIXES]), idx),
+    )
+    base_content = F.translate(F.col("text"), " ", "\n")
+    content = F.concat(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("// auto-generated do not edit\n"),
+        ).otherwise(F.lit("")),
+        base_content,
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("x"), 9000)),
+        ).otherwise(F.lit("")),
+    )
+    one_side = lambda prefix, src: src.select(  # noqa: E731
+        F.concat(F.lit(prefix), (F.col("doc_id") % 20).cast("string")).alias(
+            "repo"
+        ),
+        path.alias("path"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+    files = one_side("repo-", d).unionByName(
+        one_side("fork-", d.where(F.col("doc_id") % 10 == 0))
+    )
+    rules = spark.createDataFrame(
+        [("repo-3", ""), ("repo-7", "")], "repo string, path_prefix string"
+    )
+    flagged = path_rules.path_flags(files)
+    flagged = flagged.withColumn(
+        "pass_triage", F.col("path_class").isin("source", "test", "docs")
+    )
+    flagged = optout.opt_out_flags(
+        flagged, rules
+    ).withColumn("pass_optout", F.col("pass_triage") & ~F.col("opted_out"))
+    flagged = code_quality.stack_quality_flags(flagged).withColumn(
+        "pass_quality", F.col("pass_optout") & F.col("keep")
+    )
+    flagged = flagged.withColumn("sha", F.sha2(F.col("content"), 256))
+    flagged = flagged.withColumn(
+        "rk", F.concat(F.col("repo"), F.lit("|"), F.col("path"))
+    )
+    keepers = (
+        flagged.where(F.col("pass_quality"))
+        .groupBy("sha")
+        .agg(F.min("rk").alias("keeper_rk"))
+    )
+    joined = flagged.join(keepers, on="sha", how="left")
+    b = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        b("pass_triage").alias("n_after_triage"),
+        b("pass_optout").alias("n_after_optout"),
+        b("pass_quality").alias("n_after_quality"),
+        F.sum(
+            (F.col("pass_quality") & (F.col("rk") == F.col("keeper_rk"))).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_final"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -1915,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_deps": q_import_deps,
         "repo_file_order": q_repo_file_order,
         "opt_out_audit": q_opt_out_audit,
+        "prep_pipeline_code": q_prep_pipeline_code,
         "familiarity_scores": q_familiarity_scores,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "semdedup": q_semdedup,
@@ -3557,6 +3641,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(refs_in_doc) AS BIGINT) AS n_refs,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM per_doc GROUP BY lang, module
+        """,
+        # the code-payload funnel replayed as a CTE chain: same path
+        # templates (path_triage), whole-repo opt-out rules, the
+        # code_quality_filter stats expressions, and the keeper rule
+        # min(repo|path) per content group among full survivors — the
+        # triage CASE is GENERATED from PATH_RULES like path_triage's
+        "prep_pipeline_code": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     lower(
+                       list_extract(
+                         ['node_modules/pkg', 'pkg', 'api/svc', 'assets/app',
+                          'dist/main', 'tests/test_f', 'docs/guide', 'src/f'],
+                         CAST(doc_id % 8 + 1 AS INT))
+                       || CAST(doc_id AS VARCHAR)
+                       || list_extract(
+                         ['/index.js', '/Cargo.lock', '.pb.go', '.min.js',
+                          '.js', '.py', '.md', '.py'],
+                         CAST(doc_id % 8 + 1 AS INT))
+                     ) AS p,
+                     list_extract(
+                       ['node_modules/pkg', 'pkg', 'api/svc', 'assets/app',
+                        'dist/main', 'tests/test_f', 'docs/guide', 'src/f'],
+                       CAST(doc_id % 8 + 1 AS INT))
+                     || CAST(doc_id AS VARCHAR)
+                     || list_extract(
+                       ['/index.js', '/Cargo.lock', '.pb.go', '.min.js',
+                        '.js', '.py', '.md', '.py'],
+                       CAST(doc_id % 8 + 1 AS INT)) AS path,
+                     CASE WHEN doc_id % 13 = 0
+                       THEN '// auto-generated do not edit' || chr(10)
+                       ELSE '' END
+                     || replace(text, ' ', chr(10))
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || repeat('x', 9000) ELSE '' END AS c
+              FROM documents
+            ), files AS (
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     path, p, lang, c
+              FROM base
+              UNION ALL
+              SELECT 'fork-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     path, p, lang, c
+              FROM base WHERE doc_id % 10 = 0
+            ), flags AS (
+              SELECT repo, path, lang, c,
+                     {_path_class_sql("p")}
+                       IN ('source', 'test', 'docs') AS pass_triage,
+                     repo IN ('repo-3', 'repo-7') AS opted_out,
+                     list_max(list_transform(string_split(c, chr(10)),
+                                             x -> len(x))) <= 1000
+                     AND len(c) - len(string_split(c, chr(10))) + 1
+                         <= 100 * len(string_split(c, chr(10)))
+                     AND 4 * (len(c) - len(regexp_replace(c,
+                           '[A-Za-z0-9]', '', 'g'))) >= len(c)
+                     AND NOT regexp_matches(c,
+                           '(?i)(auto[- ]generated|do not edit)') AS quality
+              FROM files
+            ), staged AS (
+              SELECT repo, path, lang, c,
+                     pass_triage,
+                     pass_triage AND NOT opted_out AS pass_optout,
+                     pass_triage AND NOT opted_out AND quality
+                       AS pass_quality,
+                     repo || '|' || path AS rk
+              FROM flags
+            ), keepers AS (
+              SELECT sha256(c) AS sha, min(rk) AS keeper_rk
+              FROM staged WHERE pass_quality GROUP BY sha256(c)
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_input,
+                   CAST(sum(CASE WHEN pass_triage THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_after_triage,
+                   CAST(sum(CASE WHEN pass_optout THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_after_optout,
+                   CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_after_quality,
+                   CAST(sum(CASE WHEN pass_quality AND rk = keeper_rk
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+            FROM staged s LEFT JOIN keepers k ON sha256(s.c) = k.sha
+            GROUP BY lang
         """,
         # same base+fork files derivation as repo_dup_fraction; the rule
         # list is a VALUES table, matching is a correlated EXISTS with

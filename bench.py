@@ -202,6 +202,7 @@ def bench_queries(spark, sf_dir: str):
         "import_deps": q("import_deps"),  # NEW r5 (dependency mining)
         "repo_file_order": q("repo_file_order"),  # NEW r5 (dep-aware ordering)
         "opt_out_audit": q("opt_out_audit"),  # NEW r5 (takedown compliance)
+        "prep_pipeline_code": q("prep_pipeline_code"),  # NEW r5 (code funnel)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,
