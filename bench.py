@@ -203,6 +203,10 @@ def bench_queries(spark, sf_dir: str):
         "repo_file_order": q("repo_file_order"),  # NEW r5 (dep-aware ordering)
         "opt_out_audit": q("opt_out_audit"),  # NEW r5 (takedown compliance)
         "prep_pipeline_code": q("prep_pipeline_code"),  # NEW r5 (code funnel)
+        "license_strip": q("license_strip"),  # NEW r5 (header boilerplate)
+        "secret_scan_counts": q("secret_scan_counts"),  # NEW r5 (credentials)
+        "semantic_decontamination": q("semantic_decontamination"),  # NEW r5
+        "corpus_datasheet": q("corpus_datasheet"),  # NEW r5 (ROLLUP report)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -212,3 +212,94 @@ def repo_dup_stats(
         "dup_pct_x10000",
         F.expr("(n_cross_dup * 10000) div n_files"),
     )
+
+
+# license-block detection: the header must CONTAIN one of these to be
+# stripped (a plain comment banner without them is documentation, not
+# boilerplate). 'licen[cs]e' covers both spellings; the pattern is
+# RE2-compatible and runs against the lowercased line on both engines.
+LICENSE_KEYWORD_PATTERN = (
+    r"copyright|licen[cs]e|spdx-license-identifier|all rights reserved"
+)
+
+
+def strip_license_header(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "stripped",
+    prefixes: tuple[str, ...] = COMMENT_PREFIXES,
+    keyword_pattern: str = LICENSE_KEYWORD_PATTERN,
+    keep_shebang: bool = True,
+) -> DataFrame:
+    """Remove the leading license/copyright comment block from code.
+
+    The Stack-style boilerplate removal (arXiv:2211.15533 trains on
+    license-stripped files): the HEADER is the maximal prefix of lines
+    that are blank or line-comments (space-ltrimmed prefix match, same
+    rule as comment_line_stats); it is stripped iff any header line
+    matches ``keyword_pattern`` (case-insensitive via lower()).
+    A ``#!`` shebang on line 1 is part of the header (it starts with
+    '#') but is re-emitted when ``keep_shebang`` — stripping a license
+    must not break script execution.
+
+    Columns added: ``out_col`` (stripped content — unchanged when no
+    license header), ``n_header_lines_removed`` (0 when not stripped;
+    excludes a kept shebang), ``had_license_header`` boolean.
+
+    Scale: one scan-side expression chain — the line array materializes
+    ONCE as a column (perf finding 14), prefix discovery is
+    array_position over a transformed boolean array, the keyword test
+    is a bounded `exists` over the header slice only; zero shuffle,
+    zero Python, composes with parquet column pruning. Block comments
+    (/* */) are out of scope by the same regex-grade trade markup.py
+    documents — the prefix rule covers the overwhelming header idiom.
+    """
+    if not prefixes:
+        raise ValueError("prefixes must be non-empty")
+    lines_df = df.withColumn("__lines", F.split(F.col(content_col), "\n"))
+    lines = F.col("__lines")
+
+    def _is_header_line(x: Column) -> Column:
+        t = F.ltrim(x)
+        pred = F.length(t) == 0
+        for p in prefixes:
+            pred = pred | t.startswith(p)
+        return pred
+
+    # 1-based index of the first BODY line; 0 when every line is header
+    first_body = F.array_position(
+        F.transform(lines, lambda x: ~_is_header_line(x)), F.lit(True)
+    )
+    with_hdr = lines_df.withColumn(
+        "__hdr_len",
+        F.when(first_body == 0, F.size(lines)).otherwise(first_body - 1),
+    )
+    hdr_len = F.col("__hdr_len")
+    header = F.slice(lines, 1, hdr_len)
+    has_kw = F.exists(
+        header, lambda x: F.lower(x).rlike(keyword_pattern)
+    ) & (hdr_len > 0)
+    shebang = F.element_at(lines, 1).startswith("#!")
+    rest = F.array_join(
+        F.slice(lines, hdr_len + 1, F.size(lines) - hdr_len), "\n"
+    )
+    if keep_shebang:
+        stripped_val = F.when(
+            shebang, F.concat(F.element_at(lines, 1), F.lit("\n"), rest)
+        ).otherwise(rest)
+        removed_val = F.when(shebang, hdr_len - 1).otherwise(hdr_len)
+    else:
+        stripped_val = rest
+        removed_val = hdr_len
+    return (
+        with_hdr.withColumn("had_license_header", has_kw)
+        .withColumn(
+            out_col,
+            F.when(has_kw, stripped_val).otherwise(F.col(content_col)),
+        )
+        .withColumn(
+            "n_header_lines_removed",
+            F.when(has_kw, removed_val).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("__lines", "__hdr_len")
+    )

@@ -1,0 +1,93 @@
+"""Corpus datasheet: the multi-grain release-notes rollup in ONE plan.
+
+Every corpus release ships a datasheet ("Datasheets for Datasets",
+Gebru et al., arXiv:1803.09010; The Stack and StarCoder publish
+per-language composition tables, arXiv:2211.15533 Table 1): document /
+byte / token counts and distinct-content counts at overall, per-group
+and per-subgroup grain. Computing each grain as its own aggregation
+scans the corpus once PER GRAIN; SQL's ROLLUP computes all of them in
+one pass — Spark plans it as a single Expand (each input row is
+replicated once per grouping set, map-side) feeding ONE hash aggregate,
+so at 100 TB the corpus is read exactly once and the only exchange is
+on the tiny (grain x group) key space. DuckDB implements the identical
+ANSI construct, which is what makes the whole datasheet oracle-provable
+including the NULL-marked supergroup rows.
+
+Exactness: every metric is integral (counts, byte/char lengths, the
+whitespace token rule from functions/textstats.py) — sums are
+order-independent int64, distinct-sha counts are exact (count(DISTINCT)
+— Spark expands distinct aggregates into a two-phase plan, still one
+scan), so hash-level equality holds with zero tolerance.
+
+No reference analogue; part of the LLM data-prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.functions.textstats import token_count
+
+# grouping-level labels: grouping(col) is 0 when the row aggregates AT
+# that column's grain, 1 when the column is rolled away — both engines
+# implement the ANSI GROUPING() bit identically
+ALL = "(all)"
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    group_col: str = "lang",
+    subgroup_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> one row per ROLLUP grain: (grain, group, subgroup?, n_docs,
+    n_distinct_docs, total_chars, total_tokens).
+
+    ``grain`` is the ANSI grouping-set id (0 = finest .. 2^k-1 = grand
+    total); rolled-away keys render as ``ALL`` so the output carries no
+    NULLs (and a genuinely-NULL group value cannot collide with a
+    supergroup marker). ``n_distinct_docs`` counts distinct sha256 of
+    the text — the datasheet's dup-rate numerator.
+
+    Scale: ONE scan -> Expand (k+1 replicas per row, map-side) -> one
+    partial+final hash aggregate pair on <= (k+1)*|groups| keys; the
+    distinct count adds the standard two-phase expand, still no second
+    corpus read. No window, no join, no Python.
+    """
+    keys = [group_col] + ([subgroup_col] if subgroup_col else [])
+    gid = F.grouping_id(*[F.col(k) for k in keys])
+    aggs = [
+        gid.cast("int").alias("grain"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.sha2(F.col(text_col), 256)).alias(
+            "n_distinct_docs"
+        ),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias(
+            "total_tokens"
+        ),
+    ]
+    rolled = df.rollup(*keys).agg(*aggs)
+    # grouping()/grouping_id() are only valid inside the agg; re-derive
+    # the display keys from the emitted grain bits instead
+    sel = []
+    for i, k in enumerate(keys):
+        bit = len(keys) - 1 - i
+        sel.append(
+            F.when(
+                (F.col("grain").bitwiseAND(F.lit(1 << bit))) != 0,
+                F.lit(ALL),
+            )
+            .otherwise(F.col(k))
+            .alias(k)
+        )
+    return rolled.select(
+        "grain",
+        *sel,
+        "n_docs",
+        "n_distinct_docs",
+        "total_chars",
+        "total_tokens",
+    )

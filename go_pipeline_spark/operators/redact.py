@@ -111,3 +111,74 @@ def redact(
     """Input + ``out_col`` with all rule matches replaced. Idempotent for
     the default rules (placeholders match no rule)."""
     return df.withColumn(out_col, redact_text(F.col(text_col), rules))
+
+
+# --- credential scanning (code corpora) -------------------------------
+#
+# Committed credentials are the code-corpus PII analogue (The Stack
+# strips them before release; detect-secrets / gitleaks are the
+# production tools). Two rule classes, all RE2-compatible:
+#   * structured keys — an exact issuer prefix makes the regex alone
+#     high-precision (AWS access-key ids, PEM private-key headers, the
+#     DEFAULT_RULES sk_/key_/token_ prefixes);
+#   * generic high-entropy blobs — a regex cannot express Shannon
+#     entropy, and RE2 has no lookahead to demand "contains a digit",
+#     so the scan extracts maximal [A-Za-z0-9+/]{28,}={0,2} candidate
+#     runs and gates each on THREE separate class tests (has lower, has
+#     upper, has digit) — a deterministic charset-mix proxy for entropy
+#     that prose, hex dumps and identifiers (snake_case, ALL_CAPS)
+#     fail. False-negative direction only for single-case secrets,
+#     which the structured rules mostly cover.
+SECRET_SCAN_RULES: dict[str, str] = {
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "prefixed_token": r"\b(?:sk|key|token)_[A-Za-z0-9]{16,}\b",
+}
+GENERIC_SECRET_CANDIDATE = r"[A-Za-z0-9+/]{28,}={0,2}"
+_MIX_TESTS = ("[a-z]", "[A-Z]", "[0-9]")
+
+
+def secret_scan(
+    df: DataFrame,
+    text_col: str = "content",
+    rules: dict[str, str] | None = None,
+    generic_candidate: str = GENERIC_SECRET_CANDIDATE,
+) -> DataFrame:
+    """Input + ``n_<kind>`` long per structured rule, ``n_generic_secret``
+    (charset-mix-gated candidate count) and ``has_secret``.
+
+    Scale: pure scan-side JVM — extract-alls in one projection, the
+    candidate array materialized as a column BEFORE the higher-order
+    filter (perf finding 14: an inlined extract re-runs per element),
+    zero shuffle / zero Python; composes with parquet column pruning
+    and pushes past nothing (it's a projection)."""
+    rules = SECRET_SCAN_RULES if rules is None else rules
+    out = df
+    for kind, pat in rules.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).cast("long"),
+        )
+    out = out.withColumn(
+        "__cands",
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(generic_candidate), F.lit(0)
+        ),
+    )
+
+    def _mixed(t: Column) -> Column:
+        pred = t.rlike(_MIX_TESTS[0])
+        for rx in _MIX_TESTS[1:]:
+            pred = pred & t.rlike(rx)
+        return pred
+
+    out = out.withColumn(
+        "n_generic_secret",
+        F.size(F.filter(F.col("__cands"), _mixed)).cast("long"),
+    ).drop("__cands")
+    flag = F.col("n_generic_secret") > 0
+    for kind in rules:
+        flag = flag | (F.col(f"n_{kind}") > 0)
+    return out.withColumn("has_secret", flag)

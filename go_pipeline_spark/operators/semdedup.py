@@ -304,3 +304,123 @@ def _prune_gemm(
         )
     )
     return out.select(F.col("_id").alias(id_col), "cluster_id", "is_dup")
+
+
+# beyond this many benchmark vectors the literal-expression plan is
+# bigger than the Arrow round-trip is worth (same constant as seed
+# assignment; both forms pinned bit-identical by pytest)
+LITERAL_CONTAM_MAX_BENCH = 32
+
+# the benchmark side must stay a bounded driver collect — eval suites
+# are 10^2..10^5 rows; a "benchmark" bigger than this is a corpus and
+# belongs in cross_dup_pairs / semdedup instead
+MAX_BENCH_ROWS = 200_000
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau2_x100: int = 81,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+    form: str = "auto",
+    max_bench_rows: int = MAX_BENCH_ROWS,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose cosine to
+    ANY benchmark embedding meets the threshold (cos >= sqrt(tau2/100)).
+
+    The semantic complement of operators/decontaminate.py's token-n-gram
+    rule (n-grams miss paraphrased eval leakage; embeddings catch it —
+    the Llama/GPT-4-era contamination reports run both). Same exactness
+    contract as semdedup: both sides integer-quantized, the decision is
+    pure int64 arithmetic (dot > 0 AND 100*dot^2 >= tau2*nn_c*nn_b), so
+    an independent engine reproduces every flag bit-exactly — no
+    epsilon. Zero-norm rows drop on BOTH sides (no direction).
+
+    Output: (id_col, n_contaminating long, is_contaminated boolean),
+    one row per surviving corpus row.
+
+    Scale: the benchmark is the SMALL side by definition — it collects
+    to the driver (hard-capped at ``max_bench_rows``) and rides to every
+    task either as literal arrays (<= LITERAL_CONTAM_MAX_BENCH vectors:
+    pure JVM codegen, zero Python) or as a broadcast int64 matrix into
+    one mapInPandas GEMM per Arrow batch. EITHER WAY the corpus side is
+    MAP-ONLY — zero shuffle at 100 TB, no join, no skew surface; the
+    output is a projection the planner composes with the parquet scan.
+
+    int64 bounds: same as semdedup's header analysis (unit-scale
+    embeddings, dim <= 64 -> dot^2*100 < 2^62, tau2*nn*nn < 2^62).
+    """
+    if not 0 < tau2_x100 <= 100:
+        raise ValueError("tau2_x100 must be in (0, 100]")
+    corpus_q = quantize_embeddings(
+        corpus.select(id_col, vec_col), vec_col=vec_col, scale=scale
+    )
+    bench_q = quantize_embeddings(
+        benchmark.select(vec_col), vec_col=vec_col, scale=scale
+    )
+    bench = bench_q.select("qv", "nn").limit(max_bench_rows + 1).collect()
+    if len(bench) > max_bench_rows:
+        raise ValueError(
+            f"benchmark side exceeds max_bench_rows={max_bench_rows}; "
+            "use cross_dup_pairs / semdedup for corpus-vs-corpus work"
+        )
+    bvecs = [(list(r["qv"]), int(r["nn"])) for r in bench]
+    tau2 = int(tau2_x100)
+    if form == "auto":
+        form = "literal" if len(bvecs) <= LITERAL_CONTAM_MAX_BENCH else "gemm"
+
+    if form == "literal":
+        n_hits = F.lit(0).cast("long")
+        for bv, bn in bvecs:
+            dot = _dot_lit("qv", bv)
+            hit = (dot > 0) & (
+                F.lit(100) * dot * dot
+                >= F.lit(tau2) * F.col("nn") * F.lit(bn)
+            )
+            n_hits = n_hits + F.when(hit, 1).otherwise(0)
+        return corpus_q.select(
+            F.col(id_col),
+            n_hits.alias("n_contaminating"),
+            (n_hits > 0).alias("is_contaminated"),
+        )
+
+    if form != "gemm":
+        raise ValueError(f"unknown form: {form!r}")
+    import numpy as np
+    import pandas as pd
+
+    B = (
+        np.array([bv for bv, _ in bvecs], dtype=np.int64)
+        if bvecs
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    bn_arr = np.array([bn for _, bn in bvecs], dtype=np.int64)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            nn = pdf["nn"].to_numpy(dtype=np.int64)
+            if B.shape[0] == 0:
+                hits = np.zeros(len(pdf), dtype=np.int64)
+            else:
+                d = q @ B.T
+                hit = (d > 0) & (
+                    100 * d * d >= tau2 * nn[:, None] * bn_arr[None, :]
+                )
+                hits = hit.sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_contaminating": hits,
+                    "is_contaminated": hits > 0,
+                }
+            )
+
+    return corpus_q.select(id_col, "qv", "nn").mapInPandas(
+        scan,
+        schema=f"{id_col} long, n_contaminating long, is_contaminated boolean",
+    )

@@ -141,3 +141,65 @@ def test_comment_stats_empty_prefixes_rejected(spark):
 
     with pytest.raises(ValueError):
         cq.comment_line_stats(_df(spark, "x"), prefixes=())
+
+
+class TestStripLicenseHeader:
+    ROWS = [
+        (0, "// Copyright 2024 Acme\n// SPDX-License-Identifier: MIT\n\nint main() {}"),
+        (1, "#!/usr/bin/env python\n# Copyright Acme\n# Licence: MIT\nprint(1)"),
+        (2, "// just a banner\n// no keywords here\ncode here"),
+        (3, "plain body first\n// Copyright mid-file stays"),
+        (4, "# Copyright only file\n# all rights reserved"),
+        (5, ""),
+        (6, "  \n-- LICENSE: BSD\nSELECT 1"),
+    ]
+
+    def _run(self, spark, **kw):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, content string")
+        out = cq.strip_license_header(df, **kw)
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_strip_semantics(self, spark):
+        got = self._run(spark)
+        assert got[0].stripped == "int main() {}"
+        assert got[0].n_header_lines_removed == 3
+        assert got[0].had_license_header
+        # shebang preserved, the two license lines removed
+        assert got[1].stripped == "#!/usr/bin/env python\nprint(1)"
+        assert got[1].n_header_lines_removed == 2
+        # banner without keywords: untouched
+        assert not got[2].had_license_header
+        assert got[2].stripped == self.ROWS[2][1]
+        # header must be a PREFIX: mid-file copyright stays
+        assert not got[3].had_license_header
+        # whole-file license -> empty output
+        assert got[4].stripped == "" and got[4].n_header_lines_removed == 2
+        assert got[5].stripped == "" and not got[5].had_license_header
+        # blank lines + '--' comment prefix participate in the header
+        assert got[6].stripped == "SELECT 1"
+        assert got[6].n_header_lines_removed == 2
+
+    def test_keep_shebang_false(self, spark):
+        got = self._run(spark, keep_shebang=False)
+        assert got[1].stripped == "print(1)"
+        assert got[1].n_header_lines_removed == 3
+
+    def test_no_shuffle_scan_side(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, content string")
+        plan = (
+            cq.strip_license_header(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_idempotent(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, content string")
+        once = cq.strip_license_header(df).select(
+            "doc_id", F.col("stripped").alias("content")
+        )
+        twice = cq.strip_license_header(once)
+        for r in twice.collect():
+            assert not r.had_license_header, r
+            assert r.stripped == r.content

@@ -1,0 +1,63 @@
+"""Corpus datasheet ROLLUP: hand-computed grains, NULL-free markers,
+single-scan plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import datasheet
+
+
+ROWS = [
+    (0, "en", "web", "hello world"),
+    (1, "en", "web", "hello world"),
+    (2, "en", "code", "x = 1"),
+    (3, "de", "web", "hallo welt welt"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id long, lang string, src string, text string"
+    )
+
+
+def test_two_key_rollup_hand_checked(spark):
+    out = datasheet.corpus_datasheet(_df(spark), "lang", "src")
+    got = {
+        (r.grain, r.lang, r.src): (
+            r.n_docs,
+            r.n_distinct_docs,
+            r.total_chars,
+            r.total_tokens,
+        )
+        for r in out.collect()
+    }
+    assert got[(0, "en", "web")] == (2, 1, 22, 4)
+    assert got[(0, "en", "code")] == (1, 1, 5, 3)
+    assert got[(0, "de", "web")] == (1, 1, 15, 3)
+    assert got[(1, "en", "(all)")] == (3, 2, 27, 7)
+    assert got[(1, "de", "(all)")] == (1, 1, 15, 3)
+    assert got[(3, "(all)", "(all)")] == (4, 3, 42, 10)
+    # ROLLUP (not CUBE): no (src-only) grain
+    assert len(got) == 6
+
+
+def test_single_key_rollup(spark):
+    out = datasheet.corpus_datasheet(_df(spark), "lang")
+    got = {(r.grain, r.lang): r.n_docs for r in out.collect()}
+    assert got == {(0, "en"): 3, (0, "de"): 1, (1, "(all)"): 4}
+
+
+def test_no_nulls_in_output(spark):
+    out = datasheet.corpus_datasheet(_df(spark), "lang", "src")
+    for r in out.collect():
+        assert r.lang is not None and r.src is not None
+
+
+def test_single_expand_single_scan(spark):
+    out = datasheet.corpus_datasheet(_df(spark), "lang", "src")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Expand") >= 1
+    # one logical scan of the input (createDataFrame -> LogicalRDD)
+    assert plan.count("LogicalRDD") == 1

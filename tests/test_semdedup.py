@@ -152,3 +152,82 @@ def test_tau_is_inclusive_integer_boundary(spark):
         ).collect()
     }
     assert got == {0: False, 1: True}
+
+
+class TestSemanticContamination:
+    def _tables(self, spark, n=120, dim=8, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        corpus = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        # plant: corpus rows 0..4 are exact copies of bench rows
+        bench = [(1000 + j, list(corpus[j][1])) for j in range(5)]
+        # plus two bench rows orthogonal-ish to everything (fresh draws)
+        bench += [
+            (2000 + j, [rng.uniform(-1, 1) for _ in range(dim)])
+            for j in range(2)
+        ]
+        c = spark.createDataFrame(
+            corpus, "vec_id long, embedding array<double>"
+        )
+        b = spark.createDataFrame(
+            bench, "vec_id long, embedding array<double>"
+        )
+        return c, b
+
+    def test_planted_copies_flagged(self, spark):
+        c, b = self._tables(spark)
+        got = {
+            r.vec_id: r.is_contaminated
+            for r in semdedup.semantic_contamination(
+                c, b, tau2_x100=98
+            ).collect()
+        }
+        for i in range(5):
+            assert got[i], i
+
+    def test_literal_equals_gemm_bitwise(self, spark):
+        c, b = self._tables(spark, n=200)
+        lit = semdedup.semantic_contamination(
+            c, b, tau2_x100=49, form="literal"
+        ).collect()
+        gem = semdedup.semantic_contamination(
+            c, b, tau2_x100=49, form="gemm"
+        ).collect()
+        key = lambda rows: sorted(
+            (r.vec_id, r.n_contaminating, r.is_contaminated) for r in rows
+        )
+        assert key(lit) == key(gem)
+
+    def test_zero_norm_rows_dropped_both_sides(self, spark):
+        c = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        b = spark.createDataFrame(
+            [(9, [0.0, 0.0]), (10, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = semdedup.semantic_contamination(c, b, tau2_x100=81).collect()
+        assert [r.vec_id for r in rows] == [0]
+        # only the ONE nonzero bench vector can contaminate
+        assert rows[0].n_contaminating == 1
+
+    def test_bench_cap_raises(self, spark):
+        c, b = self._tables(spark, n=10)
+        import pytest
+
+        with pytest.raises(ValueError, match="max_bench_rows"):
+            semdedup.semantic_contamination(c, b, max_bench_rows=3)
+
+    def test_gemm_form_is_map_only(self, spark):
+        c, b = self._tables(spark, n=40)
+        plan = (
+            semdedup.semantic_contamination(c, b, form="gemm")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
