@@ -67,6 +67,7 @@ from go_pipeline_spark.operators import (  # noqa: E402
 from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators import code_quality  # noqa: E402
 from go_pipeline_spark.operators import datasheet  # noqa: E402
+from go_pipeline_spark.operators import notebooks  # noqa: E402
 from go_pipeline_spark.operators import deps  # noqa: E402
 from go_pipeline_spark.operators import path_rules  # noqa: E402
 from go_pipeline_spark.operators import code_units  # noqa: E402
@@ -2048,6 +2049,139 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook code extraction (operators/notebooks.py): even docs
+    become real nbformat JSON built with Spark's to_json (code cell
+    carrying the natural text — quotes/newlines exercise the JSON
+    escaping round-trip — plus a markdown cell and a second code cell
+    derived from doc_id); odd docs stay raw prose. The oracle computes
+    the expected outputs DIRECTLY from the planting arithmetic, never
+    via JSON — so any parse/escape corruption inside the engine breaks
+    the full code sha."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    nb = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("code").alias("cell_type"),
+                    F.array(F.col("text")).alias("source"),
+                ),
+                F.struct(
+                    F.lit("markdown").alias("cell_type"),
+                    F.array(F.lit("# notes")).alias("source"),
+                ),
+                F.struct(
+                    F.lit("code").alias("cell_type"),
+                    F.array(
+                        F.lit("x = "), doc.cast("string")
+                    ).alias("source"),
+                ),
+            ).alias("cells")
+        )
+    )
+    content = F.when(doc % 2 == 0, nb).otherwise(F.col("text"))
+    out = notebooks.extract_notebook_code(
+        d.withColumn("content", content)
+    )
+    return out.select(
+        "doc_id",
+        "is_notebook",
+        "n_cells",
+        "n_code_cells",
+        F.sha2(F.col("code"), 256).alias("code_sha"),
+    )
+
+
+def q_data_file_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-file detection (operators/code_quality.py data_file_stats,
+    The Stack excludes data files from code training): planted CSV /
+    TSV / irregular / natural-prose contents cycling on doc_id % 4; the
+    delimiter-regularity rule (every line the same count, >= 1, >= 4
+    lines, comma > tab > semicolon precedence) is exact integer
+    arithmetic the oracle replays over the identical planted strings —
+    including the natural-prose rows, which BOTH engines must agree
+    on."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    csv = F.concat_ws(
+        "\n",
+        F.lit("h1,h2"),
+        F.concat(s, F.lit(",1")),
+        F.concat(s, F.lit(",2")),
+        F.concat(s, F.lit(",3")),
+    )
+    tsv = F.concat_ws(
+        "\n",
+        F.lit("h1\th2"),
+        F.concat(s, F.lit("\t1")),
+        F.concat(s, F.lit("\t2")),
+        F.concat(s, F.lit("\t3")),
+    )
+    irregular = F.concat_ws(
+        "\n", F.lit("a,b"), F.lit("c"), F.lit("d,e,f"), F.lit("g")
+    )
+    content = (
+        F.when(doc % 4 == 0, csv)
+        .when(doc % 4 == 1, tsv)
+        .when(doc % 4 == 2, irregular)
+        .otherwise(F.col("text"))
+    )
+    out = code_quality.data_file_stats(d.withColumn("content", content))
+    return out.select("doc_id", "data_delimiter", "is_data_file")
+
+
+def q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level file-set Jaccard (operators/code_quality.py
+    repo_pair_similarity): 20 synthetic repos where repo j and repo
+    (j+10) mod 20 share the files whose base doc_id coincides mod 250 —
+    every pair's intersection / union is fully determined by the id
+    arithmetic, and the integer fork decision (100·|∩| >= 30·|∪|) has
+    no float anywhere. The oracle rebuilds the identical inverted-list
+    chain (distinct shas -> df window -> pair witnesses -> sizes)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(F.col("doc_id").alias("base_id"), "text")
+    sf = (
+        d.select("doc_id")
+        .join(base, F.col("doc_id") % 250 == F.col("base_id"))
+        .select(
+            F.concat(
+                F.lit("r"), (F.col("doc_id") % 20).cast("string")
+            ).alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("text").alias("content"),
+        )
+    )
+    return code_quality.repo_pair_similarity(sf, min_jaccard_x100=30)
+
+
+def q_nfc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/encoding.py nfc_normalize):
+    combining sequences planted on the (pure-ASCII) corpus — e +
+    U+0301, A + U+030A — every third doc left untouched; the pandas-UDF
+    normalization must agree with DuckDB's utf8proc nfc_normalize on
+    the full output sha (NFC is version-stable for assigned
+    characters)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    tail = (
+        F.when(doc % 3 == 0, F.lit(" cafe" + chr(769)))
+        .when(doc % 3 == 1, F.lit(" A" + chr(778) + "ngstrom"))
+        .otherwise(F.lit(""))
+    )
+    out = encoding.nfc_normalize(
+        d.withColumn("text2", F.concat(F.col("text"), tail)),
+        text_col="text2",
+    )
+    return out.select(
+        "doc_id",
+        "nfc_changed",
+        "n_chars_nfc",
+        F.sha2(F.col("text_nfc"), 256).alias("nfc_sha"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2139,6 +2273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan_counts": q_secret_scan,
         "semantic_decontamination": q_semantic_decontamination,
         "corpus_datasheet": q_corpus_datasheet,
+        "notebook_extract": q_notebook_extract,
+        "data_file_flags": q_data_file_flags,
+        "repo_fork_pairs": q_repo_fork_pairs,
+        "nfc_normalized": q_nfc_normalized,
     }
 
 
@@ -4665,5 +4803,121 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(length(text)) AS BIGINT) AS total_chars,
               CAST(sum({tokcnt}) AS BIGINT) AS total_tokens
             FROM base GROUP BY ROLLUP(lang, src)
+        """,
+        # computed DIRECTLY from the planting arithmetic (never via
+        # JSON): any parse/escape corruption in the engine's
+        # to_json/from_json round-trip breaks the code sha
+        "notebook_extract": """
+            SELECT doc_id,
+              (doc_id % 2 = 0) AS is_notebook,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END AS BIGINT)
+                AS n_cells,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+                AS n_code_cells,
+              sha256(CASE WHEN doc_id % 2 = 0
+                     THEN text || chr(10) || 'x = '
+                          || CAST(doc_id AS VARCHAR)
+                     ELSE '' END) AS code_sha
+            FROM documents
+        """,
+        # the full delimiter-regularity rule replayed over identically
+        # planted strings — including natural-prose rows
+        "data_file_flags": """
+            WITH base AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'h1,h2' || chr(10)
+                    || CAST(doc_id AS VARCHAR) || ',1' || chr(10)
+                    || CAST(doc_id AS VARCHAR) || ',2' || chr(10)
+                    || CAST(doc_id AS VARCHAR) || ',3'
+                  WHEN 1 THEN 'h1' || chr(9) || 'h2' || chr(10)
+                    || CAST(doc_id AS VARCHAR) || chr(9) || '1' || chr(10)
+                    || CAST(doc_id AS VARCHAR) || chr(9) || '2' || chr(10)
+                    || CAST(doc_id AS VARCHAR) || chr(9) || '3'
+                  WHEN 2 THEN 'a,b' || chr(10) || 'c' || chr(10)
+                    || 'd,e,f' || chr(10) || 'g'
+                  ELSE text END AS content
+              FROM documents
+            ), l AS (
+              SELECT doc_id, string_split(content, chr(10)) AS lines
+              FROM base
+            ), c AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                list_transform(lines,
+                  x -> len(string_split(x, ',')) - 1) AS cc,
+                list_transform(lines,
+                  x -> len(string_split(x, chr(9))) - 1) AS tc,
+                list_transform(lines,
+                  x -> len(string_split(x, ';')) - 1) AS sc
+              FROM l
+            ), r AS (
+              SELECT doc_id,
+                n_lines >= 4 AND list_min(cc) = list_max(cc)
+                  AND list_min(cc) >= 1 AS rc,
+                n_lines >= 4 AND list_min(tc) = list_max(tc)
+                  AND list_min(tc) >= 1 AS rt,
+                n_lines >= 4 AND list_min(sc) = list_max(sc)
+                  AND list_min(sc) >= 1 AS rs
+              FROM c
+            )
+            SELECT doc_id,
+              CASE WHEN rc THEN 'comma' WHEN rt THEN 'tab'
+                   WHEN rs THEN 'semicolon' ELSE '' END AS data_delimiter,
+              (rc OR rt OR rs) AS is_data_file
+            FROM r
+        """,
+        # identical inverted-list chain: distinct (repo, sha) -> df
+        # window [2, cap] witnesses -> pair aggregate -> size joins
+        "repo_fork_pairs": """
+            WITH sf AS (
+              SELECT 'r' || CAST(d.doc_id % 20 AS VARCHAR) AS repo,
+                     b.text AS content
+              FROM documents d
+              JOIN documents b ON b.doc_id = d.doc_id % 250
+            ), files AS (
+              SELECT DISTINCT repo, sha256(content) AS sha FROM sf
+            ), sizes AS (
+              SELECT repo, CAST(count(*) AS BIGINT) AS n_files
+              FROM files GROUP BY repo
+            ), dfq AS (
+              SELECT sha, count(*) AS n_repos FROM files GROUP BY sha
+            ), w AS (
+              SELECT f.repo, f.sha FROM files f JOIN dfq USING (sha)
+              WHERE n_repos BETWEEN 2 AND 100
+            ), pairs AS (
+              SELECT a.repo AS repo_a, b2.repo AS repo_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM w a JOIN w b2
+                ON a.sha = b2.sha AND a.repo < b2.repo
+              GROUP BY 1, 2
+            )
+            SELECT p.repo_a, p.repo_b, p.n_shared,
+                   sa.n_files AS n_a, sb.n_files AS n_b,
+                   CAST((100 * p.n_shared)
+                        // (sa.n_files + sb.n_files - p.n_shared)
+                        AS BIGINT) AS jaccard_x100,
+                   100 * p.n_shared
+                     >= 30 * (sa.n_files + sb.n_files - p.n_shared)
+                     AS is_fork
+            FROM pairs p
+            JOIN sizes sa ON sa.repo = p.repo_a
+            JOIN sizes sb ON sb.repo = p.repo_b
+        """,
+        # utf8proc NFC vs the pandas/ICU-via-CPython path: NFC is
+        # version-stable for assigned characters, so full-sha equality
+        "nfc_normalized": """
+            WITH base AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                     WHEN doc_id % 3 = 1
+                       THEN ' A' || chr(778) || 'ngstrom'
+                     ELSE '' END AS t2
+              FROM documents
+            )
+            SELECT doc_id,
+              nfc_normalize(t2) != t2 AS nfc_changed,
+              CAST(length(nfc_normalize(t2)) AS BIGINT) AS n_chars_nfc,
+              sha256(nfc_normalize(t2)) AS nfc_sha
+            FROM base
         """,
     }

@@ -207,6 +207,10 @@ def bench_queries(spark, sf_dir: str):
         "secret_scan_counts": q("secret_scan_counts"),  # NEW r5 (credentials)
         "semantic_decontamination": q("semantic_decontamination"),  # NEW r5
         "corpus_datasheet": q("corpus_datasheet"),  # NEW r5 (ROLLUP report)
+        "notebook_extract": q("notebook_extract"),  # NEW r5 (.ipynb -> code)
+        "data_file_flags": q("data_file_flags"),  # NEW r5 (CSV/TSV detect)
+        "repo_fork_pairs": q("repo_fork_pairs"),  # NEW r5 (file-set Jaccard)
+        "nfc_normalized": q("nfc_normalized"),  # NEW r5 (Unicode NFC)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

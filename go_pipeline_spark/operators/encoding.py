@@ -88,3 +88,40 @@ def fix_mojibake(
     if count_col is not None:
         out = out.withColumn(count_col, mojibake_count(F.col(text_col)))
     return out.withColumn(out_col, fix_text(F.col(text_col)))
+
+
+def nfc_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_nfc",
+) -> DataFrame:
+    """Unicode NFC normalization: canonical-compose the text column
+    (e + U+0301 combining acute -> precomposed U+00E9 etc.).
+
+    The standard first step of corpus text cleaning (C4/CCNet both
+    NFC/NFKC-normalize before dedup — byte-level dedup is meaningless
+    while canonically-equal strings spell differently). The JVM exposes
+    no normalization builtin through Spark SQL, so this is the
+    documented Python rung: an Arrow-batched pandas UDF over
+    ``pandas.Series.str.normalize`` — vectorized per batch, mapping
+    partitions 1:1, no shuffle; the surrounding flag/length columns
+    stay JVM-side. NFC (not NFKC) because it is the lossless form:
+    canonical equivalence only, no compatibility folding.
+
+    Columns added: ``out_col`` (normalized text), ``nfc_changed``
+    boolean, ``n_chars_nfc`` long. Output equality with an independent
+    utf8proc-based engine (DuckDB's nfc_normalize) holds because NFC is
+    version-stable for assigned characters (Unicode normalization
+    stability policy).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return (
+        df.withColumn(out_col, _nfc(F.col(text_col)))
+        .withColumn("nfc_changed", F.col(out_col) != F.col(text_col))
+        .withColumn("n_chars_nfc", F.length(F.col(out_col)).cast("long"))
+    )

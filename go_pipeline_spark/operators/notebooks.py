@@ -1,0 +1,79 @@
+"""Jupyter-notebook code extraction (.ipynb JSON -> concatenated code).
+
+Code corpora carry notebooks as JSON documents; training uses the code
+cells (The Stack ships "Jupyter-scripts" as a converted subset,
+arXiv:2211.15533; StarCoder trains on both forms, arXiv:2305.06161).
+This operator parses the nbformat JSON shape that matters — top-level
+``cells`` with ``cell_type`` and a ``source`` string-array — and emits
+the script form: code-cell sources joined in notebook order.
+
+Scale design: the whole extraction is ONE scan-side expression chain —
+`from_json` with an explicit narrow schema (only the two fields used
+are even parsed-out; Jackson still tokenizes the document once),
+higher-order filter/transform over the parsed cell array, array_join.
+No explode (a notebook's cells stay one row), no shuffle, no Python;
+malformed/non-notebook bytes parse to NULL (PERMISSIVE mode) and come
+out flagged, never thrown — the 10^12-file corpus has garbage and a
+parse error must be data, not a job failure (same quarantine philosophy
+as plans/dedup_pipeline.py).
+
+No reference analogue; part of the LLM data-prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the nbformat subset this operator reads; everything else in the JSON
+# is skipped by the parser (column-pruned at the Jackson level)
+NB_SCHEMA = (
+    "STRUCT<cells: ARRAY<STRUCT<cell_type: STRING, source: ARRAY<STRING>>>>"
+)
+
+# nbconvert joins a cell's source fragments with '' (they carry their
+# own newlines) and separates cells with a blank line; we use '\n' —
+# the exact separator is a constant both engines share
+CELL_SEP = "\n"
+
+
+def extract_notebook_code(
+    df: DataFrame,
+    nb_col: str = "content",
+    cell_sep: str = CELL_SEP,
+) -> DataFrame:
+    """Input + notebook columns: ``is_notebook`` (parsed AND has a cells
+    array), ``n_cells``, ``n_code_cells``, ``code`` (code-cell sources
+    concatenated in order; '' for non-notebooks).
+
+    Non-JSON and JSON-without-cells rows get is_notebook=false with
+    zero counts — the operator is total over arbitrary bytes."""
+    parsed = F.from_json(F.col(nb_col), NB_SCHEMA)
+    out = df.withColumn("__cells", parsed["cells"])
+    cells = F.col("__cells")
+    code_cells = F.filter(cells, lambda c: c["cell_type"] == F.lit("code"))
+    code_text = F.array_join(
+        F.transform(code_cells, lambda c: F.array_join(c["source"], "")),
+        cell_sep,
+    )
+    return (
+        out.withColumn("is_notebook", cells.isNotNull())
+        .withColumn(
+            "n_cells",
+            F.when(cells.isNotNull(), F.size(cells))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "n_code_cells",
+            F.when(cells.isNotNull(), F.size(code_cells))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "code",
+            F.when(cells.isNotNull(), code_text).otherwise(F.lit("")),
+        )
+        .drop("__cells")
+    )

@@ -203,3 +203,97 @@ class TestStripLicenseHeader:
         for r in twice.collect():
             assert not r.had_license_header, r
             assert r.stripped == r.content
+
+
+class TestDataFileStats:
+    ROWS = [
+        (0, "a,b,c\n1,2,3\n4,5,6\n7,8,9"),
+        (1, "a\tb\n1\t2\n3\t4\n5\t6"),
+        (2, "x;y\n1;2\n3;4\n5;6"),
+        (3, "a,b\n1,2,3\n4,5\n6,7"),
+        (4, "a,b\n1,2"),
+        (5, "def f(x, y):\n    return x, y\nz = f(1, 2)\nprint(z)"),
+        (6, "a,b;c\n1,2;3\n4,5;6\n7,8;9"),
+    ]
+
+    def test_detection_and_precedence(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, content string")
+        got = {
+            r.doc_id: (r.data_delimiter, r.is_data_file)
+            for r in cq.data_file_stats(df).collect()
+        }
+        assert got[0] == ("comma", True)
+        assert got[1] == ("tab", True)
+        assert got[2] == ("semicolon", True)
+        # irregular counts / too few lines / code with commas: not data
+        assert got[3] == ("", False)
+        assert got[4] == ("", False)
+        assert got[5] == ("", False)
+        # both comma and semicolon regular -> first-listed wins
+        assert got[6] == ("comma", True)
+
+    def test_scan_side_no_shuffle(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, content string")
+        plan = (
+            cq.data_file_stats(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestRepoPairSimilarity:
+    def _df(self, spark):
+        rows = []
+        for i in range(10):
+            rows.append(("A", f"a/{i}", f"body-{i}"))
+        for i in range(8):
+            rows.append(("B", f"b/{i}", f"body-{i}"))
+        rows += [("B", "b/x", "own-b1"), ("B", "b/y", "own-b2")]
+        for i in range(5):
+            rows.append(("C", f"c/{i}", f"c-body-{i}"))
+        for r in "ABC":
+            rows.append((r, f"{r}/LICENSE", "MIT LICENSE TEXT"))
+        return spark.createDataFrame(
+            rows, "repo string, path string, content string"
+        )
+
+    def test_fork_pair_and_boilerplate_exclusion(self, spark):
+        out = cq.repo_pair_similarity(
+            self._df(spark), min_jaccard_x100=50, sha_df_cap=2
+        ).collect()
+        # LICENSE sha (df=3 > cap) is not a witness: only (A, B) pairs
+        assert len(out) == 1
+        r = out[0]
+        assert (r.repo_a, r.repo_b) == ("A", "B")
+        assert r.n_shared == 8
+        # sizes count ALL distinct shas incl. the boilerplate LICENSE
+        assert (r.n_a, r.n_b) == (11, 11)
+        assert r.jaccard_x100 == 57  # (100*8) div (11+11-8)
+        assert r.is_fork
+
+    def test_threshold_is_exact_integer(self, spark):
+        # jaccard = 8/14 = 57.14%: >= 57 keeps, >= 58 drops
+        keep = cq.repo_pair_similarity(
+            self._df(spark), min_jaccard_x100=57, sha_df_cap=2
+        ).collect()[0]
+        drop = cq.repo_pair_similarity(
+            self._df(spark), min_jaccard_x100=58, sha_df_cap=2
+        ).collect()[0]
+        assert keep.is_fork and not drop.is_fork
+
+    def test_duplicate_paths_collapse(self, spark):
+        # the same (repo, content) twice must count once (distinct shas)
+        df = spark.createDataFrame(
+            [
+                ("A", "p1", "x"),
+                ("A", "p2", "x"),
+                ("B", "q1", "x"),
+                ("B", "q2", "y"),
+            ],
+            "repo string, path string, content string",
+        )
+        r = cq.repo_pair_similarity(df, min_jaccard_x100=30).collect()[0]
+        assert (r.n_shared, r.n_a, r.n_b) == (1, 1, 2)
+        assert r.jaccard_x100 == 50

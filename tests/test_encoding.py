@@ -54,3 +54,39 @@ def test_idempotent(spark):
         ).collect()[0]
     )
     assert twice.t2 == once and twice.n2 == 0
+
+
+def test_nfc_normalize_composes_and_flags(spark):
+    from go_pipeline_spark.operators.encoding import nfc_normalize
+
+    rows = [
+        (0, "cafe" + chr(769) + " ok"),  # e + combining acute
+        (1, "plain ascii"),
+        (2, "A" + chr(778) + "ngstro" + chr(776) + "m"),
+        (3, "café"),  # already composed: unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in nfc_normalize(df).collect()}
+    assert got[0].text_nfc == "café ok" and got[0].nfc_changed
+    assert got[0].n_chars_nfc == 7
+    assert not got[1].nfc_changed and got[1].text_nfc == "plain ascii"
+    assert got[2].text_nfc == "Ångström" and got[2].n_chars_nfc == 8
+    assert not got[3].nfc_changed
+
+
+def test_nfc_matches_python_unicodedata(spark):
+    import unicodedata
+
+    from go_pipeline_spark.operators.encoding import nfc_normalize
+
+    seqs = [
+        "e" + chr(769),
+        "o" + chr(776) + chr(804),  # multiple combining marks
+        chr(0x1E0B) + chr(0x0323),  # d-dot-above + dot-below reordering
+        "ﬁ",  # fi ligature: NFC must NOT fold compatibility chars
+    ]
+    rows = [(i, s) for i, s in enumerate(seqs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_nfc for r in nfc_normalize(df).collect()}
+    for i, s in enumerate(seqs):
+        assert got[i] == unicodedata.normalize("NFC", s), i

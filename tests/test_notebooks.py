@@ -1,0 +1,82 @@
+"""Notebook code extraction: nbformat subset parsing, malformed-input
+totality, JSON round-trip fidelity, scan-side plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators import notebooks
+
+
+NB = (
+    '{"cells":[{"cell_type":"code","source":["a=1\\n","b=\\"x\\""]},'
+    '{"cell_type":"markdown","source":["# t"]},'
+    '{"cell_type":"code","source":["print(a)"]}]}'
+)
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    return {
+        r.doc_id: r for r in notebooks.extract_notebook_code(df).collect()
+    }
+
+
+def test_code_cells_concatenated_in_order(spark):
+    got = _run(spark, [(0, NB)])[0]
+    assert got.is_notebook
+    assert got.n_cells == 3 and got.n_code_cells == 2
+    assert got.code == 'a=1\nb="x"\nprint(a)'
+
+
+def test_total_over_garbage(spark):
+    got = _run(
+        spark,
+        [
+            (1, "just prose"),
+            (2, "{}"),
+            (3, '{"cells": []}'),
+            (4, "[1,2]"),
+            (5, '{"cells": "nope"}'),
+        ],
+    )
+    for i in (1, 2, 4):
+        assert not got[i].is_notebook, i
+        assert got[i].n_cells == 0 and got[i].code == ""
+    # an empty cells array IS a (trivial) notebook
+    assert got[3].is_notebook and got[3].n_cells == 0
+    # cells of the wrong type parse to null in PERMISSIVE mode
+    assert not got[5].is_notebook
+
+
+def test_json_escaping_round_trip(spark):
+    # build the notebook WITH Spark's to_json, read it back: quotes,
+    # backslashes and newlines in source must survive exactly
+    tricky = 'say "hi"\\n\tliteral\nsecond line'
+    df = spark.createDataFrame([(0, tricky)], "doc_id long, text string")
+    nb = df.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("code").alias("cell_type"),
+                        F.array(F.col("text")).alias("source"),
+                    )
+                ).alias("cells")
+            )
+        ).alias("content"),
+    )
+    got = notebooks.extract_notebook_code(nb).collect()[0]
+    assert got.is_notebook and got.code == tricky
+
+
+def test_no_shuffle_plan(spark):
+    df = spark.createDataFrame([(0, NB)], "doc_id long, content string")
+    plan = (
+        notebooks.extract_notebook_code(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
