@@ -79,6 +79,9 @@ from go_pipeline_spark.operators.dedup import (  # noqa: E402
     global_line_dedup,
     with_content_sha,
 )
+from go_pipeline_spark.operators.dedup import (  # noqa: E402
+    intra_doc_line_dedup as dedup_ops_intra,
+)
 from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline  # noqa: E402
 from go_pipeline_spark.sources.tables import load_table  # noqa: E402
 
@@ -2182,6 +2185,112 @@ def q_nfc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc line dedup (operators/dedup.py intra_doc_line_dedup):
+    even docs get their (single-line) text duplicated plus a unique
+    tail, odd docs stay as-is; the positional first-occurrence filter
+    must remove exactly the planted copies. Oracle replays the rule
+    with DuckDB's (x, i) list_filter + list_position (1-based on both
+    engines after the index-convention shift) over identical planted
+    content; full output sha compared."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    content = F.when(
+        doc % 2 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nunique-"),
+            doc.cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    out = dedup_ops_intra(d.withColumn("text2", content), text_col="text2")
+    return out.select(
+        "doc_id",
+        "n_lines_removed",
+        F.sha2(F.col("text_dedup"), 256).alias("dedup_sha"),
+    )
+
+
+def q_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation of the Stack quality filter
+    (operators/code_quality.py quality_rule_ablation): the SAME planted
+    corpus as code_quality_filter (autogen marker every 13th doc,
+    9000-char line every 11th, alnum-masked padding every 17th over
+    space->newline rewrapped text), aggregated into per-rule trip
+    counts AND sole-cause counts (n_only_<rule> — the marginal cost of
+    keeping each rule). One scan, one aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    doc = F.col("doc_id")
+    b = F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+    m = F.regexp_replace(b, "[A-Za-z0-9]", "#")
+    content = F.concat(
+        F.when(
+            doc % 13 == 0, F.lit("// auto-generated do not edit\n")
+        ).otherwise(F.lit("")),
+        b,
+        F.when(doc % 11 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("x"), 9000)))
+        .otherwise(F.lit("")),
+        F.when(doc % 17 == 0, F.concat(F.lit("\n"), m, m, m, m)).otherwise(
+            F.lit("")
+        ),
+    )
+    return code_quality.quality_rule_ablation(
+        d.withColumn("content", content), by="lang"
+    )
+
+
+def q_identifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier-shape scan (operators/code_quality.py
+    identifier_stats): run directly over the natural text (English
+    words ARE the identifier-pattern matches) plus a planted minified
+    blob on every 10th doc — both engines extract with the identical
+    RE2 pattern and aggregate exact integers; the minified flag is the
+    cross-multiplied mean test."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    content = F.when(
+        doc % 10 == 0,
+        F.lit("a=b;c=d;e=f;g=h;i=j;k=l;m=n;o=p;q=r;s=t;u=v;w=x"),
+    ).otherwise(F.col("text"))
+    out = code_quality.identifier_stats(d.withColumn("content", content))
+    return out.select(
+        "doc_id",
+        "n_identifiers",
+        "total_ident_chars",
+        "n_single_char_idents",
+        "mean_ident_x10",
+        "looks_minified",
+    )
+
+
+def q_indentation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indentation consistency (operators/code_quality.py
+    indentation_stats): planted tab-indented lines on doc%3==0,
+    space-indented on doc%3==1, both on doc%6==5 (mixed), over the
+    natural text; first-character style rule replayed by the oracle via
+    starts_with over the identical planted lines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    content = F.concat(
+        F.col("text"),
+        F.when(doc % 3 == 0, F.lit("\n\tindented()\n\tmore()")).otherwise(
+            F.lit("")
+        ),
+        F.when(doc % 3 == 1, F.lit("\n  indented()\n    deeper()")).otherwise(
+            F.lit("")
+        ),
+        F.when(doc % 6 == 5, F.lit("\n\talso_tab()")).otherwise(F.lit("")),
+    )
+    out = code_quality.indentation_stats(d.withColumn("content", content))
+    return out.select(
+        "doc_id", "n_tab_indented", "n_space_indented", "mixed_indentation"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2277,6 +2386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_file_flags": q_data_file_flags,
         "repo_fork_pairs": q_repo_fork_pairs,
         "nfc_normalized": q_nfc_normalized,
+        "intra_line_dedup": q_intra_line_dedup,
+        "quality_ablation": q_quality_ablation,
+        "identifier_stats": q_identifier_stats,
+        "indentation_profile": q_indentation_profile,
     }
 
 
@@ -4919,5 +5032,153 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(nfc_normalize(t2)) AS BIGINT) AS n_chars_nfc,
               sha256(nfc_normalize(t2)) AS nfc_sha
             FROM base
+        """,
+        # the positional first-occurrence rule: DuckDB's (x, i) lambda
+        # index is 1-based, Spark's 0-based filter uses i + 1 — both
+        # compare against the 1-based list_position/array_position
+        "intra_line_dedup": """
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                  THEN text || chr(10) || text || chr(10) || 'unique-'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS t2
+              FROM documents
+            ), l AS (
+              SELECT doc_id, string_split(t2, chr(10)) AS lines FROM base
+            ), k AS (
+              SELECT doc_id, lines,
+                list_filter(lines, (x, i) ->
+                  len(x) = 0 OR list_position(lines, x) = i) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+              CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed,
+              sha256(array_to_string(kept, chr(10))) AS dedup_sha
+            FROM k
+        """,
+        # same planted corpus as code_quality_filter; per-rule trip +
+        # sole-cause counts from the identical integer flag expressions
+        "quality_ablation": """
+            WITH base AS (
+              SELECT doc_id, lang, replace(text, ' ', chr(10)) AS b
+              FROM documents
+            ), masked AS (
+              SELECT doc_id, lang, b,
+                     regexp_replace(b, '[A-Za-z0-9]', '#', 'g') AS m
+              FROM base
+            ), planted AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 13 = 0
+                       THEN '// auto-generated do not edit' || chr(10)
+                       ELSE '' END
+                     || b
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || repeat('x', 9000) ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) || m || m || m || m ELSE '' END AS c
+              FROM masked
+            ), flags AS (
+              SELECT lang,
+                list_max(list_transform(string_split(c, chr(10)),
+                                        x -> len(x))) > 1000 AS mx,
+                len(c) - len(string_split(c, chr(10))) + 1
+                  > 100 * len(string_split(c, chr(10))) AS mn,
+                4 * (len(c) - len(regexp_replace(c, '[A-Za-z0-9]', '',
+                                                 'g'))) < len(c) AS la,
+                regexp_matches(c, '(?i)(auto[- ]generated|do not edit)')
+                  AS ag
+              FROM planted
+            )
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN mx OR mn OR la OR ag THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+              CAST(sum(CASE WHEN mx THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_drop_max_line,
+              CAST(sum(CASE WHEN mx AND NOT mn AND NOT la AND NOT ag
+                       THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_only_drop_max_line,
+              CAST(sum(CASE WHEN mn THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_drop_mean_line,
+              CAST(sum(CASE WHEN mn AND NOT mx AND NOT la AND NOT ag
+                       THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_only_drop_mean_line,
+              CAST(sum(CASE WHEN la THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_drop_low_alnum,
+              CAST(sum(CASE WHEN la AND NOT mx AND NOT mn AND NOT ag
+                       THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_only_drop_low_alnum,
+              CAST(sum(CASE WHEN ag THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_drop_autogen,
+              CAST(sum(CASE WHEN ag AND NOT mx AND NOT mn AND NOT la
+                       THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_only_drop_autogen
+            FROM flags GROUP BY lang
+        """,
+        # identical identifier pattern; empty-extract list_sum is NULL
+        # in DuckDB -> coalesce matches Spark's 0-seeded aggregate
+        "identifier_stats": """
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 = 0
+                  THEN 'a=b;c=d;e=f;g=h;i=j;k=l;m=n;o=p;q=r;s=t;u=v;w=x'
+                  ELSE text END AS content
+              FROM documents
+            ), i AS (
+              SELECT doc_id,
+                regexp_extract_all(content,
+                  '[A-Za-z_][A-Za-z0-9_]*') AS ids
+              FROM base
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(ids) AS BIGINT) AS n_identifiers,
+                CAST(coalesce(list_sum(list_transform(ids,
+                     x -> len(x))), 0) AS BIGINT) AS total_ident_chars,
+                CAST(len(list_filter(ids, x -> len(x) = 1)) AS BIGINT)
+                  AS n_single_char_idents
+              FROM i
+            )
+            SELECT doc_id, n_identifiers, total_ident_chars,
+              n_single_char_idents,
+              CAST(CASE WHEN n_identifiers > 0
+                   THEN (10 * total_ident_chars) // n_identifiers
+                   ELSE 0 END AS BIGINT) AS mean_ident_x10,
+              (n_identifiers >= 10
+               AND 10 * total_ident_chars < 25 * n_identifiers)
+                AS looks_minified
+            FROM s
+        """,
+        # first-character style rule over identically planted lines
+        "indentation_profile": """
+            WITH base AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || chr(9) || 'indented()' || chr(10)
+                        || chr(9) || 'more()' ELSE '' END
+                || CASE WHEN doc_id % 3 = 1
+                   THEN chr(10) || '  indented()' || chr(10)
+                        || '    deeper()' ELSE '' END
+                || CASE WHEN doc_id % 6 = 5
+                   THEN chr(10) || chr(9) || 'also_tab()' ELSE '' END
+                AS content
+              FROM documents
+            ), l AS (
+              SELECT doc_id, string_split(content, chr(10)) AS lines
+              FROM base
+            ), c AS (
+              SELECT doc_id,
+                CAST(len(list_filter(lines,
+                     x -> starts_with(x, chr(9)))) AS BIGINT)
+                  AS n_tab_indented,
+                CAST(len(list_filter(lines,
+                     x -> starts_with(x, ' '))) AS BIGINT)
+                  AS n_space_indented
+              FROM l
+            )
+            SELECT doc_id, n_tab_indented, n_space_indented,
+              (n_tab_indented > 0 AND n_space_indented > 0)
+                AS mixed_indentation
+            FROM c
         """,
     }

@@ -211,6 +211,10 @@ def bench_queries(spark, sf_dir: str):
         "data_file_flags": q("data_file_flags"),  # NEW r5 (CSV/TSV detect)
         "repo_fork_pairs": q("repo_fork_pairs"),  # NEW r5 (file-set Jaccard)
         "nfc_normalized": q("nfc_normalized"),  # NEW r5 (Unicode NFC)
+        "intra_line_dedup": q("intra_line_dedup"),  # NEW r5 (within-doc)
+        "quality_ablation": q("quality_ablation"),  # NEW r5 (rule funnel)
+        "identifier_stats": q("identifier_stats"),  # NEW r5 (minified flag)
+        "indentation_profile": q("indentation_profile"),  # NEW r5
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -448,3 +448,133 @@ def repo_pair_similarity(
             >= F.lit(int(min_jaccard_x100)) * F.col("__union")
         ).alias("is_fork"),
     )
+
+
+QUALITY_RULES = (
+    "drop_max_line",
+    "drop_mean_line",
+    "drop_low_alnum",
+    "drop_autogen",
+)
+
+
+def quality_rule_ablation(
+    df: DataFrame,
+    content_col: str = "content",
+    by: str | None = "lang",
+    rules: tuple[str, ...] = QUALITY_RULES,
+) -> DataFrame:
+    """Per-rule ablation of the Stack quality filter: for each group,
+    ``n_docs``, ``n_dropped``, and per rule both ``n_<rule>`` (docs the
+    rule trips on) and ``n_only_<rule>`` (docs dropped SOLELY by it —
+    the marginal cost of keeping that rule, the number a curator reads
+    before loosening it).
+
+    Scale: stack_quality_flags is scan-side; the ablation is ONE hash
+    aggregate over the flag booleans — the corpus is read once no
+    matter how many rules are ablated (each n_only_* is a conditional
+    sum over the same row, not a separate pass)."""
+    flagged = stack_quality_flags(df, content_col)
+    keys = [by] if by else []
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_dropped"),
+    ]
+    for r in rules:
+        aggs.append(F.sum(F.col(r).cast("int")).cast("long").alias(f"n_{r}"))
+        others = [F.col(o) for o in rules if o != r]
+        none_other = ~others[0]
+        for o in others[1:]:
+            none_other = none_other & ~o
+        aggs.append(
+            F.sum((F.col(r) & none_other).cast("int"))
+            .cast("long")
+            .alias(f"n_only_{r}")
+        )
+    return flagged.groupBy(*keys).agg(*aggs)
+
+
+# identifier shape: the ASCII token rule every C-family lexer shares
+IDENTIFIER_PATTERN = r"[A-Za-z_][A-Za-z0-9_]*"
+MINIFIED_MEAN_LEN_X10 = 25  # mean identifier length < 2.5 chars
+
+
+def identifier_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    min_mean_x10: int = MINIFIED_MEAN_LEN_X10,
+) -> DataFrame:
+    """Input + identifier-shape columns: ``n_identifiers``,
+    ``total_ident_chars``, ``n_single_char_idents``, ``mean_ident_x10``
+    (10·total div count — integer deci-chars), ``looks_minified``
+    (mean length below the threshold with a sane sample size).
+
+    Minified/obfuscated bundles defeat the Stack's line-length rules
+    when pretty-printed; identifier length does not — a minifier
+    renames to 1-2 chars. Exact integers throughout (the mean is an
+    integer division, the flag a cross-multiplied compare:
+    10·total < min_mean_x10·count).
+
+    Scale: one regexp_extract_all materialized as a column, aggregates
+    over it via JVM transform/size — scan-side, no shuffle."""
+    out = df.withColumn(
+        "__idents",
+        F.regexp_extract_all(
+            F.col(content_col), F.lit(IDENTIFIER_PATTERN), F.lit(0)
+        ),
+    )
+    idents = F.col("__idents")
+    n = F.size(idents).cast("long")
+    total = F.aggregate(
+        F.transform(idents, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    singles = F.size(F.filter(idents, lambda x: F.length(x) == 1)).cast(
+        "long"
+    )
+    return (
+        out.withColumn("n_identifiers", n)
+        .withColumn("total_ident_chars", total)
+        .withColumn("n_single_char_idents", singles)
+        .withColumn(
+            "mean_ident_x10",
+            F.when(n > 0, F.expr("(10 * total_ident_chars) div n_identifiers"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "looks_minified",
+            (n >= 10)
+            & (
+                F.lit(10) * F.col("total_ident_chars")
+                < F.lit(int(min_mean_x10)) * n
+            ),
+        )
+        .drop("__idents")
+    )
+
+
+def indentation_stats(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Input + ``n_tab_indented``, ``n_space_indented``,
+    ``mixed_indentation`` (both styles present — the consistency signal
+    formatters enforce; a file mixing them is frequently generated or
+    corrupted). A line counts for the style of its FIRST character
+    only. Scan-side: one line array, two higher-order filters."""
+    lines_df = df.withColumn("__nlines", F.split(F.col(content_col), "\n"))
+    lines = F.col("__nlines")
+    tabs = F.size(F.filter(lines, lambda x: x.startswith("\t"))).cast("long")
+    spaces = F.size(F.filter(lines, lambda x: x.startswith(" "))).cast(
+        "long"
+    )
+    return (
+        lines_df.withColumn("n_tab_indented", tabs)
+        .withColumn("n_space_indented", spaces)
+        .withColumn(
+            "mixed_indentation",
+            (F.col("n_tab_indented") > 0) & (F.col("n_space_indented") > 0),
+        )
+        .drop("__nlines")
+    )

@@ -271,3 +271,39 @@ def canonical_representatives(
     return keepers.join(sizes, on=component_col).select(
         component_col, "keeper_id", "cluster_size"
     )
+
+
+def intra_doc_line_dedup(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_dedup"
+) -> DataFrame:
+    """Within-document exact line dedup: every line survives only at its
+    FIRST occurrence inside its own document (the RefinedWeb/Gopher
+    within-doc repetition remedy at line granularity — the local
+    complement of global_line_dedup, which this composes with).
+
+    Output: input + ``out_col`` (rebuilt text), ``n_lines_removed``.
+    Blank lines are structure, not content — never deduped.
+
+    Scale: MAP-ONLY, unlike the global form's three shuffles — the line
+    array materializes once and a positional higher-order filter keeps
+    line i iff its first occurrence index is i. That filter is
+    O(L_doc²) in the DOCUMENT's line count (array_position scans the
+    materialized array per element — a bounded per-row cost that
+    whole-stage-codegens, there is no O(n log n) scan-side alternative);
+    docs are bounded (windows/length filters run upstream), so this
+    never dominates a corpus pass and no data moves."""
+    lines_df = df.withColumn("__ilines", F.split(F.col(text_col), "\n"))
+    lines = F.col("__ilines")
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(x) == 0)
+        | (F.array_position(lines, x) == i + 1),
+    )
+    return (
+        lines_df.withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn(
+            "n_lines_removed",
+            (F.size(lines) - F.size(kept)).cast("long"),
+        )
+        .drop("__ilines")
+    )

@@ -297,3 +297,93 @@ class TestRepoPairSimilarity:
         r = cq.repo_pair_similarity(df, min_jaccard_x100=30).collect()[0]
         assert (r.n_shared, r.n_a, r.n_b) == (1, 1, 2)
         assert r.jaccard_x100 == 50
+
+
+class TestQualityRuleAblation:
+    def test_only_counts_hand_checked(self, spark):
+        rows = [
+            # clean keep
+            ("py", "def f(x):\n    return x"),
+            # trips ONLY max_line (short mean via many short lines? no:
+            # one 1500-char line also trips mean; use autogen instead)
+            ("py", "# auto-generated file\nshort = 1\nok = 2\nmore = 3"),
+            # trips low_alnum only: mostly punctuation, short lines
+            ("py", "+-*/ ==\n!!! ???\n(){}[]\n<<>>"),
+        ]
+        df = spark.createDataFrame(rows, "lang string, content string")
+        r = cq.quality_rule_ablation(df).collect()[0]
+        assert r.n_docs == 3 and r.n_dropped == 2
+        assert r.n_drop_autogen == 1 and r.n_only_drop_autogen == 1
+        assert r.n_drop_low_alnum == 1 and r.n_only_drop_low_alnum == 1
+        assert r.n_only_drop_max_line == 0
+
+    def test_multi_rule_doc_counts_in_no_only_bucket(self, spark):
+        # a 1500-char line trips max_line AND mean_line: both n_ rise,
+        # neither n_only_ does
+        df = spark.createDataFrame(
+            [("py", "x" * 1500)], "lang string, content string"
+        )
+        r = cq.quality_rule_ablation(df).collect()[0]
+        assert r.n_drop_max_line == 1 and r.n_drop_mean_line == 1
+        assert r.n_only_drop_max_line == 0 and r.n_only_drop_mean_line == 0
+        assert r.n_dropped == 1
+
+    def test_single_aggregate_plan(self, spark):
+        df = spark.createDataFrame(
+            [("py", "x = 1")], "lang string, content string"
+        )
+        plan = (
+            cq.quality_rule_ablation(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one exchange: the final aggregate on the tiny group key
+        assert plan.count("Exchange") == 1
+
+
+class TestIdentifierStats:
+    def test_hand_checked(self, spark):
+        rows = [
+            (0, "def do_work(input_value):\n    return input_value * 2"),
+            (1, "a=b;c=d;e=f;g=h;i=j;k=l;m=n;o=p;q=r;s=t"),
+            (2, "   \n###\n"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        got = {r.doc_id: r for r in cq.identifier_stats(df).collect()}
+        assert got[0].n_identifiers == 5  # def do_work input_value return input_value
+        assert got[0].total_ident_chars == 38
+        assert got[0].mean_ident_x10 == 76
+        assert not got[0].looks_minified
+        assert got[1].n_identifiers == 20
+        assert got[1].n_single_char_idents == 20
+        assert got[1].mean_ident_x10 == 10
+        assert got[1].looks_minified
+        # no identifiers at all: zeros, no div-by-zero, not minified
+        assert got[2].n_identifiers == 0
+        assert got[2].mean_ident_x10 == 0 and not got[2].looks_minified
+
+    def test_min_sample_size_guards_flag(self, spark):
+        # 9 single-char identifiers: below the n >= 10 floor
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h i")], "doc_id long, content string"
+        )
+        r = cq.identifier_stats(df).collect()[0]
+        assert r.n_identifiers == 9 and not r.looks_minified
+
+
+class TestIndentationStats:
+    def test_styles_and_mix(self, spark):
+        rows = [
+            (0, "\tindent tab\n  indent space\ncode"),
+            (1, "\ttab only\n\ttab again"),
+            (2, "  spaces\n    deeper"),
+            (3, "flat\nlines"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        got = {r.doc_id: r for r in cq.indentation_stats(df).collect()}
+        assert (got[0].n_tab_indented, got[0].n_space_indented) == (1, 1)
+        assert got[0].mixed_indentation
+        assert got[1].n_tab_indented == 2 and not got[1].mixed_indentation
+        assert got[2].n_space_indented == 2 and not got[2].mixed_indentation
+        assert got[3].n_tab_indented == 0 and got[3].n_space_indented == 0

@@ -116,3 +116,56 @@ def test_canonical_representatives_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+class TestIntraDocLineDedup:
+    def test_first_occurrence_kept_blanks_survive(self, spark):
+        from go_pipeline_spark.operators.dedup import intra_doc_line_dedup
+
+        rows = [
+            (0, "a\nb\na\nc\nb\nd"),
+            (1, "x\n\ny\n\nx"),
+            (2, "unique\nlines\nonly"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in intra_doc_line_dedup(df).collect()}
+        assert got[0].text_dedup == "a\nb\nc\nd"
+        assert got[0].n_lines_removed == 2
+        # blank lines are never deduped
+        assert got[1].text_dedup == "x\n\ny\n"
+        assert got[1].n_lines_removed == 1
+        assert got[2].n_lines_removed == 0
+        assert got[3].text_dedup == "" and got[3].n_lines_removed == 0
+
+    def test_map_only_plan(self, spark):
+        from go_pipeline_spark.operators.dedup import intra_doc_line_dedup
+
+        df = spark.createDataFrame([(0, "a\na")], "doc_id long, text string")
+        plan = (
+            intra_doc_line_dedup(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_composes_with_global(self, spark):
+        # intra-doc first, then global: a line repeated within AND
+        # across docs survives exactly once corpus-wide
+        from go_pipeline_spark.operators.dedup import (
+            global_line_dedup,
+            intra_doc_line_dedup,
+        )
+
+        rows = [(0, "dup\ndup\nown0"), (1, "dup\nown1")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        local = intra_doc_line_dedup(df).select(
+            "doc_id", F.col("text_dedup").alias("text")
+        )
+        out = {
+            r.doc_id: r.text_dedup
+            for r in global_line_dedup(local).collect()
+        }
+        assert out[0] == "dup\nown0"
+        assert out[1] == "own1"
