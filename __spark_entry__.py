@@ -68,6 +68,7 @@ from go_pipeline_spark.operators.asof import asof_join  # noqa: E402
 from go_pipeline_spark.operators import code_quality  # noqa: E402
 from go_pipeline_spark.operators import datasheet  # noqa: E402
 from go_pipeline_spark.operators import notebooks  # noqa: E402
+from go_pipeline_spark.operators import langinfer  # noqa: E402
 from go_pipeline_spark.operators import deps  # noqa: E402
 from go_pipeline_spark.operators import path_rules  # noqa: E402
 from go_pipeline_spark.operators import code_units  # noqa: E402
@@ -2291,6 +2292,111 @@ def q_indentation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inferred_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based language inference (operators/langinfer.py): code
+    headers planted per doc_id (python/go/javascript/java/sql cycling,
+    every 6th doc left as bare prose -> 'unknown'), inferred by the
+    shared marker patterns with the first-max tie rule; rollup on the
+    tiny language key space. Oracle GENERATES its scoring CASE from the
+    same LANG_MARKERS table (pattern drift impossible)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    header = (
+        F.when(doc % 6 == 0, F.lit("def main():\n    import os\n"))
+        .when(doc % 6 == 1, F.lit("package main\nfunc run() {\n"))
+        .when(doc % 6 == 2, F.lit("const f = (x) => x * 2;\n"))
+        .when(doc % 6 == 3, F.lit("public void run() {\n"))
+        .when(doc % 6 == 4, F.lit("SELECT a FROM t GROUP BY a;\n"))
+        .otherwise(F.lit(""))
+    )
+    return langinfer.inferred_lang_counts(
+        d.withColumn("content", F.concat(header, F.col("text")))
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token vocabulary report (operators/datasheet.py
+    vocab_growth): per-lang token/type counts and integer-bps TTR over
+    the natural text — the two-level (lang, word) aggregate keeps hot
+    words map-side-combined before any exchange. Oracle = unnest of the
+    identical lowercased word extraction."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return datasheet.vocab_growth(d, group_col="lang", text_col="text")
+
+
+def q_prep_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANING funnel composed in ONE plan (the complement of
+    prep_pipeline_code's selection funnel): license-header strip (N103)
+    → within-doc line dedup (N111) → data-file exclusion (N108) +
+    credential gate (N104), with per-lang accounting in one final
+    aggregate. Planting: every 16th doc IS a CSV table; otherwise a
+    '//'-license header on doc%3==0, a planted credential on doc%5==0
+    (attached before the line duplication so dedup cannot delete the
+    evidence), and a full duplicate of the body line on doc%2==0. Every
+    stage gate is a scan-side flag column; the only exchange is the
+    final per-lang aggregate. Oracle = the chained CTEs of the
+    license_strip / intra_line_dedup / data_file_flags /
+    secret_scan_counts oracles over the identical planted content."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            doc % 5 == 0,
+            F.concat(F.lit(" AKIA"), F.lpad(s, 16, "0")),
+        ).otherwise(F.lit("")),
+    )
+    csv = F.concat_ws(
+        "\n",
+        F.lit("h1,h2"),
+        F.concat(s, F.lit(",1")),
+        F.concat(s, F.lit(",2")),
+        F.concat(s, F.lit(",3")),
+    )
+    content = F.when(doc % 16 == 0, csv).otherwise(
+        F.concat(
+            F.when(
+                doc % 3 == 0,
+                F.lit(
+                    "// Copyright 2024 Example Corp\n"
+                    "// All rights reserved\n\n"
+                ),
+            ).otherwise(F.lit("")),
+            body,
+            F.when(doc % 2 == 0, F.concat(F.lit("\n"), body)).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    staged = code_quality.strip_license_header(
+        d.withColumn("content", content), content_col="content"
+    )
+    staged = dedup_ops_intra(staged, text_col="stripped")
+    staged = code_quality.data_file_stats(staged, content_col="text_dedup")
+    staged = redact.secret_scan(staged, text_col="text_dedup")
+    kept = ~F.col("is_data_file") & ~F.col("has_secret")
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("had_license_header").cast("int"))
+        .cast("long")
+        .alias("n_license_stripped"),
+        F.sum("n_lines_removed").cast("long").alias("n_dup_lines_removed"),
+        F.sum(F.col("is_data_file").cast("int"))
+        .cast("long")
+        .alias("n_data_files"),
+        F.sum(F.col("has_secret").cast("int"))
+        .cast("long")
+        .alias("n_with_secrets"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.length(F.col("text_dedup"))).otherwise(0))
+        .cast("long")
+        .alias("total_chars_kept"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2390,6 +2496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ablation": q_quality_ablation,
         "identifier_stats": q_identifier_stats,
         "indentation_profile": q_indentation_profile,
+        "inferred_lang_counts": q_inferred_lang_counts,
+        "vocab_growth": q_vocab_growth,
+        "prep_pipeline_clean": q_prep_pipeline_clean,
     }
 
 
@@ -2448,6 +2557,47 @@ _LUHN_SQL = " + ".join(
     )
     for i in range(1, 17)
 )
+
+
+def _lang_infer_oracle() -> str:
+    """Scoring SQL generated from langinfer.LANG_MARKERS — the literal
+    pattern strings both engines run; verdict = first-max via
+    list_position, 'unknown' at all-zero."""
+    names = list(langinfer.LANG_MARKERS)
+    score_cols = ",\n".join(
+        f"                len(regexp_extract_all(content, "
+        f"'{pat}')) AS s{i}"
+        for i, (_lang, pat) in enumerate(langinfer.LANG_MARKERS.items())
+    )
+    score_list = ", ".join(f"s{i}" for i in range(len(names)))
+    name_list = ", ".join(f"'{n}'" for n in names)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 6 AS INT)
+              WHEN 0 THEN 'def main():' || chr(10)
+                || '    import os' || chr(10)
+              WHEN 1 THEN 'package main' || chr(10) || 'func run() {{'
+                || chr(10)
+              WHEN 2 THEN 'const f = (x) => x * 2;' || chr(10)
+              WHEN 3 THEN 'public void run() {{' || chr(10)
+              WHEN 4 THEN 'SELECT a FROM t GROUP BY a;' || chr(10)
+              ELSE '' END || text AS content
+          FROM documents
+        ), scored AS (
+          SELECT doc_id,
+{score_cols}
+          FROM base
+        ), verdict AS (
+          SELECT CASE WHEN greatest({score_list}) = 0 THEN 'unknown'
+            ELSE ([{name_list}])[list_position(
+              [{score_list}], greatest({score_list}))]
+            END AS inferred_lang
+          FROM scored
+        )
+        SELECT inferred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM verdict GROUP BY inferred_lang
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5180,5 +5330,150 @@ def oracle_sql() -> dict[str, str]:
               (n_tab_indented > 0 AND n_space_indented > 0)
                 AS mixed_indentation
             FROM c
+        """,
+        # scoring expressions GENERATED from langinfer.LANG_MARKERS —
+        # both engines run the literal same pattern strings; the
+        # verdict replays the first-max rule via list_position
+        "inferred_lang_counts": _lang_infer_oracle(),
+        # unnest of the identical lowercased word rule; the two-level
+        # aggregate is the oracle's GROUP BY chain
+        "vocab_growth": """
+            WITH w AS (
+              SELECT lang,
+                unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9_]+')) AS word
+              FROM documents
+            ), pw AS (
+              SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+            )
+            SELECT lang,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST((10000 * count(*)) // sum(n) AS BIGINT) AS ttr_bps
+            FROM pw GROUP BY lang
+        """,
+        # the cleaning funnel = the license_strip, intra_line_dedup,
+        # data_file_flags and secret_scan_counts oracle fragments
+        # chained over the identical planted content
+        "prep_pipeline_clean": """
+            WITH seeded AS (
+              SELECT doc_id, lang, text,
+                text || CASE WHEN doc_id % 5 = 0
+                  THEN ' AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0')
+                  ELSE '' END AS b
+              FROM documents
+            ), base AS (
+              SELECT doc_id, lang,
+                CASE WHEN doc_id % 16 = 0 THEN
+                  'h1,h2' || chr(10)
+                  || CAST(doc_id AS VARCHAR) || ',1' || chr(10)
+                  || CAST(doc_id AS VARCHAR) || ',2' || chr(10)
+                  || CAST(doc_id AS VARCHAR) || ',3'
+                ELSE
+                  CASE WHEN doc_id % 3 = 0
+                    THEN '// Copyright 2024 Example Corp' || chr(10)
+                         || '// All rights reserved' || chr(10) || chr(10)
+                    ELSE '' END
+                  || b
+                  || CASE WHEN doc_id % 2 = 0 THEN chr(10) || b
+                     ELSE '' END
+                END AS content
+              FROM seeded
+            ), ls AS (
+              SELECT doc_id, lang, content,
+                     string_split(content, chr(10)) AS lines
+              FROM base
+            ), lh AS (
+              SELECT *, coalesce(list_position(
+                list_transform(lines, x -> NOT (
+                  length(ltrim(x)) = 0 OR starts_with(ltrim(x), '#')
+                  OR starts_with(ltrim(x), '//')
+                  OR starts_with(ltrim(x), '--')
+                  OR starts_with(ltrim(x), ';'))), true), 0) AS first_body
+              FROM ls
+            ), lg AS (
+              SELECT *, CASE WHEN first_body = 0 THEN len(lines)
+                             ELSE first_body - 1 END AS hdr_len
+              FROM lh
+            ), lk AS (
+              SELECT *,
+                hdr_len > 0 AND len(list_filter(lines[1:hdr_len],
+                  x -> regexp_matches(lower(x),
+                    'copyright|licen[cs]e|spdx-license-identifier|all rights reserved'
+                  ))) > 0 AS has_kw,
+                starts_with(lines[1], '#!') AS shebang
+              FROM lg
+            ), stripped AS (
+              SELECT doc_id, lang, has_kw AS had_license,
+                CASE WHEN NOT has_kw THEN content
+                     WHEN shebang THEN lines[1] || chr(10) ||
+                       array_to_string(lines[hdr_len+1:len(lines)], chr(10))
+                     ELSE
+                       array_to_string(lines[hdr_len+1:len(lines)], chr(10))
+                     END AS s
+              FROM lk
+            ), dl AS (
+              SELECT doc_id, lang, had_license,
+                     string_split(s, chr(10)) AS lines
+              FROM stripped
+            ), dd AS (
+              SELECT doc_id, lang, had_license, lines,
+                list_filter(lines, (x, i) ->
+                  len(x) = 0 OR list_position(lines, x) = i) AS kept
+              FROM dl
+            ), ded AS (
+              SELECT doc_id, lang, had_license,
+                CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+                array_to_string(kept, chr(10)) AS t
+              FROM dd
+            ), fl AS (
+              SELECT doc_id, lang, had_license, n_removed, t,
+                string_split(t, chr(10)) AS lines
+              FROM ded
+            ), dfc AS (
+              SELECT *, len(lines) AS n_lines,
+                list_transform(lines,
+                  x -> len(string_split(x, ',')) - 1) AS cc,
+                list_transform(lines,
+                  x -> len(string_split(x, chr(9))) - 1) AS tc,
+                list_transform(lines,
+                  x -> len(string_split(x, ';')) - 1) AS sc
+              FROM fl
+            ), flags AS (
+              SELECT doc_id, lang, had_license, n_removed, t,
+                ((n_lines >= 4 AND list_min(cc) = list_max(cc)
+                  AND list_min(cc) >= 1)
+                 OR (n_lines >= 4 AND list_min(tc) = list_max(tc)
+                     AND list_min(tc) >= 1)
+                 OR (n_lines >= 4 AND list_min(sc) = list_max(sc)
+                     AND list_min(sc) >= 1)) AS is_data,
+                (len(regexp_extract_all(t, '\\bAKIA[0-9A-Z]{16}\\b')) > 0
+                 OR len(regexp_extract_all(t,
+                    '-----BEGIN [A-Z ]*PRIVATE KEY-----')) > 0
+                 OR len(regexp_extract_all(t,
+                    '\\b(?:sk|key|token)_[A-Za-z0-9]{16,}\\b')) > 0
+                 OR len(list_filter(
+                    regexp_extract_all(t, '[A-Za-z0-9+/]{28,}={0,2}'),
+                    x -> regexp_matches(x, '[a-z]')
+                         AND regexp_matches(x, '[A-Z]')
+                         AND regexp_matches(x, '[0-9]'))) > 0)
+                  AS has_secret
+              FROM dfc
+            )
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_input,
+              CAST(sum(CASE WHEN had_license THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_license_stripped,
+              CAST(sum(n_removed) AS BIGINT) AS n_dup_lines_removed,
+              CAST(sum(CASE WHEN is_data THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_data_files,
+              CAST(sum(CASE WHEN has_secret THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_with_secrets,
+              CAST(sum(CASE WHEN NOT is_data AND NOT has_secret
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN NOT is_data AND NOT has_secret
+                       THEN length(t) ELSE 0 END) AS BIGINT)
+                AS total_chars_kept
+            FROM flags GROUP BY lang
         """,
     }

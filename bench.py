@@ -215,6 +215,9 @@ def bench_queries(spark, sf_dir: str):
         "quality_ablation": q("quality_ablation"),  # NEW r5 (rule funnel)
         "identifier_stats": q("identifier_stats"),  # NEW r5 (minified flag)
         "indentation_profile": q("indentation_profile"),  # NEW r5
+        "inferred_lang_counts": q("inferred_lang_counts"),  # NEW r5
+        "vocab_growth": q("vocab_growth"),  # NEW r5 (type-token report)
+        "prep_pipeline_clean": q("prep_pipeline_clean"),  # NEW r5 (clean funnel)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,86 @@
+"""Content-based programming-language inference for code corpora.
+
+Crawled code arrives with missing or wrong language tags (extension
+renames, templating, gists); The Stack's pipeline re-detects language
+from content before per-language rules apply (arXiv:2211.15533 uses
+guesslang/enry — ML classifiers; this is the deterministic
+marker-count form of the same decision, the code analogue of
+functions/textstats.lang_id's stopword-marker vote for natural
+language).
+
+Each candidate language scores as the count of its keyword-marker
+matches (RE2-compatible word-anchored patterns); the verdict is the
+argmax with ties broken by the fixed language order, 'unknown' when
+every score is zero. All counts are exact integers and the patterns
+are literal shared strings, so an independent engine reproduces every
+verdict.
+
+Scale: one regexp count per language per row, all in one projection —
+scan-side, zero shuffle, zero Python; the rollup is one hash aggregate
+on the tiny language key space.
+
+No reference analogue; part of the LLM data-prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language -> marker pattern. \b anchors keep 'def' from matching
+# 'default'; alternation keeps it ONE regexp scan per language.
+LANG_MARKERS: dict[str, str] = {
+    "python": r"\b(def |import |elif |lambda |self\.|print\()",
+    "go": r"\b(func |package |:= |go func|chan |fmt\.)",
+    "javascript": r"\b(const |=> |function |console\.|let |var )",
+    "java": r"\b(public |private |void |extends |implements |System\.)",
+    "sql": r"(?i)\b(select |insert into |create table |group by |where )",
+}
+
+
+def marker_count(col: Column, pattern: str) -> Column:
+    """Exact match count of ``pattern`` in ``col`` (group 0)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast(
+        "long"
+    )
+
+
+def infer_language(
+    df: DataFrame,
+    content_col: str = "content",
+    markers: dict[str, str] | None = None,
+) -> DataFrame:
+    """Input + ``n_<lang>_markers`` per language + ``inferred_lang``
+    (argmax; first-listed language wins ties; 'unknown' when all zero).
+
+    The argmax is array_position(scores, max) over the fixed language
+    order — the same deterministic first-max rule the oracle replays
+    with list_position."""
+    markers = LANG_MARKERS if markers is None else markers
+    out = df
+    names = list(markers)
+    for lang, pat in markers.items():
+        out = out.withColumn(
+            f"n_{lang}_markers", marker_count(F.col(content_col), pat)
+        )
+    scores = F.array(*[F.col(f"n_{lang}_markers") for lang in names])
+    best = F.array_max(scores)
+    lang_lits = F.array(*[F.lit(lang) for lang in names])
+    inferred = F.when(best == 0, F.lit("unknown")).otherwise(
+        F.element_at(lang_lits, F.array_position(scores, best).cast("int"))
+    )
+    return out.withColumn("inferred_lang", inferred)
+
+
+def inferred_lang_counts(
+    df: DataFrame,
+    content_col: str = "content",
+    markers: dict[str, str] | None = None,
+) -> DataFrame:
+    """(inferred_lang, n_docs) rollup — one scan, one tiny aggregate."""
+    return (
+        infer_language(df, content_col, markers)
+        .groupBy("inferred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

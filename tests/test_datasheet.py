@@ -61,3 +61,43 @@ def test_single_expand_single_scan(spark):
     assert plan.count("Expand") >= 1
     # one logical scan of the input (createDataFrame -> LogicalRDD)
     assert plan.count("LogicalRDD") == 1
+
+
+def test_vocab_growth_hand_checked(spark):
+    rows = [
+        (0, "en", "the cat and the dog"),
+        (1, "en", "the CAT runs"),
+        (2, "de", "der Hund der Hund der"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in datasheet.vocab_growth(df).collect()}
+    # en: tokens [the cat and the dog the cat runs] = 8, types 5
+    assert (got["en"].n_tokens, got["en"].n_types) == (8, 5)
+    assert got["en"].ttr_bps == 6250
+    assert (got["de"].n_tokens, got["de"].n_types) == (5, 2)
+    assert got["de"].ttr_bps == 4000
+
+
+def test_vocab_growth_empty_group_absent(spark):
+    # a lang whose docs yield zero words does not emit a row (matches
+    # the oracle's unnest semantics; no 0/0 division anywhere)
+    df = spark.createDataFrame(
+        [(0, "xx", "!!! ???"), (1, "en", "one word")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.lang for r in datasheet.vocab_growth(df).collect()}
+    assert got == {"en"}
+
+
+def test_vocab_growth_no_regex_reeval_in_plan(spark):
+    # finding 16: the optimized plan must carry the extract-all ONCE
+    df = spark.createDataFrame(
+        [(0, "en", "a b")], "doc_id long, lang string, text string"
+    )
+    plan = (
+        datasheet.vocab_growth(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_extract_all") == 1

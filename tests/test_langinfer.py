@@ -1,0 +1,60 @@
+"""Content-based language inference: per-language hand checks, tie and
+all-zero rules, scan-side plan."""
+
+from __future__ import annotations
+
+from go_pipeline_spark.operators import langinfer
+
+
+def _infer(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    return {
+        r.doc_id: r for r in langinfer.infer_language(df).collect()
+    }
+
+
+def test_each_language_recognized(spark):
+    got = _infer(
+        spark,
+        [
+            (0, "def main():\n    import os\n    print(1)"),
+            (1, "package main\nfunc run() { x := 1 }"),
+            (2, "const f = (x) => x * 2; console.log(f)"),
+            (3, "public void run() { System.out.println(1); }"),
+            (4, "SELECT a FROM t WHERE b GROUP BY a"),
+        ],
+    )
+    expect = ["python", "go", "javascript", "java", "sql"]
+    for i, lang in enumerate(expect):
+        assert got[i].inferred_lang == lang, (i, got[i].inferred_lang)
+
+
+def test_all_zero_is_unknown_and_ties_break_by_order(spark):
+    got = _infer(
+        spark,
+        [
+            (0, "plain english prose with no code at all"),
+            # one python marker + one go marker: python listed first
+            (1, "import sys\npackage main"),
+        ],
+    )
+    assert got[0].inferred_lang == "unknown"
+    assert got[1].n_python_markers == 1 and got[1].n_go_markers == 1
+    assert got[1].inferred_lang == "python"
+
+
+def test_word_anchoring(spark):
+    # 'default' must not count as 'def ', 'selections' not as 'select '
+    got = _infer(spark, [(0, "default selections elsewhere")])
+    assert got[0].inferred_lang == "unknown"
+
+
+def test_scan_side_plan(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, content string")
+    plan = (
+        langinfer.infer_language(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
