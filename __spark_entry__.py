@@ -1102,6 +1102,34 @@ SELECT doc_id, n_bpe_tokens, n_distinct_syms, first_sym
 FROM stats JOIN firsts USING (doc_id)"""
 
 
+def _bpe_fertility_oracle(k: int) -> str:
+    """Per-lang fertility report from the SQL-trained vocab v{k}: word
+    stats from the same [a-z]+ extraction, token counts = len(syms) of
+    the final symbol split, basis points via BIGINT // division."""
+    return f"""WITH {_bpe_oracle_ctes(k)},
+docsw AS (
+  SELECT doc_id, lang, ws[i] AS w
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE regexp_full_match(ws[i], '[a-z]+')
+), enc AS (
+  SELECT w, len(string_split(trim(s), '  ')) AS toks FROM v{k}
+), perword AS (
+  SELECT doc_id, lang, w, toks FROM docsw JOIN enc USING (w)
+), g AS (
+  SELECT lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(w)) AS BIGINT) AS n_word_chars,
+         CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
+  FROM perword GROUP BY 1
+)
+SELECT lang, n_docs, n_words, n_word_chars, n_bpe_tokens,
+       (10000 * n_bpe_tokens) // n_words AS fertility_bps,
+       (10000 * n_word_chars) // n_bpe_tokens AS chars_per_token_bps
+FROM g"""
+
+
 def q_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 end-to-end composition over the NEW LLM data-prep operator
     set, chained the way a corpus build would run them: Gopher repetition
@@ -2397,6 +2425,70 @@ def q_prep_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility datasheet (operators/bpe.py
+    fertility_stats; Rust et al. 2021): train the 6-round BPE in-plan
+    (the bpe_train_merges workload), encode the corpus with it, and
+    report per lang n_docs / n_words / n_word_chars / n_bpe_tokens plus
+    fertility_bps and chars_per_token_bps — all int64 (basis points via
+    integer division), so the oracle RE-TRAINS the same merges in SQL
+    (the _bpe_oracle_ctes chain) and replays the report exactly. Docs
+    with zero [a-z]+ words are excluded identically on both sides."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = bpe.train_bpe(d.select("doc_id", "text"), _BPE_ROUNDS)
+    return bpe.fertility_stats(d, merges, group_col="lang")
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture plan (operators/sampling.py
+    temperature_mixture; XLM-R alpha-sampling, alpha=0.5) for a
+    100k-doc epoch over the natural lang distribution. Bit-exact despite
+    the sqrt: weights are quantized q = floor(sqrt(n)·2^20) — IEEE sqrt
+    is correctly rounded on both engines and the power-of-two scale is
+    exact — then every division is int64. One aggregate + one broadcast
+    total; the output is lang-cardinality-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(d, "lang", budget=100_000, alpha=0.5)
+
+
+def q_repo_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-granularity quality gate (operators/code_quality.py
+    repo_quality_rollup; The Stack v2 drops whole repos, not files):
+    the code_quality_filter plants (autogen header %13, 9000-char line
+    %11, alnum-masked tail %17) on the same one-token-per-line respell,
+    attributed to repos via the _source_files repo rule
+    ('repo-' || doc_id % 20), rolled up to per-repo keep_bps and the
+    (keep_bps >= 8000 AND n_files >= 10) decision. Integer end-to-end;
+    the oracle replays plants, per-file rules, and the rollup."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = F.translate(F.col("text"), " ", "\n")
+    masked = F.regexp_replace(base, "[A-Za-z0-9]", "#")
+    content = F.concat(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("// auto-generated do not edit\n"),
+        ).otherwise(F.lit("")),
+        base,
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("x"), 9000)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.lit("\n"), masked, masked, masked, masked),
+        ).otherwise(F.lit("")),
+    )
+    files = d.select(
+        F.concat(F.lit("repo-"), (F.col("doc_id") % 20).cast("string")).alias(
+            "repo"
+        ),
+        content.alias("content"),
+    )
+    return code_quality.repo_quality_rollup(
+        files, min_files=10, min_keep_bps=8000
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2499,6 +2591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_lang_counts": q_inferred_lang_counts,
         "vocab_growth": q_vocab_growth,
         "prep_pipeline_clean": q_prep_pipeline_clean,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "temperature_mixture": q_temperature_mixture,
+        "repo_quality_rollup": q_repo_quality_rollup,
     }
 
 
@@ -5475,5 +5570,84 @@ def oracle_sql() -> dict[str, str]:
                        THEN length(t) ELSE 0 END) AS BIGINT)
                 AS total_chars_kept
             FROM flags GROUP BY lang
+        """,
+        # fertility: the oracle re-trains the same 6 BPE rounds in SQL
+        # (the _bpe_oracle_ctes chain) and replays the per-lang report
+        "tokenizer_fertility": _bpe_fertility_oracle(_BPE_ROUNDS),
+        # alpha=0.5 temperature sampling: q = floor(sqrt(n)*2^20) is
+        # bit-identical on both engines (correctly-rounded IEEE sqrt,
+        # exact power-of-two scale); everything after is BIGINT division
+        "temperature_mixture": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1
+            ), q AS (
+              SELECT lang, n_docs,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576)
+                          AS BIGINT) AS qw
+              FROM c
+            ), t AS (
+              SELECT CAST(sum(qw) AS BIGINT) AS q_tot FROM q
+            )
+            SELECT lang, n_docs,
+                   (10000 * qw) // q_tot AS weight_bps,
+                   (100000 * qw) // q_tot AS expected_docs,
+                   (10000 * ((100000 * qw) // q_tot)) // n_docs
+                     AS epochs_bps
+            FROM q, t
+        """,
+        # identical plants + per-file rules as code_quality_filter,
+        # attributed to repos by the _source_files rule and rolled up
+        "repo_quality_rollup": """
+            WITH base AS (
+              SELECT doc_id,
+                     'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     replace(text, ' ', chr(10)) AS b
+              FROM documents
+            ), masked AS (
+              SELECT doc_id, repo, b,
+                     regexp_replace(b, '[A-Za-z0-9]', '#', 'g') AS m
+              FROM base
+            ), planted AS (
+              SELECT doc_id, repo,
+                     CASE WHEN doc_id % 13 = 0
+                       THEN '// auto-generated do not edit' || chr(10)
+                       ELSE '' END
+                     || b
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || repeat('x', 9000) ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) || m || m || m || m ELSE '' END AS c
+              FROM masked
+            ), stats AS (
+              SELECT repo,
+                     len(string_split(c, chr(10))) AS n_lines,
+                     len(c) - len(string_split(c, chr(10))) + 1
+                       AS total_chars,
+                     list_max(list_transform(string_split(c, chr(10)),
+                                             x -> len(x))) AS max_line,
+                     len(c) - len(regexp_replace(c, '[A-Za-z0-9]', '', 'g'))
+                       AS n_alnum,
+                     len(c) AS n_chars,
+                     regexp_matches(c, '(?i)(auto[- ]generated|do not edit)')
+                       AS autogen
+              FROM planted
+            ), g AS (
+              SELECT repo,
+                     CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(CASE WHEN max_line <= 1000
+                                    AND total_chars <= 100 * n_lines
+                                    AND 4 * n_alnum >= n_chars
+                                    AND NOT autogen
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN autogen THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_autogen
+              FROM stats GROUP BY 1
+            )
+            SELECT repo, n_files, n_kept, n_autogen,
+                   (10000 * n_kept) // n_files AS keep_bps,
+                   ((10000 * n_kept) // n_files >= 8000
+                    AND n_files >= 10) AS repo_keep
+            FROM g
         """,
     }

@@ -218,6 +218,9 @@ def bench_queries(spark, sf_dir: str):
         "inferred_lang_counts": q("inferred_lang_counts"),  # NEW r5
         "vocab_growth": q("vocab_growth"),  # NEW r5 (type-token report)
         "prep_pipeline_clean": q("prep_pipeline_clean"),  # NEW r5 (clean funnel)
+        "tokenizer_fertility": q("tokenizer_fertility"),  # NEW r5 (per-lang)
+        "temperature_mixture": q("temperature_mixture"),  # NEW r5 (alpha plan)
+        "repo_quality_rollup": q("repo_quality_rollup"),  # NEW r5 (repo gate)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -257,3 +257,72 @@ def apply_bpe(
             F.size("bpe_tokens").alias("n_bpe_tokens"),
         )
     )
+
+
+def fertility_stats(
+    docs: DataFrame,
+    merges,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Per-group tokenizer fertility datasheet for a trained merge table.
+
+    Fertility (subword tokens per word) and compression (word chars per
+    subword token) are the headline numbers a tokenizer ships with —
+    Rust et al. 2021 (arXiv:2012.15613) measure fertility per LANGUAGE to
+    expose tokenizer bias, which is exactly the per-`group_col` report
+    here. Emits, per group: `n_docs`, `n_words`, `n_word_chars`,
+    `n_bpe_tokens`, plus `fertility_bps` = floor(1e4·tokens/words) and
+    `chars_per_token_bps` = floor(1e4·chars/tokens). Every output is an
+    int64 (basis points via integer division), so the report is bit-exact
+    against a SQL oracle replaying the same trained vocab.
+
+    Scale: one encode of the DISTINCT word table (apply_bpe), one
+    scan-side word-stats pass (the filtered word array is materialized as
+    a COLUMN first — STATUS.md perf finding 16: an inlined split+filter
+    expression substituted into per-element lambdas re-evaluates per
+    call), a join on `id_col`, and a hash aggregate on the tiny group key
+    space. Docs with zero pattern-matching words carry no tokens and are
+    excluded on both sides of the oracle pairing. Token counts include
+    the </w> end-of-word symbols exactly as trained/encoded.
+    """
+    enc = apply_bpe(
+        docs, merges, text_col=text_col, id_col=id_col, pattern=pattern
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda w: w.rlike(pattern)
+        ).alias("ws"),
+    ).select(
+        id_col,
+        group_col,
+        F.size("ws").cast("long").alias("n_words"),
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("n_word_chars"),
+    )
+    agg = (
+        words.join(enc.select(id_col, "n_bpe_tokens"), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_word_chars").alias("n_word_chars"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_word_chars",
+        "n_bpe_tokens",
+        F.expr("(10000 * n_bpe_tokens) div n_words").alias("fertility_bps"),
+        F.expr("(10000 * n_word_chars) div n_bpe_tokens").alias(
+            "chars_per_token_bps"
+        ),
+    )

@@ -578,3 +578,50 @@ def indentation_stats(
         )
         .drop("__nlines")
     )
+
+
+def repo_quality_rollup(
+    df: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    min_files: int = 2,
+    min_keep_bps: int = 6000,
+) -> DataFrame:
+    """Repository-level quality gate over the per-file Stack rules.
+
+    Code-corpus builds drop whole REPOSITORIES, not just files, when a
+    repo is predominantly machine output — The Stack v2 / StarCoder2
+    (Lozhkov et al. 2024 §4) apply repo-granularity exclusions on top of
+    the per-file filters, because a repo whose files mostly trip the
+    rules poisons even its passing files (generated trees, vendored
+    mirrors, data dumps). This rolls `stack_quality_flags` up per repo:
+    `n_files`, `n_kept`, `n_autogen`, `keep_bps` =
+    floor(1e4·kept/files), and the decision `repo_keep` =
+    (keep_bps >= min_keep_bps AND n_files >= min_files) — the small-repo
+    floor keeps one-file repos from passing on a single good file.
+    All-integer arithmetic; bit-exact against a SQL oracle.
+
+    Scale: the per-file flags are scan-side expressions (no shuffle);
+    the rollup is ONE hash aggregate keyed by repo — at 10^12 files the
+    output is repo-cardinality-sized and the decision joins back to the
+    file table as a broadcast or semi-join.
+    """
+    flagged = stack_quality_flags(df, content_col)
+    asint = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    agg = flagged.groupBy(repo_col).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        asint("keep").alias("n_kept"),
+        asint("drop_autogen").alias("n_autogen"),
+    )
+    keep_bps = F.expr("(10000 * n_kept) div n_files")
+    return agg.select(
+        repo_col,
+        "n_files",
+        "n_kept",
+        "n_autogen",
+        keep_bps.alias("keep_bps"),
+        (
+            (keep_bps >= F.lit(int(min_keep_bps)))
+            & (F.col("n_files") >= F.lit(int(min_files)))
+        ).alias("repo_keep"),
+    )

@@ -311,3 +311,63 @@ def quota_per_group(
     ok = kept.join(F.broadcast(short), on=group_keys, how="left_anti")
     rescued = exact(df.join(F.broadcast(short), on=group_keys, how="inner"))
     return ok.unionByName(rescued)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Temperature-scaled (alpha-sampling) language/domain mixture plan.
+
+    Multilingual corpus builds flatten the raw size distribution by
+    sampling group g with probability proportional to n_g^alpha instead
+    of n_g (XLM, Conneau & Lample 2019 §3.1; XLM-R, Conneau et al. 2020
+    §3 use alpha in [0.3, 0.7]) — low-resource groups are up-sampled,
+    the head is damped. This emits the PLAN for a `budget`-doc epoch:
+    per group, `weight_bps` (mixture share in basis points),
+    `expected_docs` (integer doc quota), and `epochs_bps`
+    (floor(1e4·expected/n) — >1e4 means the group repeats; feed the
+    quota to `weighted_repeat` to materialize it).
+
+    Exactness: at the default alpha=0.5 the weight is quantized as
+    q = floor(sqrt(n)·2^scale_bits). IEEE-754 sqrt is correctly rounded
+    on every engine (JVM Math.sqrt, C libm) and multiplying a double by
+    a power of two is exact, so q — and every downstream int64 division
+    — is bit-identical between Spark and a SQL oracle. Other alpha
+    values route through pow(), which is deterministic within one engine
+    but only last-ulp-portable where libms agree; keep oracle-paired
+    runs on alpha=0.5.
+
+    Overflow bound: budget·q must stay below 2^63 — with scale_bits=20,
+    q ≈ 2^20·sqrt(n), so budget·sqrt(n_g) < 2^43 covers any realistic
+    plan (e.g. 10^12-file corpus, 10^6 sqrt, budget 10^6).
+
+    Scale: one hash aggregate on the group key space + a broadcast join
+    of the single-row total. The plan table is group-cardinality-sized —
+    never a per-row structure.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    base = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(float(alpha)))
+    w = counts.withColumn(
+        "q", F.floor(base * F.lit(float(1 << scale_bits))).cast("long")
+    )
+    tot = w.agg(F.sum("q").alias("q_tot"))
+    b = int(budget)
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            F.expr("(10000 * q) div q_tot").alias("weight_bps"),
+            F.expr(f"({b} * q) div q_tot").alias("expected_docs"),
+            F.expr(
+                f"(10000 * (({b} * q) div q_tot)) div n_docs"
+            ).alias("epochs_bps"),
+        )
+    )

@@ -224,3 +224,61 @@ def test_apply_bpe_is_foreachbatch_compatible(spark, tmp_path):
         for r in bpe.apply_bpe(docs, mlist).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_fertility_stats_matches_python_reference(spark):
+    texts = {
+        "en": ["low lower lowest low", "new newer news low"],
+        "de": ["wider wide widest", "low wide new"],
+    }
+    rows = [
+        (lang_i * 10 + j, lang, t)
+        for lang_i, (lang, ts) in enumerate(sorted(texts.items()))
+        for j, t in enumerate(ts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    k = 4
+    wc = _word_counts([t for ts in texts.values() for t in ts])
+    trained_ref, _vocab = _py_train(wc, k)
+    merges = [(left, right) for (_r, left, right, _c) in trained_ref]
+
+    # python reference report
+    agg: dict[str, list[int]] = {}
+    for _did, lang, t in rows:
+        ws = [w for w in t.split(" ") if w and all("a" <= c <= "z" for c in w)]
+        toks = sum(len(_py_encode(w, merges)) for w in ws)
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += sum(len(w) for w in ws)
+        a[3] += toks
+    want = {
+        lang: (
+            a[0], a[1], a[2], a[3],
+            (10000 * a[3]) // a[1],
+            (10000 * a[2]) // a[3],
+        )
+        for lang, a in agg.items()
+    }
+
+    trained = bpe.train_bpe(df.select("doc_id", "text"), k)
+    got = {
+        r.lang: (
+            r.n_docs, r.n_words, r.n_word_chars, r.n_bpe_tokens,
+            r.fertility_bps, r.chars_per_token_bps,
+        )
+        for r in bpe.fertility_stats(df, trained, group_col="lang").collect()
+    }
+    assert got == want
+
+
+def test_fertility_excludes_docs_with_no_matching_words(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "abc def"), (2, "en", "123 456"), (3, "zz", "???")],
+        "doc_id long, lang string, text string",
+    )
+    out = bpe.fertility_stats(
+        df, bpe.train_bpe(df.select("doc_id", "text"), 1), group_col="lang"
+    ).collect()
+    got = {r.lang: r.n_docs for r in out}
+    assert got == {"en": 1}  # docs 2 and 3 contribute nothing

@@ -387,3 +387,35 @@ class TestIndentationStats:
         assert got[1].n_tab_indented == 2 and not got[1].mixed_indentation
         assert got[2].n_space_indented == 2 and not got[2].mixed_indentation
         assert got[3].n_tab_indented == 0 and got[3].n_space_indented == 0
+
+
+def test_repo_quality_rollup_hand_built(spark):
+    # repo-a: 3 files, 1 autogen-tripped -> keep_bps 6666; repo-b: 1 clean
+    # file (trips the min_files floor); repo-c: 2 files both tripped -> 0
+    rows = [
+        ("repo-a", "ok\ncode"),
+        ("repo-a", "also\nfine"),
+        ("repo-a", "// auto-generated do not edit\nx"),
+        ("repo-b", "single\ngood\nfile"),
+        ("repo-c", "x" * 1001),
+        ("repo-c", "do not edit\ny"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {
+        r.repo: (r.n_files, r.n_kept, r.n_autogen, r.keep_bps, r.repo_keep)
+        for r in cq.repo_quality_rollup(
+            df, min_files=2, min_keep_bps=6000
+        ).collect()
+    }
+    assert got["repo-a"] == (3, 2, 1, 6666, True)
+    assert got["repo-b"] == (1, 1, 0, 10000, False)  # min_files floor
+    assert got["repo-c"] == (2, 0, 1, 0, False)
+
+
+def test_repo_quality_rollup_is_one_aggregate(spark):
+    # scan-side flags + one hash aggregate: no join, no window in the plan
+    df = spark.createDataFrame(
+        [("r", "x")], "repo string, content string"
+    )
+    plan = cq.repo_quality_rollup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan

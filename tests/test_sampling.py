@@ -301,3 +301,79 @@ def test_cluster_safe_split_zero_leakage_by_construction(spark):
         ).collect()
     }
     assert again == got
+
+
+# ---------------------------------------------------------------- mixture
+
+def _mix_ref(counts: dict[str, int], budget: int, scale_bits: int = 20):
+    """Literal integer transcription of the alpha=0.5 plan."""
+    import math
+
+    q = {g: math.floor(math.sqrt(n) * (1 << scale_bits)) for g, n in counts.items()}
+    tot = sum(q.values())
+    out = {}
+    for g, n in counts.items():
+        exp = (budget * q[g]) // tot
+        out[g] = (
+            n,
+            (10000 * q[g]) // tot,
+            exp,
+            (10000 * exp) // n,
+        )
+    return out
+
+
+def test_temperature_mixture_matches_integer_reference(spark):
+    from go_pipeline_spark.operators.sampling import temperature_mixture
+
+    counts = {"en": 4000, "de": 700, "fr": 250, "yo": 50}
+    rows = [(g, i) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {
+        r.lang: (r.n_docs, r.weight_bps, r.expected_docs, r.epochs_bps)
+        for r in temperature_mixture(df, "lang", budget=10_000).collect()
+    }
+    assert got == _mix_ref(counts, 10_000)
+    # alpha-flattening: low-resource group is up-sampled relative to raw
+    # share, the head is damped
+    raw_share_en = 10_000 * counts["en"] // sum(counts.values())
+    assert got["en"][2] < raw_share_en
+    assert got["yo"][3] > 10_000  # epochs_bps > 1 epoch for the tail
+
+
+def test_temperature_mixture_stable_under_repartition(spark):
+    from go_pipeline_spark.operators.sampling import temperature_mixture
+
+    rows = [("a", i) for i in range(900)] + [("b", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    a = sorted(map(tuple, temperature_mixture(df, "lang", 5000).collect()))
+    b = sorted(
+        map(
+            tuple,
+            temperature_mixture(df.repartition(13), "lang", 5000).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_temperature_mixture_alpha_one_recovers_proportional(spark):
+    from go_pipeline_spark.operators.sampling import temperature_mixture
+
+    rows = [("a", i) for i in range(800)] + [("b", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {
+        r.lang: r.weight_bps
+        for r in temperature_mixture(df, "lang", 1000, alpha=1.0).collect()
+    }
+    # proportional sampling: shares recover the raw 80/20 split
+    assert got["a"] in (7999, 8000) and got["b"] in (1999, 2000)
+
+
+def test_temperature_mixture_rejects_nonpositive_budget(spark):
+    import pytest as _pytest
+
+    from go_pipeline_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame([("a", 1)], "lang string, doc_id long")
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, "lang", 0)
