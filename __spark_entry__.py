@@ -74,6 +74,7 @@ from go_pipeline_spark.operators import path_rules  # noqa: E402
 from go_pipeline_spark.operators import code_units  # noqa: E402
 from go_pipeline_spark.operators import encoding  # noqa: E402
 from go_pipeline_spark.operators import shards  # noqa: E402
+from go_pipeline_spark.operators import profile as profile_ops  # noqa: E402
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
     boilerplate_line_filter,
     canonical_representatives,
@@ -2489,6 +2490,53 @@ def q_repo_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_offset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard seek index (operators/shards.py token_offsets):
+    (shard, pos, start_offset) for every doc with n_chars as the
+    weight — start_offset is the exclusive prefix sum over the shard in
+    the deterministic hash order, computed by the distributed-rank
+    decomposition (never a whole-shard single-task sort). The oracle is
+    the flat window cumsum over the same sha-prefix order — exact int64
+    equality IS the proof that the decomposition tiles correctly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shards.token_offsets(
+        d, ["doc_id"], "n_chars", n_shards=8, seed=9
+    ).select("doc_id", "n_chars", "shard", "pos", "start_offset")
+
+
+def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head-coverage report (operators/datasheet.py head_coverage):
+    per lang, the token share of the top-100 word types under the
+    deterministic (count DESC, word ASC) rank. Two-level (lang, word)
+    aggregate + WindowGroupLimit top-k + one tiny rollup join; all
+    integer outputs."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return datasheet.head_coverage(d, group_col="lang", text_col="text", k=100)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/profile.py) of the
+    documents table: one pass, all five columns — row count, non-null /
+    null / exact-distinct counts, native-typed min/max rendered as
+    strings. The documents columns are long/string only, so the
+    string rendering is engine-portable (no float formatting hazard;
+    profile.py documents the restriction)."""
+    d = load_table(spark, sf_dir, "documents")
+    return profile_ops.profile_table(
+        d, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang UTF-8 byte/char profile (operators/encoding.py
+    byte_profile) for byte-level tokenizer budgeting: bytes-per-char and
+    ASCII share in integer basis points. Scan-side expressions + one
+    hash aggregate; DuckDB's strlen/length pair mirrors Spark's
+    octet_length/length exactly."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return encoding.byte_profile(d, group_col="lang", text_col="text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2594,6 +2642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "temperature_mixture": q_temperature_mixture,
         "repo_quality_rollup": q_repo_quality_rollup,
+        "token_offset_index": q_token_offset_index,
+        "head_coverage": q_head_coverage,
+        "table_profile": q_table_profile,
+        "byte_profile": q_byte_profile,
     }
 
 
@@ -5649,5 +5701,119 @@ def oracle_sql() -> dict[str, str]:
                    ((10000 * n_kept) // n_files >= 8000
                     AND n_files >= 10) AS repo_keep
             FROM g
+        """,
+        # flat window cumsum over the same sha-prefix order — equality
+        # proves the distributed-rank offset decomposition tiles exactly
+        "token_offset_index": """
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                     substring(sha256(concat_ws(chr(31), '9',
+                         CAST(doc_id AS VARCHAR))), 1, 8) AS h
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   CAST(CAST(('0x' || h) AS BIGINT) % 8 AS INTEGER)
+                     AS shard,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+                   CAST(coalesce(sum(n_chars) OVER (
+                          PARTITION BY CAST(('0x' || h) AS BIGINT) % 8
+                          ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT)
+                     AS start_offset
+            FROM b
+            WINDOW w AS (PARTITION BY CAST(('0x' || h) AS BIGINT) % 8
+                         ORDER BY h, doc_id)
+        """,
+        # top-100 types under the deterministic (count DESC, word ASC)
+        # rank; same [a-z0-9_]+ extraction as vocab_growth
+        "head_coverage": """
+            WITH w AS (
+              SELECT lang,
+                unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9_]+')) AS word
+              FROM documents
+            ), pw AS (
+              SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+            ), rk AS (
+              SELECT lang, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, word ASC) AS r
+              FROM pw
+            ), tot AS (
+              SELECT lang,
+                     CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types
+              FROM pw GROUP BY 1
+            ), hd AS (
+              SELECT lang,
+                     CAST(count(*) AS BIGINT) AS head_types,
+                     CAST(sum(n) AS BIGINT) AS head_tokens
+              FROM rk WHERE r <= 100 GROUP BY 1
+            )
+            SELECT lang, n_tokens, n_types, head_types, head_tokens,
+                   (10000 * head_tokens) // n_tokens AS coverage_bps
+            FROM tot JOIN hd USING (lang)
+        """,
+        # one SELECT per column; min/max on the native type, cast to
+        # string after (documents is long/string only — no float
+        # rendering hazard)
+        "table_profile": """
+            SELECT 'doc_id' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', CAST(count(*) AS BIGINT),
+                   CAST(count(text) AS BIGINT),
+                   CAST(count(*) - count(text) AS BIGINT),
+                   CAST(count(DISTINCT text) AS BIGINT),
+                   min(text), max(text)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(count(lang) AS BIGINT),
+                   CAST(count(*) - count(lang) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(count(source) AS BIGINT),
+                   CAST(count(*) - count(source) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(count(n_chars) AS BIGINT),
+                   CAST(count(*) - count(n_chars) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+        """,
+        # strlen = bytes, length = chars in DuckDB; identical RE2 class
+        "byte_profile": """
+            WITH s AS (
+              SELECT lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                     CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+                     CAST(sum(length(regexp_replace(text,
+                       '[^\\x00-\\x7f]', '', 'g'))) AS BIGINT)
+                       AS n_ascii_chars
+              FROM documents GROUP BY 1
+            )
+            SELECT lang, n_docs, n_chars, n_bytes, n_ascii_chars,
+                   (10000 * n_bytes) // greatest(n_chars, 1)
+                     AS bytes_per_char_bps,
+                   (10000 * n_ascii_chars) // greatest(n_chars, 1)
+                     AS ascii_bps
+            FROM s
         """,
     }

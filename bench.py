@@ -221,6 +221,10 @@ def bench_queries(spark, sf_dir: str):
         "tokenizer_fertility": q("tokenizer_fertility"),  # NEW r5 (per-lang)
         "temperature_mixture": q("temperature_mixture"),  # NEW r5 (alpha plan)
         "repo_quality_rollup": q("repo_quality_rollup"),  # NEW r5 (repo gate)
+        "token_offset_index": q("token_offset_index"),  # NEW r5 (seek table)
+        "head_coverage": q("head_coverage"),  # NEW r5 (Zipf datasheet)
+        "table_profile": q("table_profile"),  # NEW r5 (ANALYZE profile)
+        "byte_profile": q("byte_profile"),  # NEW r5 (bytes-per-char)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

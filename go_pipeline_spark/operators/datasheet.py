@@ -25,7 +25,7 @@ No reference analogue; part of the LLM data-prep operator set
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from go_pipeline_spark.functions.textstats import token_count
@@ -136,4 +136,65 @@ def vocab_growth(
         "n_tokens",
         "n_types",
         F.expr("(10000 * n_types) div n_tokens").alias("ttr_bps"),
+    )
+
+
+def head_coverage(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 100,
+    word_pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Zipf head-coverage datasheet: per group, what share of all tokens
+    the top-`k` word types account for. Natural language concentrates
+    hard (Zipf: the top-100 types often cover >40% of tokens); a corpus
+    whose head coverage is far off that curve is template spam or
+    shuffled garbage, and tokenizer/vocab sizing reads this exact
+    number. Emits `n_tokens`, `n_types`, `head_types` (min(k, types)),
+    `head_tokens`, `coverage_bps` = floor(1e4·head/total) — all int64.
+
+    Rank ties are deterministic: (count DESC, word ASC), the
+    repetition.py top_duplicated_ngrams cut rule, so the head set —
+    not just its size — is reproducible and oracle-checkable.
+
+    Scale: the same two-level (group, word) aggregate as vocab_growth
+    (hot words collapse map-side), then a per-group top-k that plans as
+    WindowGroupLimit (rank pushed below the sort — no full sort of the
+    type table) and one tiny per-group rollup joined broadcast.
+    """
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode_outer(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(word_pattern), F.lit(0)
+            )
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    per_word = words.groupBy("grp", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = per_word.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    w_rank = Window.partitionBy("grp").orderBy(
+        F.desc("n"), F.asc("word")
+    )
+    head = (
+        per_word.withColumn("__rk", F.row_number().over(w_rank))
+        .where(F.col("__rk") <= k)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("head_types"),
+            F.sum("n").cast("long").alias("head_tokens"),
+        )
+    )
+    return totals.join(head, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "head_types",
+        "head_tokens",
+        F.expr("(10000 * head_tokens) div n_tokens").alias("coverage_bps"),
     )

@@ -125,3 +125,53 @@ def nfc_normalize(
         .withColumn("nfc_changed", F.col(out_col) != F.col(text_col))
         .withColumn("n_chars_nfc", F.length(F.col(out_col)).cast("long"))
     )
+
+
+def byte_profile(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group UTF-8 byte/char profile for byte-level tokenizer sizing.
+
+    Byte-level BPE (GPT-2 and successors) budgets in BYTES, not chars:
+    a CJK-heavy group costs ~3 bytes per char while ASCII costs 1, so
+    per-language bytes-per-char directly scales token budgets, and the
+    ASCII share separates code/markup from non-Latin prose. Emits per
+    group: `n_docs`, `n_chars`, `n_bytes` (octet_length), `n_ascii_chars`
+    (chars surviving an RE2-portable [^\\x00-\\x7f] strip), and the
+    integer ratios `bytes_per_char_bps`, `ascii_bps`.
+
+    All inputs are scan-side JVM expressions folded by ONE hash
+    aggregate on the group key; the ratios are int64 basis points
+    (div-by-zero guarded with greatest(.,1) for a degenerate all-empty
+    group), so the report is bit-exact against a SQL oracle
+    (DuckDB: strlen = bytes, length = chars, same regex class).
+    """
+    t = F.col(text_col)
+    per = df.select(
+        F.col(group_col),
+        F.length(t).cast("long").alias("__c"),
+        F.octet_length(t).cast("long").alias("__b"),
+        F.length(F.regexp_replace(t, "[^\\x00-\\x7f]", "")).cast("long")
+        .alias("__a"),
+    )
+    agg = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__c").alias("n_chars"),
+        F.sum("__b").alias("n_bytes"),
+        F.sum("__a").alias("n_ascii_chars"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_chars",
+        "n_bytes",
+        "n_ascii_chars",
+        F.expr("(10000 * n_bytes) div greatest(n_chars, 1)").alias(
+            "bytes_per_char_bps"
+        ),
+        F.expr("(10000 * n_ascii_chars) div greatest(n_chars, 1)").alias(
+            "ascii_bps"
+        ),
+    )

@@ -1,0 +1,72 @@
+"""ANALYZE-style table profiling: per-column nulls / distincts / range.
+
+Every corpus build starts (and every release ships) with a column
+profile — the `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` /
+`SUMMARIZE` report: row count, per-column non-null count, exact distinct
+count, and min/max. It is the first integrity gate (a `lang` column with
+7000 distinct values, or a `doc_id` whose distinct count != row count,
+is a broken ingest) and the input to join planning.
+
+Design:
+- ONE pass over the data: all per-column aggregates run in a single
+  `agg(...)`. Multiple exact `countDistinct`s make Catalyst plan an
+  Expand (each row is replicated once per distinct-aggregate before the
+  hash aggregate) — the cost is |cols| x rows expanded rows, which is
+  what exactness costs on any engine (DuckDB's SUMMARIZE pays the same
+  shape). For monitoring at 10^12 rows where exactness is not required,
+  use operators/sketches.py (HLL++) instead; this operator is the exact
+  release-gate form.
+- min/max are computed on the NATIVE column type and cast to string
+  AFTER aggregation — casting first would compare lexicographically
+  ('10' < '9'). String columns compare by UTF-8 binary order, which is
+  codepoint order on both Spark and DuckDB.
+- The wide single row is unpivoted into one row per column with a
+  `stack` generator — driver-side schema work only, no second action.
+
+No reference analogue (go-pipeline has no tables); part of the LLM
+training-data prep operator set (SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """-> one row per profiled column: (column_name, n_rows, n_nonnull,
+    n_nulls, n_distinct, min_value, max_value). n_distinct counts
+    non-null distinct values (SQL COUNT(DISTINCT) semantics); min/max
+    are the native-type extremes rendered as strings (NULL for an
+    all-null column)."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"__nn_{i}"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
+        for i, c in enumerate(cols)
+    )
+    return wide.select(
+        F.col("__n"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name",
+        F.col("__n").alias("n_rows"),
+        "n_nonnull",
+        (F.col("__n") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

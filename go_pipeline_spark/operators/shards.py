@@ -104,3 +104,73 @@ def shard_stats(assigned: DataFrame) -> DataFrame:
         F.min("pos").alias("min_pos"),
         F.max("pos").alias("max_pos"),
     )
+
+
+def token_offsets(
+    df: DataFrame,
+    keys: list[str],
+    weight_col: str,
+    n_shards: int,
+    seed: int = 0,
+    sub_hex: int = 2,
+) -> DataFrame:
+    """Seek index for training-shard files: all input columns +
+    (shard, pos, start_offset), where `start_offset` is the EXCLUSIVE
+    prefix sum of `weight_col` (tokens/bytes) over every earlier row of
+    the same shard in the deterministic (hash, keys) order that
+    `assign_shards` defines. A trainer resuming at global step S maps
+    S -> (shard, offset) with this table alone — no sequential scan of
+    the shard file — and the layout is reproducible on any cluster size
+    because the order key is a pure function of the row.
+
+    Same two-shuffle distributed-rank decomposition as assign_shards
+    (the per-(shard, sub-bucket) aggregate now carries SUM(weight) next
+    to COUNT; both window passes run over the same tiny offsets table),
+    so the largest sorted task stays rows/(n_shards·16^sub_hex). The
+    offset is exact int64 arithmetic — bit-identical to a single-file
+    sequential cumsum, pinned by test.
+    """
+    if not 1 <= sub_hex <= 6:
+        raise ValueError("sub_hex must be in [1, 6]")
+    h = hash_hex(keys, seed)
+    wcol = F.col(weight_col).cast("long")
+    base = df.withColumn("__h", h).withColumn(
+        "shard",
+        (F.conv(F.col("__h"), 16, 10).cast("long") % n_shards).cast("int"),
+    ).withColumn("__sub", F.substring(F.col("__h"), 1, sub_hex))
+    counts = base.groupBy("shard", "__sub").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(wcol).alias("__w"),
+    )
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard",
+        "__sub",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__w").over(w_off), F.lit(0)).alias("__woff"),
+    )
+    w_in = Window.partitionBy("shard", "__sub").orderBy(
+        "__h", *[F.col(k) for k in keys]
+    )
+    return (
+        base.join(offsets, ["shard", "__sub"])
+        .withColumn(
+            "pos",
+            (F.col("__off") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .withColumn(
+            "start_offset",
+            (
+                F.col("__woff")
+                + F.sum(wcol).over(
+                    w_in.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - wcol
+            ).cast("long"),
+        )
+        .drop("__h", "__sub", "__off", "__woff")
+    )

@@ -101,3 +101,26 @@ def test_vocab_growth_no_regex_reeval_in_plan(spark):
         .toString()
     )
     assert plan.count("regexp_extract_all") == 1
+
+
+def test_head_coverage_hand_checked_with_ties(spark):
+    from go_pipeline_spark.operators.datasheet import head_coverage
+
+    # en: counts b=3, a=2, c=2, d=1 -> top-2 = b(3) + a(2) (tie a/c broken
+    # by word ASC) = 5 of 8 tokens
+    df = spark.createDataFrame(
+        [("en", "b a c b"), ("en", "b a c d")],
+        "lang string, text string",
+    )
+    r = head_coverage(df, k=2).collect()[0]
+    assert (r.n_tokens, r.n_types, r.head_types, r.head_tokens) == (8, 4, 2, 5)
+    assert r.coverage_bps == (10000 * 5) // 8
+
+
+def test_head_coverage_k_exceeding_types_is_full_coverage(spark):
+    from go_pipeline_spark.operators.datasheet import head_coverage
+
+    df = spark.createDataFrame([("de", "x y x")], "lang string, text string")
+    r = head_coverage(df, k=100).collect()[0]
+    assert r.head_types == 2 and r.head_tokens == r.n_tokens
+    assert r.coverage_bps == 10000

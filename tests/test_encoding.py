@@ -90,3 +90,28 @@ def test_nfc_matches_python_unicodedata(spark):
     got = {r.doc_id: r.text_nfc for r in nfc_normalize(df).collect()}
     for i, s in enumerate(seqs):
         assert got[i] == unicodedata.normalize("NFC", s), i
+
+
+def test_byte_profile_hand_checked(spark):
+    from go_pipeline_spark.operators.encoding import byte_profile
+
+    # 'abc' = 3 chars / 3 bytes, all ascii; 'aé€' = 3 chars / 1+2+3 bytes,
+    # 1 ascii char
+    df = spark.createDataFrame(
+        [("a", "abc"), ("b", "aé€")], "lang string, text string"
+    )
+    got = {r.lang: r for r in byte_profile(df).collect()}
+    assert (got["a"].n_chars, got["a"].n_bytes, got["a"].n_ascii_chars) == (3, 3, 3)
+    assert got["a"].bytes_per_char_bps == 10000
+    assert got["a"].ascii_bps == 10000
+    assert (got["b"].n_chars, got["b"].n_bytes, got["b"].n_ascii_chars) == (3, 6, 1)
+    assert got["b"].bytes_per_char_bps == 20000
+    assert got["b"].ascii_bps == 3333
+
+
+def test_byte_profile_empty_text_guard(spark):
+    from go_pipeline_spark.operators.encoding import byte_profile
+
+    df = spark.createDataFrame([("z", "")], "lang string, text string")
+    r = byte_profile(df).collect()[0]
+    assert (r.n_chars, r.n_bytes, r.bytes_per_char_bps, r.ascii_bps) == (0, 0, 0, 0)

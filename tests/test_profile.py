@@ -1,0 +1,49 @@
+"""ANALYZE-style column profiler: exact counts, native-type min/max,
+null accounting, one-pass plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators.profile import profile_table
+
+
+def _by_col(rows):
+    return {r.column_name: r for r in rows}
+
+
+def test_profile_hand_checked_with_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 9), (2, "a", 10), (3, None, None), (4, "b", 2)],
+        "id long, s string, v long",
+    )
+    got = _by_col(profile_table(df).collect())
+    assert set(got) == {"id", "s", "v"}
+    r = got["s"]
+    assert (r.n_rows, r.n_nonnull, r.n_nulls, r.n_distinct) == (4, 3, 1, 2)
+    assert (r.min_value, r.max_value) == ("a", "b")
+    # native-type comparison: numeric 9 < 10 even though '10' < '9'
+    assert (got["v"].min_value, got["v"].max_value) == ("2", "10")
+    assert got["id"].n_distinct == 4
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, x string")
+    r = _by_col(profile_table(df, ["x"]).collect())["x"]
+    assert (r.n_nonnull, r.n_nulls, r.n_distinct) == (0, 2, 0)
+    assert r.min_value is None and r.max_value is None
+
+
+def test_profile_subset_and_empty_cols(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    rows = profile_table(df, ["s"]).collect()
+    assert [r.column_name for r in rows] == ["s"]
+    with pytest.raises(ValueError):
+        profile_table(df, [])
+
+
+def test_profile_is_single_aggregate_pass(spark):
+    # one Expand-based aggregate, no join, no window
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan

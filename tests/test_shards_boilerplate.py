@@ -103,3 +103,59 @@ def test_boilerplate_param_validation(spark):
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------- token offsets
+
+def test_token_offsets_match_flat_window_cumsum(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from go_pipeline_spark.operators.sampling import hash_hex
+    from go_pipeline_spark.operators.shards import token_offsets
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("w")
+    )
+    got = token_offsets(df, ["doc_id"], "w", n_shards=4, seed=5)
+
+    flat = df.withColumn("__h", hash_hex(["doc_id"], 5)).withColumn(
+        "shard",
+        (F.conv(F.col("__h"), 16, 10).cast("long") % 4).cast("int"),
+    )
+    wref = W.partitionBy("shard").orderBy("__h", "doc_id")
+    ref = flat.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(wref) - 1).cast("long").alias("pos"),
+        F.coalesce(
+            F.sum("w").over(wref.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("start_offset"),
+    )
+    a = {(r.doc_id, r.shard, r.pos, r.start_offset) for r in got.collect()}
+    b = {(r.doc_id, r.shard, r.pos, r.start_offset) for r in ref.collect()}
+    assert a == b
+
+
+def test_token_offsets_sub_hex_invariant_and_dense(spark):
+    from pyspark.sql import functions as F
+
+    from go_pipeline_spark.operators.shards import token_offsets
+
+    df = spark.range(0, 800).select(
+        F.col("id").alias("doc_id"), F.lit(3).alias("w")
+    )
+    a = {
+        (r.doc_id, r.shard, r.pos, r.start_offset)
+        for r in token_offsets(df, ["doc_id"], "w", 4, seed=1, sub_hex=1).collect()
+    }
+    b = {
+        (r.doc_id, r.shard, r.pos, r.start_offset)
+        for r in token_offsets(df, ["doc_id"], "w", 4, seed=1, sub_hex=3).collect()
+    }
+    assert a == b
+    # constant weight: offset == 3 * pos, each shard starts at 0
+    assert all(off == 3 * pos for (_d, _s, pos, off) in a)
+    for s in range(4):
+        assert min(off for (_d, sh, _p, off) in a if sh == s) == 0
