@@ -75,6 +75,7 @@ from go_pipeline_spark.operators import code_units  # noqa: E402
 from go_pipeline_spark.operators import encoding  # noqa: E402
 from go_pipeline_spark.operators import shards  # noqa: E402
 from go_pipeline_spark.operators import profile as profile_ops  # noqa: E402
+from go_pipeline_spark.operators import blocklist  # noqa: E402
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
     boilerplate_line_filter,
     canonical_representatives,
@@ -2537,6 +2538,106 @@ def q_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding.byte_profile(d, group_col="lang", text_col="text")
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per lang (operators/datasheet.py oov_rate)
+    for the corpus-wide top-200 word vocabulary under the deterministic
+    (global count DESC, word ASC) rank. Top-V plans as
+    TakeOrderedAndProject; membership is a broadcast left join. All
+    integer outputs; the oracle replays rank + LEFT JOIN in SQL."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return datasheet.oov_rate(d, vocab_size=200, group_col="lang")
+
+
+def q_length_magnitudes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude length histogram with cumulative share
+    (operators/datasheet.py magnitude_histogram): bucket = decimal digit
+    count of n_chars (exact on every engine, unlike binary-string log2
+    spellings), cumulative over the tiny per-(lang, magnitude) aggregate
+    only."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return datasheet.magnitude_histogram(d, "n_chars", group_col="lang")
+
+
+_LIC4 = ["MIT", "Apache-2.0", "GPL-3.0-only", "BSD-3-Clause"]
+
+
+def q_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-root license propagation (operators/code_quality.py
+    propagate_repo_license; The Stack attributes untagged files to the
+    repo LICENSE): code files get their own SPDX tag on doc%3==0
+    (cycling by doc%4); repos r = doc%20 with r%5 != 4 additionally
+    carry a root LICENSE file tagged by r%4; effective license = own,
+    else repo, else NONE. Emits the (license_source, effective_license)
+    rollup. The oracle replays file construction, extraction, the
+    root-path rule, min-collapse, and the precedence chain."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+
+    def lic_of(x):
+        return F.element_at(
+            F.array(*[F.lit(s) for s in _LIC4]), (x % 4 + 1).cast("int")
+        )
+
+    code = d.select(
+        F.concat(F.lit("repo-"), (doc % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), doc.cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+        F.concat(
+            F.when(
+                doc % 3 == 0,
+                F.concat(
+                    F.lit("// SPDX-License-Identifier: "),
+                    lic_of(doc),
+                    F.lit("\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("content"),
+    )
+    repos = (
+        d.select((doc % 20).alias("r"))
+        .distinct()
+        .where(F.col("r") % 5 != 4)
+    )
+    licfiles = repos.select(
+        F.concat(F.lit("repo-"), F.col("r").cast("string")).alias("repo"),
+        F.lit("LICENSE").alias("path"),
+        F.concat(
+            F.lit("SPDX-License-Identifier: "), lic_of(F.col("r"))
+        ).alias("content"),
+    )
+    files = code.unionByName(licfiles)
+    out = code_quality.propagate_repo_license(files)
+    return out.groupBy("license_source", "effective_license").agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+
+
+def q_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words rule as a broadcast set join (operators/blocklist.py
+    — whole-word, case-folded; the mechanism that scales to 1e4-entry
+    blocklists where a union regex breaks codegen). Planted: doc%7==0
+    appends one blocked token, doc%21==0 two more. Per-lang rollup; the
+    oracle replays extraction + IN (...)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    doc = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(doc % 7 == 0, F.lit(" badwordalpha")).otherwise(F.lit("")),
+            F.when(
+                doc % 21 == 0, F.lit(" badwordbeta badwordalpha")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    flagged = blocklist.flag_blocked_docs(
+        planted, ["badwordalpha", "badwordbeta"]
+    )
+    return blocklist.blocklist_report(flagged, group_col="lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2646,6 +2747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_coverage": q_head_coverage,
         "table_profile": q_table_profile,
         "byte_profile": q_byte_profile,
+        "oov_rate": q_oov_rate,
+        "length_magnitudes": q_length_magnitudes,
+        "license_propagation": q_license_propagation,
+        "blocked_docs": q_blocked_docs,
     }
 
 
@@ -5815,5 +5920,153 @@ def oracle_sql() -> dict[str, str]:
                    (10000 * n_ascii_chars) // greatest(n_chars, 1)
                      AS ascii_bps
             FROM s
+        """,
+        # vocab = global top-200 types under (count DESC, word ASC);
+        # OOV share per lang via LEFT JOIN of the tiny vocab
+        "oov_rate": """
+            WITH w AS (
+              SELECT lang,
+                unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9_]+')) AS word
+              FROM documents
+            ), pw AS (
+              SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+            ), gw AS (
+              SELECT word, sum(n) AS tot FROM pw GROUP BY 1
+            ), rk AS (
+              SELECT word,
+                     row_number() OVER (ORDER BY tot DESC, word ASC) AS r
+              FROM gw
+            ), v AS (
+              SELECT word, true AS in_vocab FROM rk WHERE r <= 200
+            ), j AS (
+              SELECT lang, n, in_vocab
+              FROM pw LEFT JOIN v USING (word)
+            )
+            SELECT lang,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN in_vocab IS NULL THEN n ELSE 0 END)
+                     AS BIGINT) AS n_oov_tokens,
+                   (10000 * CAST(sum(CASE WHEN in_vocab IS NULL THEN n
+                                     ELSE 0 END) AS BIGINT))
+                     // CAST(sum(n) AS BIGINT) AS oov_bps
+            FROM j GROUP BY 1
+        """,
+        # magnitude = decimal digit count; cumulative over the tiny
+        # (lang, magnitude) aggregate
+        "length_magnitudes": """
+            WITH m AS (
+              SELECT lang, n_chars,
+                     CASE WHEN n_chars <= 0 THEN 0
+                          ELSE CAST(length(CAST(n_chars AS VARCHAR))
+                               AS INTEGER) END AS magnitude
+              FROM documents
+            ), a AS (
+              SELECT lang, magnitude,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_len
+              FROM m GROUP BY 1, 2
+            ), c AS (
+              SELECT lang, magnitude, n_docs, total_len,
+                     CAST(sum(n_docs) OVER (
+                            PARTITION BY lang ORDER BY magnitude
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_docs,
+                     CAST(sum(n_docs) OVER (PARTITION BY lang)
+                       AS BIGINT) AS grp_total
+              FROM a
+            )
+            SELECT lang, magnitude, n_docs, total_len, cum_docs,
+                   (10000 * cum_docs) // grp_total AS cum_share_bps
+            FROM c
+        """,
+        # identical file construction; own-tag extract, root-path rule,
+        # min-collapse per repo, own > repo > NONE precedence
+        "license_propagation": """
+            WITH code AS (
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                     CASE WHEN doc_id % 3 = 0
+                       THEN '// SPDX-License-Identifier: '
+                            || list_extract(
+                                 ['MIT', 'Apache-2.0', 'GPL-3.0-only',
+                                  'BSD-3-Clause'],
+                                 CAST(doc_id % 4 + 1 AS INT))
+                            || chr(10)
+                       ELSE '' END || text AS content
+              FROM documents
+            ), repos AS (
+              SELECT DISTINCT doc_id % 20 AS r FROM documents
+              WHERE (doc_id % 20) % 5 <> 4
+            ), lf AS (
+              SELECT 'repo-' || CAST(r AS VARCHAR) AS repo,
+                     'LICENSE' AS path,
+                     'SPDX-License-Identifier: '
+                     || list_extract(
+                          ['MIT', 'Apache-2.0', 'GPL-3.0-only',
+                           'BSD-3-Clause'],
+                          CAST(r % 4 + 1 AS INT)) AS content
+              FROM repos
+            ), files AS (
+              SELECT * FROM code UNION ALL SELECT * FROM lf
+            ), own AS (
+              SELECT repo, path,
+                     regexp_extract(content,
+                       'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)',
+                       1) AS o
+              FROM files
+            ), rl AS (
+              SELECT repo, min(o) AS repo_lic
+              FROM own
+              WHERE regexp_matches(lower(path),
+                      '^(license|licence|copying)(\\.(md|txt|rst))?$')
+                AND o <> ''
+              GROUP BY 1
+            ), eff AS (
+              SELECT CASE WHEN o <> '' THEN o
+                          ELSE coalesce(repo_lic, 'NONE') END
+                       AS effective_license,
+                     CASE WHEN o <> '' THEN 'file'
+                          WHEN repo_lic IS NOT NULL THEN 'repo'
+                          ELSE 'none' END AS license_source
+              FROM own LEFT JOIN rl USING (repo)
+            )
+            SELECT license_source, effective_license,
+                   CAST(count(*) AS BIGINT) AS n_files
+            FROM eff GROUP BY 1, 2
+        """,
+        # identical plants; extraction + IN (...) replays the word-grain
+        # set-membership rule
+        "blocked_docs": """
+            WITH p AS (
+              SELECT doc_id, lang,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' badwordalpha' ELSE '' END
+                     || CASE WHEN doc_id % 21 = 0
+                        THEN ' badwordbeta badwordalpha' ELSE '' END AS t
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                unnest(regexp_extract_all(lower(t),
+                       '[a-z0-9_]+')) AS word
+              FROM p
+            ), h AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS nb
+              FROM w WHERE word IN ('badwordalpha', 'badwordbeta')
+              GROUP BY 1
+            ), j AS (
+              SELECT p.lang, coalesce(h.nb, 0) AS nb
+              FROM p LEFT JOIN h USING (doc_id)
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_flagged,
+                   CAST(sum(nb) AS BIGINT) AS n_blocked_tokens,
+                   (10000 * CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT)) // CAST(count(*) AS BIGINT)
+                     AS flagged_bps
+            FROM j GROUP BY 1
         """,
     }

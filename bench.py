@@ -225,6 +225,10 @@ def bench_queries(spark, sf_dir: str):
         "head_coverage": q("head_coverage"),  # NEW r5 (Zipf datasheet)
         "table_profile": q("table_profile"),  # NEW r5 (ANALYZE profile)
         "byte_profile": q("byte_profile"),  # NEW r5 (bytes-per-char)
+        "oov_rate": q("oov_rate"),  # NEW r5 (vocab OOV share)
+        "length_magnitudes": q("length_magnitudes"),  # NEW r5 (digit buckets)
+        "license_propagation": q("license_propagation"),  # NEW r5 (repo root)
+        "blocked_docs": q("blocked_docs"),  # NEW r5 (C4 badwords set join)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

@@ -1,0 +1,90 @@
+"""Word-blocklist filtering (the C4 "bad words" rule) as a set join.
+
+C4 (Raffel et al. 2020, arXiv:1910.10683 §2.2) drops any page containing
+a word from the "List of Dirty, Naughty, Obscene or Otherwise Bad Words";
+RefinedWeb and most web-corpus builds keep a variant of the rule. The
+operative detail at scale is the MECHANISM: production blocklists run to
+tens of thousands of entries across languages, and a single alternation
+regex that size breaks codegen and scans the pattern per char. The
+set-membership form is the right plan:
+
+  extract words scan-side -> explode -> hash-join against the BROADCAST
+  blocklist (tiny by construction) -> per-doc hit aggregate.
+
+Matching is whole-word, case-folded — the same [a-z0-9_]+ extraction the
+datasheet operators use, so 'class' never matches a blocklist entry
+'ass' (the classic substring false positive the word-grain rule exists
+to avoid).
+
+Exactness: hit counts and flags are integers; the oracle replays
+unnest + IN (...) in SQL. Scale: one generator + one broadcast join +
+one (doc) aggregate; the corpus-side join key is the word column only —
+content never shuffles. No reference analogue; part of the LLM
+data-prep operator set (SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_PATTERN = "[a-z0-9_]+"
+
+
+def flag_blocked_docs(
+    df: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Input + (n_blocked_tokens, has_blocked): per-doc count of tokens
+    whose lowercased whole-word form is in `blocklist`, and the C4 drop
+    flag. Docs with no extractable words count 0 / False."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(w.lower(),) for w in sorted(set(blocklist))], "word string"
+    )
+    words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(word_pattern), F.lit(0)
+            )
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    hits = (
+        words.join(F.broadcast(bl), "word")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blocked_tokens"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_blocked_tokens",
+            F.coalesce(F.col("n_blocked_tokens"), F.lit(0).cast("long")),
+        )
+        .withColumn("has_blocked", F.col("n_blocked_tokens") > 0)
+    )
+
+
+def blocklist_report(
+    flagged: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """Per-group rollup of `flag_blocked_docs` output: docs scanned,
+    docs flagged, total blocked tokens, flagged share in basis points."""
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_blocked").cast("int")).cast("long").alias(
+            "n_flagged"
+        ),
+        F.sum("n_blocked_tokens").cast("long").alias("n_blocked_tokens"),
+    ).select(
+        group_col,
+        "n_docs",
+        "n_flagged",
+        "n_blocked_tokens",
+        F.expr("(10000 * n_flagged) div n_docs").alias("flagged_bps"),
+    )

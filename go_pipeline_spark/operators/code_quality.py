@@ -625,3 +625,60 @@ def repo_quality_rollup(
             & (F.col("n_files") >= F.lit(int(min_files)))
         ).alias("repo_keep"),
     )
+
+
+# root-level license-file names (segment-free path), lowercased compare
+LICENSE_PATH_PATTERN = r"^(license|licence|copying)(\.(md|txt|rst))?$"
+
+
+def propagate_repo_license(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Effective per-file license: own SPDX tag, else the repo's root
+    LICENSE file's tag.
+
+    Real license provenance is repo-scoped — most files carry no header,
+    and The Stack attributes them to the repository's root LICENSE
+    (Kocetkov et al. 2022 §II.C use go-license-detector on repo files).
+    This implements the propagation rule as pure DataFrame ops:
+
+    * own tag: scan-side `spdx_license` extract on every file;
+    * repo tag: files whose root-level name matches
+      `LICENSE_PATH_PATTERN` contribute their extracted tag, collapsed
+      per repo by `min` (deterministic when a repo carries several
+      license files);
+    * `effective_license` = own else repo else 'NONE', with
+      `license_source` in {'file', 'repo', 'none'}.
+
+    Scale: the repo-license table is repo-cardinality-sized and joins
+    back BROADCAST; everything else is scan-side. The license files
+    themselves keep their own tag (source 'file'), so downstream
+    rollups can exclude them by path rule if desired.
+    """
+    own = spdx_license(F.col(content_col))
+    base = df.withColumn("__own", own)
+    repo_lic = (
+        base.where(
+            F.lower(F.col(path_col)).rlike(LICENSE_PATH_PATTERN)
+            & (F.col("__own") != "")
+        )
+        .groupBy(repo_col)
+        .agg(F.min("__own").alias("__repo_lic"))
+    )
+    joined = base.join(F.broadcast(repo_lic), repo_col, "left")
+    eff = F.when(F.col("__own") != "", F.col("__own")).otherwise(
+        F.coalesce(F.col("__repo_lic"), F.lit("NONE"))
+    )
+    src = F.when(F.col("__own") != "", F.lit("file")).otherwise(
+        F.when(F.col("__repo_lic").isNotNull(), F.lit("repo")).otherwise(
+            F.lit("none")
+        )
+    )
+    return joined.select(
+        *df.columns,
+        eff.alias("effective_license"),
+        src.alias("license_source"),
+    )

@@ -198,3 +198,119 @@ def head_coverage(
         "head_tokens",
         F.expr("(10000 * head_tokens) div n_tokens").alias("coverage_bps"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    word_pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group for a corpus-frequency vocab.
+
+    Word-level vocab sizing (the classic pre-BPE decision, and still the
+    fallback-token budget for hybrid tokenizers) reads exactly this:
+    fix the vocabulary to the corpus-wide top-`vocab_size` word types,
+    then measure per group what share of its running tokens fall
+    outside it. Low-resource groups always fare worst — this report
+    quantifies by how much. Emits `n_tokens`, `n_oov_tokens`,
+    `oov_bps` = floor(1e4·oov/total), all int64.
+
+    Vocabulary selection is deterministic: rank by (global count DESC,
+    word ASC). The top-V plans as TakeOrderedAndProject (distributed
+    heap per partition + driver merge of V rows — never a full sort of
+    the type table), and the membership test is a broadcast LEFT join
+    of the V-row vocab — vocabularies are ≤ a few 100k entries by
+    construction, far under any broadcast ceiling.
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode_outer(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(word_pattern), F.lit(0)
+            )
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    per_gw = words.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        per_gw.groupBy("word")
+        .agg(F.sum("n").alias("__tot"))
+        .orderBy(F.desc("__tot"), F.asc("word"))
+        .limit(int(vocab_size))
+        .select("word", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        per_gw.join(F.broadcast(vocab), "word", "left")
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_oov_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov_tokens",
+            F.expr("(10000 * n_oov_tokens) div n_tokens").alias("oov_bps"),
+        )
+    )
+
+
+def magnitude_histogram(
+    df: DataFrame,
+    length_col: str,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Order-of-magnitude length histogram with cumulative share.
+
+    Sequence-length distributions decide packing/batching policy, and
+    at corpus scale the useful view is logarithmic. The bucket key is
+    the DECIMAL DIGIT COUNT of the length (1 for 1-9, 2 for 10-99, …;
+    0 for empty) — exact integer arithmetic on every engine (digits =
+    length of the base-10 rendering), unlike floor(log2(n)) whose
+    binary-string spellings differ across engines. Emits per
+    (group, magnitude): `n_docs`, `total_len`, and `cum_docs` /
+    `cum_share_bps` (running totals in magnitude order — the 'what
+    fits under 10^k chars' curve a packing planner reads).
+
+    Scale: one hash aggregate on the tiny (group, magnitude) key space;
+    the cumulative window runs over that aggregate, never the corpus.
+    """
+    n = F.col(length_col).cast("long")
+    mag = F.when(n <= 0, F.lit(0)).otherwise(
+        F.length(n.cast("string"))
+    ).cast("int")
+    agg = (
+        df.select(F.col(group_col), n.alias("__len"), mag.alias("magnitude"))
+        .groupBy(group_col, "magnitude")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("total_len"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("magnitude")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    return (
+        agg.withColumn("cum_docs", F.sum("n_docs").over(w).cast("long"))
+        .withColumn(
+            "__grp_total", F.sum("n_docs").over(w_all).cast("long")
+        )
+        .select(
+            group_col,
+            "magnitude",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_len").cast("long").alias("total_len"),
+            "cum_docs",
+            F.expr("(10000 * cum_docs) div __grp_total").alias(
+                "cum_share_bps"
+            ),
+        )
+    )

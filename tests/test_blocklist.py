@@ -1,0 +1,56 @@
+"""C4 bad-words set-join filter: whole-word semantics (no substring
+false positives), planted counts, broadcast-join plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pipeline_spark.operators.blocklist import (
+    blocklist_report,
+    flag_blocked_docs,
+)
+
+
+def test_whole_word_no_substring_false_positive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the class keyword"),       # 'ass' must NOT match
+            (2, "en", "what an Ass move"),        # case-folded whole word
+            (3, "en", "ass ass ass"),             # counts every token
+            (4, "en", "clean text here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_blocked_tokens, r.has_blocked)
+        for r in flag_blocked_docs(df, ["ass"]).collect()
+    }
+    assert got == {1: (0, False), 2: (1, True), 3: (3, True), 4: (0, False)}
+
+
+def test_report_rollup_and_empty_blocklist(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "bad stuff"), (2, "en", "fine"), (3, "de", "bad")],
+        "doc_id long, lang string, text string",
+    )
+    rep = {
+        r.lang: (r.n_docs, r.n_flagged, r.n_blocked_tokens, r.flagged_bps)
+        for r in blocklist_report(flag_blocked_docs(df, ["bad"])).collect()
+    }
+    assert rep == {"en": (2, 1, 1, 5000), "de": (1, 1, 1, 10000)}
+    with pytest.raises(ValueError):
+        flag_blocked_docs(df, [])
+
+
+def test_blocklist_join_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "x")], "doc_id long, lang string, text string"
+    )
+    plan = (
+        flag_blocked_docs(df, ["bad"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -419,3 +419,44 @@ def test_repo_quality_rollup_is_one_aggregate(spark):
     )
     plan = cq.repo_quality_rollup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_propagate_repo_license_precedence(spark):
+    rows = [
+        # repo with root LICENSE: tagged file keeps own, untagged inherits
+        ("r1", "LICENSE", "SPDX-License-Identifier: MIT"),
+        ("r1", "src/a.py", "# SPDX-License-Identifier: Apache-2.0\nx"),
+        ("r1", "src/b.py", "no tag here"),
+        # repo without a license file: untagged -> NONE
+        ("r2", "src/c.py", "nothing"),
+        # nested license file does NOT define the repo license
+        ("r3", "vendor/LICENSE", "SPDX-License-Identifier: GPL-3.0-only"),
+        ("r3", "src/d.py", "plain"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = {
+        (r.repo, r.path): (r.effective_license, r.license_source)
+        for r in cq.propagate_repo_license(df).collect()
+    }
+    assert got[("r1", "LICENSE")] == ("MIT", "file")
+    assert got[("r1", "src/a.py")] == ("Apache-2.0", "file")
+    assert got[("r1", "src/b.py")] == ("MIT", "repo")
+    assert got[("r2", "src/c.py")] == ("NONE", "none")
+    # vendor/LICENSE fails the ROOT-path rule (path contains a segment)
+    assert got[("r3", "src/d.py")] == ("NONE", "none")
+    assert got[("r3", "vendor/LICENSE")] == ("GPL-3.0-only", "file")
+
+
+def test_propagate_repo_license_min_collapse(spark):
+    # two root license files -> deterministic min() pick
+    rows = [
+        ("r", "LICENSE", "SPDX-License-Identifier: MIT"),
+        ("r", "COPYING", "SPDX-License-Identifier: Apache-2.0"),
+        ("r", "src/x.py", "untagged"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = {
+        r.path: r.effective_license
+        for r in cq.propagate_repo_license(df).collect()
+    }
+    assert got["src/x.py"] == "Apache-2.0"  # min('MIT','Apache-2.0')

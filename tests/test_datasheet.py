@@ -124,3 +124,48 @@ def test_head_coverage_k_exceeding_types_is_full_coverage(spark):
     r = head_coverage(df, k=100).collect()[0]
     assert r.head_types == 2 and r.head_tokens == r.n_tokens
     assert r.coverage_bps == 10000
+
+
+def test_oov_rate_hand_checked(spark):
+    from go_pipeline_spark.operators.datasheet import oov_rate
+
+    # global counts: the=4, cat=2, dog=1, yak=1 -> vocab(2) = {the, cat}
+    # (dog/yak lose the count tie to cat? no — cat=2 > dog=1; ties between
+    # dog/yak don't matter at V=2)
+    df = spark.createDataFrame(
+        [("en", "the cat the dog"), ("de", "the cat the yak")],
+        "lang string, text string",
+    )
+    got = {
+        r.lang: (r.n_tokens, r.n_oov_tokens, r.oov_bps)
+        for r in oov_rate(df, vocab_size=2).collect()
+    }
+    assert got == {"en": (4, 1, 2500), "de": (4, 1, 2500)}
+
+
+def test_oov_rate_tie_break_word_asc(spark):
+    from go_pipeline_spark.operators.datasheet import oov_rate
+
+    # counts all equal: vocab(1) = alphabetically first type 'aa'
+    df = spark.createDataFrame(
+        [("en", "aa bb cc")], "lang string, text string"
+    )
+    r = oov_rate(df, vocab_size=1).collect()[0]
+    assert (r.n_tokens, r.n_oov_tokens) == (3, 2)
+
+
+def test_magnitude_histogram_digit_boundaries(spark):
+    from go_pipeline_spark.operators.datasheet import magnitude_histogram
+
+    df = spark.createDataFrame(
+        [("en", 0), ("en", 9), ("en", 10), ("en", 99), ("en", 100)],
+        "lang string, n int",
+    )
+    rows = {
+        r.magnitude: (r.n_docs, r.total_len, r.cum_docs, r.cum_share_bps)
+        for r in magnitude_histogram(df, "n").collect()
+    }
+    assert rows[0] == (1, 0, 1, 2000)
+    assert rows[1] == (1, 9, 2, 4000)
+    assert rows[2] == (2, 109, 4, 8000)
+    assert rows[3] == (1, 100, 5, 10000)
