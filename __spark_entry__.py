@@ -2638,6 +2638,95 @@ def q_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist.blocklist_report(flagged, group_col="lang")
 
 
+def q_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (operators/repetition.py novelty_stats;
+    the memorization-risk complement of the duplication reports): share
+    of a doc's distinct 5-gram set with corpus document-frequency 1.
+    Planted: every 4th doc carries the same boilerplate tail, so those
+    docs share a gram set with df ≈ 125 while their body grams stay
+    novel. Integer outputs; the oracle replays tokenize → gram →
+    distinct → df → rollup."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                doc % 4 == 0,
+                F.lit(
+                    " shared navigation boilerplate sentence repeated"
+                    " across many documents verbatim"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return repetition.novelty_stats(planted, n=5).select(
+        "doc_id", "n_grams", "n_novel", "novelty_bps"
+    )
+
+
+def q_module_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graphrank.py pagerank_int) over
+    a deterministic 40-node module dependency graph derived from doc_id
+    arithmetic (src = doc%40 -> dst = (7·doc+3)%40, self-loops dropped,
+    deduped): 4 iterative join+aggregate rounds, every step int64
+    (per-edge div BEFORE the sum keeps the result independent of
+    aggregation order — the property float PageRank lacks and the reason
+    this variant is oracle-exact). Oracle = the same recurrence unrolled
+    round-by-round in SQL CTEs, the bpe_train_merges pattern."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("m"), (doc % 40).cast("string")).alias("src"),
+        F.concat(F.lit("m"), ((doc * 7 + 3) % 40).cast("string")).alias(
+            "dst"
+        ),
+    )
+    from go_pipeline_spark.operators.graphrank import pagerank_int
+
+    return pagerank_int(edges, k=4).select(
+        F.col("v").alias("module"), F.col("r").alias("score")
+    )
+
+
+def _pagerank_oracle(k: int) -> str:
+    """Unrolled integer-PageRank CTE chain over the doc_id-derived
+    module graph (teleport floor(1e6·15/100) = 150000, damping 85)."""
+    ctes = [
+        """e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'm' || CAST(doc_id % 40 AS VARCHAR) AS src,
+           'm' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst
+    FROM documents) t
+  WHERE src <> dst
+), nodes AS (
+  SELECT src AS v FROM e UNION SELECT dst FROM e
+), od AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+), r0 AS (
+  SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes
+)"""
+    ]
+    for t in range(1, k + 1):
+        ctes.append(
+            f"""c{t} AS (
+  SELECT e.dst AS v, CAST(sum(r{t - 1}.r // od.d) AS BIGINT) AS c
+  FROM e JOIN od USING (src) JOIN r{t - 1} ON r{t - 1}.v = e.src
+  GROUP BY 1
+), r{t} AS (
+  SELECT n.v,
+         CAST(150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{t} c USING (v)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS module, r AS score FROM r{k}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2751,6 +2840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_magnitudes": q_length_magnitudes,
         "license_propagation": q_license_propagation,
         "blocked_docs": q_blocked_docs,
+        "novelty_stats": q_novelty_stats,
+        "module_pagerank": q_module_pagerank,
     }
 
 
@@ -6069,4 +6160,43 @@ def oracle_sql() -> dict[str, str]:
                      AS flagged_bps
             FROM j GROUP BY 1
         """,
+        # identical plant; tokenize -> 5-gram -> per-doc distinct ->
+        # corpus df -> rollup, guarded division
+        "novelty_stats": """
+            WITH p AS (
+              SELECT doc_id,
+                     lower(text) || CASE WHEN doc_id % 4 = 0
+                       THEN ' shared navigation boilerplate sentence'
+                            || ' repeated across many documents verbatim'
+                       ELSE '' END AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(t, '\\s+'),
+                                 x -> len(x) > 0) AS w
+              FROM p
+            ), g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(w[i:i+4], ' ') AS gram
+              FROM tok,
+                   unnest(generate_series(1, len(w) - 4)) AS u(i)
+              WHERE len(w) >= 5
+            ), dfreq AS (
+              SELECT gram, count(*) AS df FROM g GROUP BY 1
+            ), per AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_novel
+              FROM g JOIN dfreq USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_grams, 0) AS n_grams,
+                   coalesce(per.n_novel, 0) AS n_novel,
+                   (10000 * coalesce(per.n_novel, 0))
+                     // greatest(coalesce(per.n_grams, 0), 1)
+                     AS novelty_bps
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "module_pagerank": _pagerank_oracle(4),
     }

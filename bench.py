@@ -229,6 +229,8 @@ def bench_queries(spark, sf_dir: str):
         "length_magnitudes": q("length_magnitudes"),  # NEW r5 (digit buckets)
         "license_propagation": q("license_propagation"),  # NEW r5 (repo root)
         "blocked_docs": q("blocked_docs"),  # NEW r5 (C4 badwords set join)
+        "novelty_stats": q("novelty_stats"),  # NEW r5 (memorization risk)
+        "module_pagerank": q("module_pagerank"),  # NEW r5 (iterative rank)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

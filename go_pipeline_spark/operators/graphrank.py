@@ -1,0 +1,105 @@
+"""Integer-exact PageRank over dependency/link graphs (iterative joins).
+
+Corpus curation ranks entities on link graphs constantly: repo
+importance from import edges (StarCoder2 orders and filters by
+repo-level signals), domain authority for web corpora (Common Crawl
+curation), module popularity for within-repo ordering. PageRank (Page
+et al. 1999) is the canonical score, and on Spark it is the canonical
+ITERATIVE-JOIN workload: k rounds of (edges ⋈ scores) → per-target
+aggregate — the same fixed-round driver-loop discipline as the BPE
+trainer (operators/bpe.py) and k-means (operators/similarity.py), with
+`localCheckpoint` pruning lineage so round k doesn't replay rounds
+1..k-1.
+
+Integer variant (what makes it ORACLE-EXACT — float PageRank would
+diverge in the last ulp across engines because aggregation order varies):
+
+    r_0(v)     = scale
+    r_{t+1}(v) = floor(scale·(100-d)/100)
+               + floor(d · Σ_{u→v} (r_t(u) div outdeg(u)) / 100)
+
+Every operation is int64: the per-edge contribution divides BEFORE
+summing (deterministic under any aggregation order), the damping d is an
+integer percentage. Deviations from the textbook real-valued form —
+truncation at each div, dangling-node mass dropped rather than
+redistributed — are deterministic and documented; ranking fidelity at
+scale=10^6 is far below any curation decision's sensitivity.
+
+Scale: outdeg is computed once and joined onto the edge table; each
+round shuffles (dst, contribution) pairs — never node payloads — and the
+score table is node-cardinality-sized. Self-loops are dropped and edges
+deduplicated up front (multigraph counting would double-weight parallel
+imports).
+
+No reference analogue; part of the LLM data-prep operator set
+(SURVEY.md §2g).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    edges: DataFrame,
+    k: int = 4,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """-> (v, r): integer PageRank score after exactly `k` rounds for
+    every node appearing as source or target. See module docstring for
+    the exact integer recurrence."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 1 <= damping_pct <= 99:
+        raise ValueError("damping_pct must be in [1, 99]")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    eo = e.join(od, "src")
+    teleport = (100 - damping_pct) * scale // 100
+    r = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
+    for t in range(k):
+        contrib = (
+            eo.join(
+                r.withColumnRenamed("v", "src").withColumnRenamed(
+                    "r", "__r"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("v"), F.expr("__r div d").alias("__c")
+            )
+            .groupBy("v")
+            .agg(F.sum("__c").alias("__c"))
+        )
+        r = (
+            nodes.join(contrib, "v", "left")
+            .withColumn(
+                "__c", F.coalesce(F.col("__c"), F.lit(0).cast("long"))
+            )
+            .select(
+                "v",
+                (
+                    F.lit(int(teleport)).cast("long")
+                    + F.expr(f"({int(damping_pct)} * __c) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+        if (t + 1) % checkpoint_every == 0 and (t + 1) < k:
+            r = r.localCheckpoint(eager=True)
+    return r

@@ -237,3 +237,76 @@ def top_duplicated_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(top_k)
     )
+
+
+def novelty_stats(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty: the memorization-risk complement of
+    the duplication reports.
+
+    Lee et al. 2021 (arXiv:2107.06499) connect verbatim memorization to
+    grams the corpus repeats; the inverse signal — what fraction of a
+    doc's DISTINCT word n-grams appear in no other document — measures
+    how much unique content it contributes (near-0 novelty = assembled
+    from corpus boilerplate; near-1 = unique text). Emits per doc:
+    `n_grams` (distinct n-grams in the doc), `n_novel` (those with
+    corpus document-frequency 1), `novelty_bps` = floor(1e4·novel/grams).
+    Docs with < n tokens carry n_grams = 0 and novelty_bps = 0 (guarded
+    division), kept in the output so filters need no special casing.
+
+    Scale discipline: grams are built JVM-side from the ONCE-materialized
+    token array (perf finding 14/16 — never a split inside a per-position
+    lambda); the (doc, gram) pairs are DISTINCT-ed per doc first (the
+    doc-grain dedup collapses map-side), then document frequency is one
+    hash aggregate keyed by gram, and the novelty rollup re-aggregates by
+    doc. Content never shuffles — only gram strings and ids.
+    """
+    toks = df.select(
+        F.col(id_col),
+        *( [F.col(group_col)] if group_col else [] ),
+        _nonempty(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
+    )
+    ngrams = toks.select(
+        F.col(id_col),
+        *( [F.col(group_col)] if group_col else [] ),
+        F.explode_outer(
+            F.when(
+                F.size("__t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice("__t", i, n), " "),
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("gram"),
+    )
+    doc_grams = ngrams.where(F.col("gram").isNotNull()).select(
+        id_col, *( [group_col] if group_col else [] ), "gram"
+    ).distinct()
+    dfreq = doc_grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    per_doc = (
+        doc_grams.join(dfreq, "gram")
+        .groupBy(id_col, *( [group_col] if group_col else [] ))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    base = df.select(id_col, *( [group_col] if group_col else [] ))
+    return (
+        base.join(per_doc, [id_col] + ([group_col] if group_col else []), "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0).cast("long")))
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0).cast("long")))
+        .withColumn(
+            "novelty_bps",
+            F.expr("(10000 * n_novel) div greatest(n_grams, 1)"),
+        )
+    )

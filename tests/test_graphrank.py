@@ -1,0 +1,65 @@
+"""Integer PageRank: literal-Python recurrence parity, determinism,
+structure sanity (hub outranks leaves), validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pipeline_spark.operators.graphrank import pagerank_int
+
+SCALE = 1_000_000
+TELEPORT = (100 - 85) * SCALE // 100
+
+
+def _py_pagerank(edges, k, damping=85, scale=SCALE):
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    r = {v: scale for v in nodes}
+    teleport = (100 - damping) * scale // 100
+    for _ in range(k):
+        c = {v: 0 for v in nodes}
+        for s, d in e:
+            c[d] += r[s] // out[s]
+        r = {v: teleport + (damping * c[v]) // 100 for v in nodes}
+    return r
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ("e", "c"), ("e", "b"), ("c", "c"),  # self-loop must be dropped
+    ("a", "b"),                          # duplicate must collapse
+]
+
+
+def test_pagerank_matches_python_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    for k in (1, 3):
+        got = {r.v: r.r for r in pagerank_int(df, k=k).collect()}
+        assert got == _py_pagerank(EDGES, k)
+
+
+def test_pagerank_hub_outranks_and_sink_gets_teleport_plus_mass(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.v: r.r for r in pagerank_int(df, k=4).collect()}
+    # c receives edges from a, b, d, e -> highest score
+    assert got["c"] == max(got.values())
+    # d and e have no in-edges -> pure teleport after round 1
+    assert got["d"] == TELEPORT and got["e"] == TELEPORT
+
+
+def test_pagerank_stable_under_repartition(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(map(tuple, pagerank_int(df, k=2).collect()))
+    b = sorted(map(tuple, pagerank_int(df.repartition(7), k=2).collect()))
+    assert a == b
+
+
+def test_pagerank_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank_int(df, k=0)
+    with pytest.raises(ValueError):
+        pagerank_int(df, damping_pct=100)

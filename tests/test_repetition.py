@@ -134,3 +134,39 @@ def test_top_duplicated_ngrams_validates_params(spark):
         repetition.top_duplicated_ngrams(df, n=0)
     with pytest.raises(ValueError):
         repetition.top_duplicated_ngrams(df, top_k=0)
+
+
+# ----------------------------------------------------------------- novelty
+
+def test_novelty_stats_hand_checked(spark):
+    from go_pipeline_spark.operators.repetition import novelty_stats
+
+    shared = "one two three four five"
+    rows = [
+        (1, shared + " alpha beta"),   # shares grams with doc 2
+        (2, shared + " gamma delta"),  # shares grams with doc 1
+        (3, "wholly unique words here indeed novel"),
+        (4, "too short"),              # < 5 tokens -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_bps)
+        for r in novelty_stats(df, n=5).collect()
+    }
+    # doc 1: 7 tokens -> 3 distinct grams; gram 'one two three four five'
+    # has df 2, the other two (containing alpha/beta) df 1
+    assert got[1] == (3, 2, 6666)
+    assert got[2] == (3, 2, 6666)
+    assert got[3] == (2, 2, 10000)
+    assert got[4] == (0, 0, 0)
+
+
+def test_novelty_duplicate_doc_kills_novelty(spark):
+    from go_pipeline_spark.operators.repetition import novelty_stats
+
+    t = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.novelty_bps for r in novelty_stats(df, n=5).collect()}
+    assert got == {1: 0, 2: 0}
