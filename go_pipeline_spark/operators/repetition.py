@@ -287,11 +287,14 @@ def novelty_stats(
     doc_grams = ngrams.where(F.col("gram").isNotNull()).select(
         id_col, *( [group_col] if group_col else [] ), "gram"
     ).distinct()
-    dfreq = doc_grams.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("__df")
-    )
+    # document frequency as a whole-partition window COUNT keyed by gram:
+    # same exchange a groupBy would pay, but the gram build runs ONCE —
+    # the aggregate+self-join spelling re-evaluates the generator DAG on
+    # both sides of the join
     per_doc = (
-        doc_grams.join(dfreq, "gram")
+        doc_grams.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
         .groupBy(id_col, *( [group_col] if group_col else [] ))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
