@@ -33,7 +33,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -2727,6 +2727,57 @@ def _pagerank_oracle(k: int) -> str:
     )
 
 
+def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order composed in ONE plan: the CCNet
+    head/middle/tail split on the INTEGER familiarity score (the
+    ccnet_quality_buckets machinery — head first: curriculum learning
+    trains on the most corpus-typical text before the tail) chained into
+    a deterministic within-stage shuffle (shards.rank_within — the
+    distributed-rank primitive, hash order, never a whole-stage sort)
+    and exact stage offsets, so `global_order` = stage_offset +
+    within-stage rank is a total training order that is a pure function
+    of the corpus. Oracle replays score → cutoffs → stage → hash rank →
+    offsets in SQL."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = familiarity.bigram_model(d)
+    scores = familiarity.integer_quality_scores(d, model)
+    cuts = outliers.length_percentile_cutoffs(
+        scores, lower_pct=33, upper_pct=67, length=F.col("score")
+    )
+    staged = scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        F.when(F.col("score") >= F.col("hi_cut"), F.lit(0))
+        .when(F.col("score") >= F.col("lo_cut"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("stage"),
+    )
+    ranked = shards.rank_within(staged, ["stage"], ["doc_id"], seed=11)
+    stage_off = (
+        ranked.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__stage_off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("stage").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("stage", "__stage_off")
+    )
+    return ranked.join(F.broadcast(stage_off), "stage").select(
+        "doc_id",
+        "stage",
+        (F.col("__stage_off") + F.col("pos")).cast("long").alias(
+            "global_order"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2842,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_docs": q_blocked_docs,
         "novelty_stats": q_novelty_stats,
         "module_pagerank": q_module_pagerank,
+        "curriculum_plan": q_curriculum_plan,
     }
 
 
@@ -6199,4 +6251,68 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "module_pagerank": _pagerank_oracle(4),
+        # familiarity score + p33/p67 cutoffs (the ccnet_quality_buckets
+        # fragment) -> stage -> sha-prefix rank within stage -> exact
+        # stage offsets; a total deterministic training order
+        "curriculum_plan": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), pos AS (
+              SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM toks WHERE len(ts) >= 2
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ts, i, i + 1), ' ') AS gram
+              FROM pos
+            ), model AS (
+              SELECT gram, count(*) AS n FROM grams GROUP BY 1
+            ), sc AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     sum(COALESCE(m.n, 0)) AS total
+              FROM grams g LEFT JOIN model m USING (gram)
+              GROUP BY 1
+            ), scores AS (
+              SELECT d.doc_id,
+                     CAST(CASE WHEN COALESCE(sc.n_grams, 0) > 0
+                          THEN (10000 * sc.total) // sc.n_grams
+                          ELSE 0 END AS BIGINT) AS score
+              FROM documents d LEFT JOIN sc USING (doc_id)
+            ), nn AS (SELECT count(*) AS n FROM scores
+            ), hist AS (SELECT score, count(*) AS c FROM scores GROUP BY 1
+            ), cum AS (
+              SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM hist
+            ), cuts AS (
+              SELECT
+                min(CASE WHEN cum >= (nn.n * 33 + 99) // 100
+                    THEN score END) AS lo_cut,
+                min(CASE WHEN cum >= (nn.n * 67 + 99) // 100
+                    THEN score END) AS hi_cut
+              FROM cum, nn
+            ), staged AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN score >= hi_cut THEN 0
+                               WHEN score >= lo_cut THEN 1
+                               ELSE 2 END AS INTEGER) AS stage
+              FROM scores, cuts
+            ), h AS (
+              SELECT doc_id, stage,
+                     substring(sha256(concat_ws(chr(31), '11',
+                         CAST(doc_id AS VARCHAR))), 1, 8) AS hx
+              FROM staged
+            ), so AS (
+              SELECT stage, count(*) AS n FROM h GROUP BY 1
+            ), off AS (
+              SELECT stage,
+                     coalesce(sum(n) OVER (ORDER BY stage
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS stage_off
+              FROM so
+            )
+            SELECT h.doc_id, h.stage,
+                   CAST(off.stage_off
+                        + row_number() OVER (PARTITION BY h.stage
+                                             ORDER BY hx, doc_id) - 1
+                     AS BIGINT) AS global_order
+            FROM h JOIN off USING (stage)
+        """,
     }

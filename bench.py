@@ -231,6 +231,7 @@ def bench_queries(spark, sf_dir: str):
         "blocked_docs": q("blocked_docs"),  # NEW r5 (C4 badwords set join)
         "novelty_stats": q("novelty_stats"),  # NEW r5 (memorization risk)
         "module_pagerank": q("module_pagerank"),  # NEW r5 (iterative rank)
+        "curriculum_plan": q("curriculum_plan"),  # NEW r5 (training order)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

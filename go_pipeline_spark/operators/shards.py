@@ -174,3 +174,56 @@ def token_offsets(
         )
         .drop("__h", "__sub", "__off", "__woff")
     )
+
+
+def rank_within(
+    df: DataFrame,
+    group_cols: list[str],
+    keys: list[str],
+    seed: int = 0,
+    sub_hex: int = 2,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """All input columns + `pos_col`: the row's 0-based rank within its
+    group under the deterministic (hash asc, keys asc) order — the
+    assign_shards distributed-rank decomposition with the group given by
+    COLUMNS instead of derived from the hash. The deterministic-shuffle
+    primitive for any 'ordered within stratum' layout (curriculum
+    stages, per-language shards, per-bucket exemplars).
+
+    Same guarantees: pure function of the row (stable under
+    partitioning/retries/cluster size), two shuffles total, largest
+    sorted task bounded by rows/(|groups|·16^sub_hex), and pos is
+    independent of sub_hex because __sub is a prefix of the order key.
+    """
+    if not 1 <= sub_hex <= 6:
+        raise ValueError("sub_hex must be in [1, 6]")
+    h = hash_hex(keys, seed)
+    base = df.withColumn("__h", h).withColumn(
+        "__sub", F.substring(F.col("__h"), 1, sub_hex)
+    )
+    counts = base.groupBy(*group_cols, "__sub").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.partitionBy(*group_cols)
+                .orderBy("__sub")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*group_cols, "__sub", "__off")
+    w_in = Window.partitionBy(*group_cols, "__sub").orderBy(
+        "__h", *[F.col(k) for k in keys]
+    )
+    return (
+        base.join(offsets, [*group_cols, "__sub"])
+        .withColumn(
+            pos_col,
+            (F.col("__off") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop("__h", "__sub", "__off")
+    )

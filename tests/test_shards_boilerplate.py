@@ -159,3 +159,57 @@ def test_token_offsets_sub_hex_invariant_and_dense(spark):
     assert all(off == 3 * pos for (_d, _s, pos, off) in a)
     for s in range(4):
         assert min(off for (_d, sh, _p, off) in a if sh == s) == 0
+
+
+# ------------------------------------------------------------ rank_within
+
+def test_rank_within_matches_flat_window(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from go_pipeline_spark.operators.sampling import hash_hex
+    from go_pipeline_spark.operators.shards import rank_within
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("int").alias("g")
+    )
+    got = rank_within(df, ["g"], ["doc_id"], seed=11)
+    flat = df.withColumn("__h", hash_hex(["doc_id"], 11))
+    ref = flat.select(
+        "doc_id",
+        "g",
+        (
+            F.row_number().over(W.partitionBy("g").orderBy("__h", "doc_id"))
+            - 1
+        ).cast("long").alias("pos"),
+    )
+    a = {(r.doc_id, r.g, r.pos) for r in got.collect()}
+    b = {(r.doc_id, r.g, r.pos) for r in ref.collect()}
+    assert a == b
+
+
+def test_rank_within_dense_and_sub_hex_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from go_pipeline_spark.operators.shards import rank_within
+
+    df = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).cast("int").alias("g")
+    )
+    a = {
+        (r.doc_id, r.pos)
+        for r in rank_within(df, ["g"], ["doc_id"], sub_hex=1).collect()
+    }
+    b = {
+        (r.doc_id, r.pos)
+        for r in rank_within(df, ["g"], ["doc_id"], sub_hex=4).collect()
+    }
+    assert a == b
+    # each group's ranks are a dense 0..n-1 permutation
+    for g in (0, 1):
+        ranks = sorted(
+            r.pos
+            for r in rank_within(df, ["g"], ["doc_id"]).collect()
+            if r.g == g
+        )
+        assert ranks == list(range(300))
