@@ -80,6 +80,7 @@ from go_pipeline_spark.operators.dedup import (  # noqa: E402
     boilerplate_line_filter,
     canonical_representatives,
     global_line_dedup,
+    lastwins_dedup,
     with_content_sha,
 )
 from go_pipeline_spark.operators.dedup import (  # noqa: E402
@@ -2778,6 +2779,105 @@ def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-grain corpus dedup (Wenzek et al. 2020 dedup on
+    paragraph hashes): global_line_dedup with sep='\\n\\n' — identical
+    three-shuffle plan, coarser unit. Planted: every 5th doc carries the
+    same promotional second paragraph; only its first (doc, pos)
+    occurrence survives, every body paragraph is unique and kept."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    "\n\nshared promotional paragraph repeated"
+                    " across documents"
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return global_line_dedup(planted, sep="\n\n")
+
+
+def q_canonical_docs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection: canonical_representatives
+    with score_col — keep the HIGHEST-SCORING cluster member instead of
+    the longest (RefinedWeb-style: when duplicates differ by cleanliness
+    the best-scoring one trains). Score = (doc_id·37) % 1000, a planted
+    deterministic quality stand-in expressible identically in SQL, so
+    the oracle pins the argmax RULE on the real pipeline clusters."""
+    res = _pipeline_result(spark, sf_dir)
+    docs = _planted_docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("content"),
+        ((F.col("doc_id") * 37) % 1000).alias("quality"),
+    )
+    return canonical_representatives(
+        res.clusters, docs, score_col="quality"
+    )
+
+
+def q_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-commit semantics over the input_hint-shaped table
+    (repo, path, commit, ...): every 6th file has a second commit, every
+    18th a third (planted content suffixes ' v2'/' v3'); lastwins_dedup
+    on (repo, path) by commit sequence keeps exactly the newest, and the
+    per-repo report carries history depth plus survivor-version counts —
+    the proof the keeper rule picked the right rows, not just the right
+    count. One aggregate over the tiny (repo, path) key space."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc = F.col("doc_id")
+
+    def mk(seq: int, suffix: str, cond):
+        rows = d.where(cond) if cond is not None else d
+        content = F.concat(F.col("text"), F.lit(suffix))
+        return rows.select(
+            F.concat(F.lit("repo-"), (doc % 20).cast("string")).alias(
+                "repo"
+            ),
+            F.concat(
+                F.lit("src/f"), doc.cast("string"), F.lit(".txt")
+            ).alias("path"),
+            F.substring(F.sha2(content, 256), 1, 12).alias("commit"),
+            content.alias("content"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    files = (
+        mk(0, "", None)
+        .unionByName(mk(1, " v2", doc % 6 == 0))
+        .unionByName(mk(2, " v3", doc % 18 == 0))
+    )
+    latest = lastwins_dedup(files, ["repo", "path"], "seq")
+    depth = files.groupBy("repo", "path").agg(
+        (F.max("seq") + 1).alias("depth")
+    )
+    per_path = latest.join(depth, ["repo", "path"])
+    return per_path.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.sum(F.when(F.col("depth") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_commit"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("depth").cast("long").alias("n_total_commits"),
+        F.sum(F.when(F.col("content").endswith(" v3"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_latest_v3"),
+        F.sum(
+            F.when(
+                F.col("content").endswith(" v2")
+                & ~F.col("content").endswith(" v3"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_latest_v2"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2894,6 +2994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_stats": q_novelty_stats,
         "module_pagerank": q_module_pagerank,
         "curriculum_plan": q_curriculum_plan,
+        "paragraph_dedup": q_paragraph_dedup,
+        "canonical_docs_scored": q_canonical_docs_scored,
+        "commit_history": q_commit_history,
     }
 
 
@@ -4969,6 +5072,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.cluster_size AS BIGINT) AS cluster_size
             FROM keep k JOIN sizes s USING (component)
         """,
+        # same reachability, but the argmax ranks by the planted quality
+        # score (doc_id*37 % 1000) instead of length — the score_col mode
+        "canonical_docs_scored": f"""
+            WITH RECURSIVE {edges_cte},
+            edges AS (
+              SELECT src, dst FROM exact_e
+              UNION SELECT src, dst FROM near
+              UNION SELECT src, dst FROM cont
+            ),
+            sym AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst AS u, src AS v FROM edges),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM planted
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS component
+                     FROM reach GROUP BY a),
+            scored AS (
+              SELECT c.component, c.doc_id,
+                     (c.doc_id * 37) % 1000 AS q
+              FROM comp c JOIN planted p USING (doc_id)
+            ),
+            keep AS (
+              SELECT component, doc_id AS keeper_id FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY component
+                  ORDER BY q DESC, doc_id ASC) AS rk
+                FROM scored) WHERE rk = 1
+            ),
+            sizes AS (SELECT component, count(*) AS cluster_size
+                      FROM comp GROUP BY component)
+            SELECT k.component, k.keeper_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size
+            FROM keep k JOIN sizes s USING (component)
+        """,
         # same reachability + keep-the-longest argmax, then the identical
         # whitespace token rule and integer-bps savings per language
         # (copies map to their base doc's lang via doc_id % 1e6)
@@ -6314,5 +6453,84 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY hx, doc_id) - 1
                      AS BIGINT) AS global_order
             FROM h JOIN off USING (stage)
+        """,
+        # the global_line_dedup oracle at paragraph grain: split/rejoin
+        # on the double-newline separator, identical keeper rule
+        "paragraph_dedup": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                       THEN text || chr(10) || chr(10)
+                            || 'shared promotional paragraph repeated'
+                            || ' across documents'
+                       ELSE text END AS text
+              FROM documents
+            ), x AS (
+              SELECT doc_id, i AS pos, lines[i] AS line
+              FROM (SELECT doc_id,
+                           string_split(text, chr(10) || chr(10)) AS lines
+                    FROM p) t,
+                   unnest(generate_series(1, len(lines))) AS u(i)
+              WHERE len(lines[i]) > 0
+            ), k AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rn
+              FROM x
+            ), r AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) || chr(10)
+                                ORDER BY pos) AS text_dedup,
+                     count(*) AS n_lines_kept
+              FROM k WHERE rn = 1 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.text_dedup, '') AS text_dedup,
+                   CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT)
+                     AS n_lines_kept
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        """,
+        # identical three-version planting; latest = max seq per (repo,
+        # path); depth/version accounting proves the keeper choice
+        "commit_history": """
+            WITH f AS (
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR) AS repo,
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                     text AS content, CAST(0 AS BIGINT) AS seq
+              FROM documents
+              UNION ALL
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR),
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt',
+                     text || ' v2', CAST(1 AS BIGINT)
+              FROM documents WHERE doc_id % 6 = 0
+              UNION ALL
+              SELECT 'repo-' || CAST(doc_id % 20 AS VARCHAR),
+                     'src/f' || CAST(doc_id AS VARCHAR) || '.txt',
+                     text || ' v3', CAST(2 AS BIGINT)
+              FROM documents WHERE doc_id % 18 = 0
+            ), latest AS (
+              SELECT repo, path, content, seq FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM f) WHERE rn = 1
+            ), depth AS (
+              SELECT repo, path, max(seq) + 1 AS depth
+              FROM f GROUP BY 1, 2
+            ), j AS (
+              SELECT l.repo, l.content, d.depth
+              FROM latest l JOIN depth d USING (repo, path)
+            )
+            SELECT repo,
+                   CAST(count(*) AS BIGINT) AS n_paths,
+                   CAST(sum(CASE WHEN depth > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_multi_commit,
+                   CAST(max(depth) AS BIGINT) AS max_depth,
+                   CAST(sum(depth) AS BIGINT) AS n_total_commits,
+                   CAST(sum(CASE WHEN content LIKE '% v3'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_latest_v3,
+                   CAST(sum(CASE WHEN content LIKE '% v2'
+                             AND content NOT LIKE '% v3'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_latest_v2
+            FROM j GROUP BY 1
         """,
     }

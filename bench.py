@@ -232,6 +232,9 @@ def bench_queries(spark, sf_dir: str):
         "novelty_stats": q("novelty_stats"),  # NEW r5 (memorization risk)
         "module_pagerank": q("module_pagerank"),  # NEW r5 (iterative rank)
         "curriculum_plan": q("curriculum_plan"),  # NEW r5 (training order)
+        "paragraph_dedup": q("paragraph_dedup"),  # NEW r5 (CCNet grain)
+        "canonical_docs_scored": q("canonical_docs_scored"),  # NEW r5
+        "commit_history": q("commit_history"),  # NEW r5 (keep-latest)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,

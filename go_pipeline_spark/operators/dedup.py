@@ -88,7 +88,10 @@ def exact_dup_edges(
 
 
 def global_line_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide exact line dedup with document reconstruction (the
     C4/RefinedWeb rule: a line that appears anywhere else in the corpus
@@ -109,8 +112,13 @@ def global_line_dedup(
     the line itself, 1:1 against a single keeper row — no row explosion).
     For corpora where line text is long, substitute sha2(line) as the
     shuffle/join key and carry the text alongside; same plan.
+
+    `sep` sets the dedup grain (regex for split, literal for rejoin):
+    the default "\\n" is C4's line rule; "\\n\\n" is CCNet's PARAGRAPH
+    dedup (Wenzek et al. 2020 dedup on paragraph hashes) — identical
+    plan, coarser unit.
     """
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), sep)
     exploded = (
         df.select(F.col(id_col), F.posexplode(lines).alias("__pos", "__line"))
         .where(F.length("__line") > 0)
@@ -144,7 +152,7 @@ def global_line_dedup(
                 F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
                 lambda s: s["__line"],
             ),
-            "\n",
+            sep,
         ).alias("text_dedup"),
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
@@ -238,11 +246,15 @@ def canonical_representatives(
     id_col: str = "doc_id",
     component_col: str = "component",
     content_col: str = "content",
+    score_col: str | None = None,
 ) -> DataFrame:
     """-> (component, keeper_id, cluster_size): one representative per dup
-    cluster, keep-the-longest rule (most complete duplicate survives; the
-    convention crawl pipelines use when near-dups differ by truncation),
-    ties to the lowest id.
+    cluster. Default rule: keep-the-longest (most complete duplicate
+    survives; the convention crawl pipelines use when near-dups differ by
+    truncation). With `score_col`, keep-the-highest-score instead —
+    RefinedWeb-style quality-aware keeper selection (when duplicates
+    differ by cleanliness, not truncation, the best-scoring member is
+    the one to train on). Ties to the lowest id in both modes.
 
     Per-cluster argmax runs as a row_number window that Spark >= 3.5
     executes with WindowGroupLimit (map-side partial top-1 — a hot mega-
@@ -251,12 +263,11 @@ def canonical_representatives(
     """
     from pyspark.sql import Window
 
-    scored = clusters.join(
-        docs.select(
-            F.col(id_col), F.length(F.col(content_col)).alias("__len")
-        ),
-        on=id_col,
+    rank_expr = (
+        F.col(score_col) if score_col else F.length(F.col(content_col))
     )
+    pick = [F.col(id_col), rank_expr.alias("__len")]
+    scored = clusters.join(docs.select(*pick), on=id_col)
     w = Window.partitionBy(component_col).orderBy(
         F.desc("__len"), F.asc(id_col)
     )

@@ -169,3 +169,26 @@ class TestIntraDocLineDedup:
         }
         assert out[0] == "dup\nown0"
         assert out[1] == "own1"
+
+
+def test_canonical_representatives_score_col_mode(spark):
+    from go_pipeline_spark.operators.dedup import canonical_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "doc_id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "longest content here", 5),
+            (2, "short", 9),   # highest score, shorter content
+            (3, "mid size", 9),  # ties with 2 -> lowest id wins
+        ],
+        "doc_id long, content string, quality long",
+    )
+    by_len = canonical_representatives(clusters, docs).collect()[0]
+    assert by_len.keeper_id == 1  # default: longest
+    by_score = canonical_representatives(
+        clusters, docs, score_col="quality"
+    ).collect()[0]
+    assert by_score.keeper_id == 2  # score mode: max score, tie -> min id
+    assert by_score.cluster_size == 3

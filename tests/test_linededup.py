@@ -19,3 +19,34 @@ def test_order_preserved_and_empty_lines_dropped(spark):
     df = spark.createDataFrame([(1, "c\n\nb\n\na")], "doc_id long, text string")
     row = global_line_dedup(df).collect()[0]
     assert row.text_dedup == "c\nb\na"
+
+
+# ------------------------------------------------------- paragraph grain
+
+def test_global_dedup_paragraph_separator(spark):
+    from go_pipeline_spark.operators.dedup import global_line_dedup
+
+    shared = "common promo paragraph"
+    rows = [
+        (1, f"unique one\n\n{shared}"),
+        (2, f"{shared}\n\nunique two"),
+        (3, "only unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_lines_kept)
+        for r in global_line_dedup(df, sep="\n\n").collect()
+    }
+    # first (doc, pos) occurrence of the shared paragraph is doc 1 pos 1
+    assert got[1] == (f"unique one\n\n{shared}", 2)
+    assert got[2] == ("unique two", 1)
+    assert got[3] == ("only unique text", 1)
+    # paragraph grain does NOT split on single newlines
+    df2 = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nb")], "doc_id long, text string"
+    )
+    got2 = {
+        r.doc_id: r.text_dedup
+        for r in global_line_dedup(df2, sep="\n\n").collect()
+    }
+    assert got2 == {1: "a\nb", 2: ""}
