@@ -2878,6 +2878,44 @@ def q_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_edge_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster composition audit over the REAL pipeline run: per dup
+    cluster, how many of its edges are exact / near (MinHash+Jaccard) /
+    containment / simhash — the evidence-type breakdown a curator reads
+    before trusting a merge (a cluster held together only by containment
+    edges is a quote-chain, not a duplicate group). Edges attribute to
+    the component of their src endpoint (both endpoints share it by CC
+    construction); one hash aggregate per table, sizes joined back.
+    simhash is structurally 0 on this corpus (dup_pairs pins the edge
+    set), asserted by the oracle's constant column."""
+    res = _pipeline_result(spark, sf_dir)
+    memb = res.clusters
+    e = res.dup_edges.join(
+        memb.withColumnRenamed("doc_id", "src").select("src", "component"),
+        "src",
+    )
+    b = lambda k: (  # noqa: E731
+        F.sum((F.col("kind") == k).cast("int")).cast("long")
+    )
+    per = e.groupBy("component").agg(
+        b("exact").alias("n_exact"),
+        b("near").alias("n_near"),
+        b("containment").alias("n_containment"),
+        b("simhash").alias("n_simhash"),
+    )
+    sizes = memb.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return per.join(sizes, "component").select(
+        "component",
+        "cluster_size",
+        "n_exact",
+        "n_near",
+        "n_containment",
+        "n_simhash",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_clusters(spark, "/root/testdata/sf0.001")
@@ -2997,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "canonical_docs_scored": q_canonical_docs_scored,
         "commit_history": q_commit_history,
+        "cluster_edge_kinds": q_cluster_edge_kinds,
     }
 
 
@@ -5107,6 +5146,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.component, k.keeper_id,
                    CAST(s.cluster_size AS BIGINT) AS cluster_size
             FROM keep k JOIN sizes s USING (component)
+        """,
+        # per-cluster edge-kind breakdown: the dup_pairs edge CTEs
+        # attributed through the reachability components; simhash is a
+        # structural-zero constant the compare asserts
+        "cluster_edge_kinds": f"""
+            WITH RECURSIVE {edges_cte},
+            edges AS (
+              SELECT src, dst, kind FROM exact_e
+              UNION ALL SELECT src, dst, kind FROM near
+              UNION ALL SELECT src, dst, kind FROM cont
+            ),
+            alledges AS (
+              SELECT src, dst FROM edges
+            ),
+            sym AS (SELECT src AS u, dst AS v FROM alledges
+                    UNION SELECT dst AS u, src AS v FROM alledges),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM planted
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            ),
+            comp AS (SELECT a AS doc_id, min(b) AS component
+                     FROM reach GROUP BY a),
+            ek AS (
+              SELECT c.component, e.kind
+              FROM edges e JOIN comp c ON c.doc_id = e.src
+            ),
+            per AS (
+              SELECT component,
+                CAST(sum(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact,
+                CAST(sum(CASE WHEN kind = 'near' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_near,
+                CAST(sum(CASE WHEN kind = 'containment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_containment,
+                CAST(0 AS BIGINT) AS n_simhash
+              FROM ek GROUP BY 1
+            ),
+            sizes AS (SELECT component, count(*) AS cluster_size
+                      FROM comp GROUP BY component)
+            SELECT p.component,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                   p.n_exact, p.n_near, p.n_containment, p.n_simhash
+            FROM per p JOIN sizes s USING (component)
         """,
         # same reachability + keep-the-longest argmax, then the identical
         # whitespace token rule and integer-bps savings per language

@@ -235,6 +235,7 @@ def bench_queries(spark, sf_dir: str):
         "paragraph_dedup": q("paragraph_dedup"),  # NEW r5 (CCNet grain)
         "canonical_docs_scored": q("canonical_docs_scored"),  # NEW r5
         "commit_history": q("commit_history"),  # NEW r5 (keep-latest)
+        "cluster_edge_kinds": q("cluster_edge_kinds"),  # NEW r5 (audit)
     }, {
         "dedup_synthetic_rows": SYNTH_ROWS,
         "dedup_big_rows": BIG_SYNTH_ROWS,
