@@ -282,10 +282,14 @@ def main() -> None:
 
     # min-of-N repeats: this VM's wall-clock noise is documented at up to
     # 2.7x for identical jobs (STATUS.md), so single samples are unusable
-    # for round-over-round comparisons. The big corpus gets one fewer
-    # repeat to bound total bench time; sub-5s queries get >= 6 runs so
-    # their min is decidable in-file (VERDICT r4 #4).
-    per_query_repeats = {"dedup_synthetic_big": max(1, REPEATS - 1)}
+    # for round-over-round comparisons. The big corpus gets one EXTRA
+    # repeat (cold + 3 warm): the r5 final-session r4-vs-HEAD interleaved
+    # A/B (BENCH/REGRESSION.md) measured per-process walls for this one
+    # query swinging 49-104 s on BOTH code versions — a single warm
+    # sample is a window lottery, and three warm runs span enough wall
+    # clock (~4-7 min) to usually catch one fast phase. Sub-5s queries
+    # get >= 6 runs so their min is decidable in-file (VERDICT r4 #4).
+    per_query_repeats = {"dedup_synthetic_big": REPEATS + 1}
     small_wall_s = 5.0
     min_small_runs = 6  # 1 cold + >= 5 warm
     timings: dict[str, float] = {}
