@@ -1,0 +1,120 @@
+"""Round-6 optimization harness (bench.py is FROZEN; extra measurements live
+here, per the optimization brief).
+
+Two modes:
+
+  time:    python bench_extra.py time  q1,q2,...  [--sf-dir D] [--repeats N]
+           Runs each declared query through the noop sink (guide §1.4) with
+           the same cold-first / min-over-warm protocol bench.py uses and
+           prints one JSON line {"queries": {name: {"runs": [...], "min_warm":
+           s}}, "sf_dir": D}.
+
+  explain: python bench_extra.py explain q1,q2,... [--sf-dir D] [--out DIR]
+           [--suffix before|after]
+           Writes each query's .explain("formatted") to
+           plans/r06/<name>_<suffix>.txt (judge-checkable plan evidence).
+
+Queries are resolved from __spark_entry__.queries(); names not present there
+fall back to the bench.py-only workloads (embedding_near_dups_srp).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import pandas as pd  # module-level: pandas-UDF type hints resolve here
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _get_queries(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def q(name):
+        return lambda: qs[name](spark, sf_dir)
+
+    out = {name: q(name) for name in qs}
+
+    def embedding_near_dups_srp():
+        from go_pipeline_spark.operators.similarity import embedding_near_dups
+        from go_pipeline_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return embedding_near_dups(
+            emb, dim=64, threshold=0.3, n_bits=8, n_tables=6
+        )
+
+    out["embedding_near_dups_srp"] = embedding_near_dups_srp
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["time", "explain"])
+    ap.add_argument("names", help="comma-separated query names")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--out", default="plans/r06")
+    ap.add_argument("--suffix", default="before")
+    args = ap.parse_args()
+
+    cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from go_pipeline_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="bench_extra")
+    queries = _get_queries(spark, args.sf_dir)
+    names = args.names.split(",")
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown: {unknown}", file=sys.stderr)
+        sys.exit(2)
+
+    if args.mode == "explain":
+        os.makedirs(args.out, exist_ok=True)
+        for name in names:
+            df = queries[name]()
+            path = os.path.join(args.out, f"{name}_{args.suffix}.txt")
+            with open(path, "w") as f:
+                f.write(df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                ))
+            print("wrote", path)
+        return
+
+    # time mode: warm python workers once (mirrors bench.py) then noop-force
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    n_par = int(spark.sparkContext.defaultParallelism)
+    spark.range(0, n_par * 100, 1, n_par).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
+
+    results = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+        runs = []
+        for _ in range(max(2, args.repeats)):
+            t0 = time.perf_counter()
+            queries[name]().write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        results[name] = {"runs": runs, "min_warm": min(runs[1:])}
+    print(json.dumps({"queries": results, "sf_dir": args.sf_dir, "cpus": cpus}))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,63 @@ from pyspark.sql import types as T
 WIDE_AGG_MAX_DIM = 256
 
 
+def _is_float32(df: DataFrame, vec_col: str) -> bool:
+    """True when the vector column is array<float> (float32 elements)."""
+    return isinstance(df.schema[vec_col].dataType.elementType, T.FloatType)
+
+
+def _collect_query_matrix(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """One bounded driver round-trip for the (small, by contract) query set:
+    -> (ids int64 (nq,), matrix float64 (nq, dim)). The float64 values are
+    exact widenings of whatever the column stores (float32 widens exactly),
+    so casting back to float32 for scoring is lossless."""
+    rows = queries.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    M = np.asarray([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    return ids, M
+
+
+def _fold_norms(M: np.ndarray, f32: bool) -> np.ndarray:
+    """Row norms reproducing the JVM `_norm` fold bit-for-bit: square each
+    element in the array's own type (float32 multiply when the column is
+    array<float>), widen exactly to float64, accumulate LEFT-TO-RIGHT in
+    float64, sqrt in float64."""
+    X = M.astype(np.float32) if f32 else M
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for j in range(X.shape[1]):
+        sq = X[:, j] * X[:, j]  # element type's own multiply
+        acc = acc + sq.astype(np.float64)
+    return np.sqrt(acc)
+
+
+def _fold_dot_all_pairs(X: np.ndarray, Q: np.ndarray, f32: bool) -> np.ndarray:
+    """(B, nq) dot-product matrix reproducing the JVM zip_with/aggregate
+    fold bit-for-bit: per-element multiply in the column's own type, exact
+    widen to float64, LEFT-TO-RIGHT float64 accumulation over dim."""
+    if f32:
+        X = X.astype(np.float32)
+        Q = Q.astype(np.float32)
+    acc = np.zeros((X.shape[0], Q.shape[0]), dtype=np.float64)
+    for j in range(X.shape[1]):
+        pj = np.multiply.outer(X[:, j], Q[:, j])  # own-type multiply
+        acc = acc + pj.astype(np.float64)
+    return acc
+
+
+def _fold_dot_rowwise(A: np.ndarray, B: np.ndarray, f32: bool) -> np.ndarray:
+    """(B,) row-wise dot products with the same fold semantics as above."""
+    if f32:
+        A = A.astype(np.float32)
+        B = B.astype(np.float32)
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        pj = A[:, j] * B[:, j]
+        acc = acc + pj.astype(np.float64)
+    return acc
+
+
 def _dot(a: str, b: str) -> F.Column:
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
@@ -62,28 +119,98 @@ def brute_force_topk(
 ) -> DataFrame:
     """-> (query_id, rank, neighbor_id). Exact cosine top-k.
 
-    queries MUST be small (it is broadcast); ties break by neighbor id for
-    determinism. Self-matches are excluded.
+    queries MUST be small (one bounded collect ships the query matrix in
+    the scorer's closure); ties break by neighbor id for determinism.
+    Self-matches are excluded. The corpus streams once through a
+    mapInPandas scorer — no pair materialization, no payload shuffle.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    f32 = _is_float32(embeddings, vec_col)
+    qids, Qm = _collect_query_matrix(queries, id_col, vec_col)
+    qnorms = _fold_norms(Qm, f32)
+
+    # Scale shape (r6, guide §4.2/§8): instead of a BroadcastNestedLoopJoin
+    # that materializes |Q| x N pair rows and evaluates an interpreted
+    # higher-order-function cosine per pair (then shuffles every pair into
+    # the top-k window), stream the corpus ONCE through a mapInPandas
+    # scorer holding the tiny query matrix in its closure. Each task scores
+    # its partition against all queries with vectorized numpy that
+    # reproduces the JVM fold bit-for-bit, and emits only the rows that can
+    # still reach the global top-k (everything >= the partition's k-th best
+    # per query — a superset of the partition's contribution, so the final
+    # JVM window computes the identical exact top-k with the identical
+    # (sim desc, neighbor_id asc) tie-break). Rows entering the window:
+    # ~n_partitions * |Q| * k instead of |Q| * N.
+    def score_partition(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.asarray(list(pdf["cvec"]), dtype=np.float64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            dots = _fold_dot_all_pairs(X, Qm, f32)
+            cnorms = _fold_norms(X, f32)
+            sims = dots / np.multiply.outer(cnorms, qnorms)
+            # self-matches are excluded from both selection and emission
+            self_mask = nids[:, None] == qids[None, :]
+            key = np.where(np.isnan(sims), np.inf, sims)  # Spark: NaN sorts first desc
+            key[self_mask] = -np.inf
+            if n > k:
+                kth = np.partition(key, n - k, axis=0)[n - k, :]
+            else:
+                kth = np.full(len(qids), -np.inf)
+            emit = (key >= kth[None, :]) & ~self_mask
+            rows_i, cols_q = np.nonzero(emit)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[cols_q],
+                    "neighbor_id": nids[rows_i],
+                    "sim": sims[rows_i, cols_q],
+                }
+            )
+
+    sc = embeddings.sparkSession.sparkContext
+    n_parts = int(sc.defaultParallelism)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_sim_col("qvec", "cvec"))
+    ).repartition(n_parts)  # the scan is often 1-2 splits; spread the GEMM
+    cand = c.mapInPandas(
+        score_partition, "query_id long, neighbor_id long, sim double"
     )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
     )
+
+
+def _make_rerank_scorer(
+    qids: np.ndarray, Qm: np.ndarray, qnorms: np.ndarray, f32: bool
+):
+    """Arrow-batched (query_id, cvec) -> cosine scorer for the ANN re-rank
+    paths: the (small) query matrix rides in the closure, so candidate rows
+    carry only the 8-byte query id — the query vectors never travel through
+    the candidate join/distinct shuffles — and the per-pair interpreted
+    higher-order-function fold is replaced by one vectorized numpy pass per
+    batch that reproduces the JVM fold bit-for-bit (guide §4.2)."""
+    order = np.argsort(qids)
+    sorted_ids = np.ascontiguousarray(qids[order])
+    Qs = np.ascontiguousarray(Qm[order])
+    qns = np.ascontiguousarray(qnorms[order])
+
+    @F.pandas_udf(T.DoubleType())
+    def rerank_sim(query_id: pd.Series, cvec: pd.Series) -> pd.Series:
+        if len(query_id) == 0:
+            return pd.Series([], dtype=np.float64)
+        qi = np.searchsorted(sorted_ids, query_id.to_numpy(dtype=np.int64))
+        C = np.asarray(list(cvec), dtype=np.float64)
+        dots = _fold_dot_rowwise(Qs[qi], C, f32)
+        cn = _fold_norms(C, f32)
+        return pd.Series(dots / (qns[qi] * cn))
+
+    return rerank_sim
 
 
 def make_srp_udf(dim: int, n_bits: int, n_tables: int, seed: int):
@@ -142,19 +269,31 @@ def srp_ann_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("codes", srp(F.col("qvec")))
 
+    # Bucket join and pair dedup carry ONLY (table_id, code, id) — the float
+    # vectors must not ride through the join + distinct shuffles (r6; same
+    # rule embedding_near_dups already applies). Corpus vectors re-attach by
+    # id AFTER dedup; query vectors never travel at all (closure scorer).
     c_b = c.select(
-        "neighbor_id", "cvec", F.posexplode("codes").alias("table_id", "code")
+        "neighbor_id", F.posexplode("codes").alias("table_id", "code")
     )
     q_b = q.select(
-        "query_id", "qvec", F.posexplode("codes").alias("table_id", "code")
+        "query_id", F.posexplode("codes").alias("table_id", "code")
     )
     cand = (
         c_b.join(F.broadcast(q_b), ["table_id", "code"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("sim", cosine_sim_col("qvec", "cvec"))
+    f32 = _is_float32(embeddings, vec_col)
+    qids, Qm = _collect_query_matrix(queries, id_col, vec_col)
+    rerank = _make_rerank_scorer(qids, Qm, _fold_norms(Qm, f32), f32)
+    cvecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = cand.join(cvecs, "neighbor_id").withColumn(
+        "sim", rerank(F.col("query_id"), F.col("cvec"))
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -333,20 +472,35 @@ def ivf_ann_topk(
         cents = [r["cvec"] for r in cent]
     assign, probe = make_ivf_udfs(cents, n_probe)
 
+    # List join and pair dedup carry ONLY (list_id, id) — vectors re-attach
+    # by id after dedup; query vectors ride the closure scorer (r6, same
+    # restructure as srp_ann_topk).
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("list_id", assign(F.col("cvec")))
+    ).withColumn("list_id", assign(F.col("cvec"))).select(
+        "neighbor_id", "list_id"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("list_id", F.explode(probe(F.col("qvec"))))
+    ).withColumn("list_id", F.explode(probe(F.col("qvec")))).select(
+        "query_id", "list_id"
+    )
 
     cand = (
         c.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("sim", cosine_sim_col("qvec", "cvec"))
+    f32 = _is_float32(embeddings, vec_col)
+    qids, Qm = _collect_query_matrix(queries, id_col, vec_col)
+    rerank = _make_rerank_scorer(qids, Qm, _fold_norms(Qm, f32), f32)
+    cvecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = cand.join(cvecs, "neighbor_id").withColumn(
+        "sim", rerank(F.col("query_id"), F.col("cvec"))
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
