@@ -87,13 +87,26 @@ from go_pipeline_spark.operators.dedup import (  # noqa: E402
     intra_doc_line_dedup as dedup_ops_intra,
 )
 from go_pipeline_spark.plans.dedup_pipeline import DedupPipeline  # noqa: E402
-from go_pipeline_spark.sources.tables import load_table  # noqa: E402
+from go_pipeline_spark.sources.tables import load_table, spread_scan  # noqa: E402
 
 CFG = PipelineConfig()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan spread across cores (r6): the testdata file
+    is a single row group, so without this every per-row text
+    transformation runs in ONE task. Opt-in per query: only where per-row
+    work dominates (>=~1.5s at sf1.0) — the repartition exchange plus
+    split-count probe cost ~0.3s that sub-second queries cannot amortize.
+    No-op when the scan is already well split (the at-scale case)."""
+    return spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        cache_key=f"{sf_dir}/documents",
+    )
 
 
 def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +119,7 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original 500 docs. Mirrored verbatim by the `planted` CTE in
     oracle_sql().
     """
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     copies = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
     )
@@ -215,7 +228,7 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     return d.select(
         "doc_id",
         F.round(textstats.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
@@ -442,7 +455,7 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-side pairs are ever generated. Bit-stable vs the exact-Jaccard
     oracle for the same reason as dup_pairs: natural near pairs sit at
     J >= 0.92, everything else <= 0.36."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     a = d.select("doc_id", F.col("text").alias("content"))
     b = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -634,7 +647,7 @@ def _source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical content (the cross-repo duplication a source-code corpus
     actually exhibits). Derivable in plain SQL, so the pipeline run over it
     is oracle-checkable end-to-end."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     base = d.select(
         F.concat(F.lit("repo-"), (F.col("doc_id") % 20).cast("string")).alias("repo"),
         F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
@@ -726,7 +739,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit their own gram; the testdata's repeated token runs add genuine
     cross-document hits). Corpus side never shuffles for the match
     (benchmark broadcast; see operators/decontaminate.py)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     bench = d.where((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 10)).select(
         F.array_join(F.slice(toks, 3, 8), " ").alias("gram")
@@ -741,7 +754,7 @@ def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify on the sliver. Same benchmark derivation as `decontamination`
     and — false negatives being impossible — the same oracle; the two
     queries going green together pins the equivalence at driver level."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     bench = d.where((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 10)).select(
         F.array_join(F.slice(toks, 3, 8), " ").alias("gram")
@@ -783,7 +796,7 @@ def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(0.1*2^32). Unlike df.sample(), membership is a pure function of
     the row — stable under repartitioning, retries, and cluster size —
     which is exactly what lets DuckDB evaluate the identical predicate."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return sampling.hash_sample(d, ["doc_id"], 0.1, seed=1).select(
         "doc_id", "lang"
     )
@@ -794,7 +807,7 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per lang, chosen in deterministic hash order of doc_id. Exact form =
     one shuffle on lang + row_number; the prefilter hot-group form is
     pinned row-identical by tests/test_sampling.py."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return sampling.quota_per_group(d, ["lang"], 50, ["doc_id"], seed=2).select(
         "doc_id", "lang"
     )
@@ -804,7 +817,7 @@ def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/val/test assignment by cumulative hash thresholds
     (80/10/10): a row never migrates between splits across runs or corpus
     re-snapshots. Emits per-(split, lang) counts."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = sampling.hash_split(
         d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5
     )
@@ -817,7 +830,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, and fraction of chars in the most frequent word bigram —
     each a per-doc aggregate whose only shuffle keys are (doc_id, unit),
     so the plan is perfectly parallel at any corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     lines = repetition.line_repetition_stats(d)
     grams = repetition.top_ngram_stats(d, 2)
     return lines.join(grams, "doc_id")
@@ -827,7 +840,7 @@ def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter form at the Gopher paper's published cutoffs (dup-line 0.30,
     dup-line-chars 0.20, top-bigram-chars 0.20): survivors only, via a
     left-anti join on the per-doc reject set."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return repetition.repetition_filter(d).select("doc_id", "lang")
 
 
@@ -837,7 +850,7 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one window cumsum, no sequential scan), and emit per-bin audit stats.
     The bin assignment is a pure function of the corpus — identical on
     any cluster size or partitioning."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     packed = packing.pack_docs(d, "n_chars", budget=4096, n_buckets=4, seed=3)
     return packing.bin_stats(packed, "n_chars", 4096).select(
         "bucket", "bin", "n_docs",
@@ -851,7 +864,7 @@ def q_domain_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5, everything else 1 epoch — the fractional epoch decided per-row
     by content hash, so the mixture is exact-in-expectation AND
     deterministic. Emits per-(lang, epoch) counts."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     rep = sampling.weighted_repeat(
         d, ["doc_id"], "lang", {"en": 2.25, "de": 0.5}, seed=4
     )
@@ -865,7 +878,7 @@ def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py global_line_dedup): the C4/RefinedWeb rule — a
     line survives only at its first (doc, position) occurrence anywhere
     in the corpus; documents are rebuilt from their surviving lines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return global_line_dedup(d)
 
 
@@ -892,7 +905,7 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from doc_id (the url_dedup pattern): 4 rotating
     nav headers + one universal footer around each unique body — the
     filter must strip exactly the planted frame and keep every body."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     planted = d.select(
         "doc_id",
         F.concat(
@@ -914,7 +927,7 @@ def q_prep_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs, gapless max pos, kept/cut token totals, boiler lines cut).
     Every stage is a pure function of the corpus; the oracle replays the
     full chain and every output is an integer."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     planted = d.select(
         "doc_id",
         F.concat(
@@ -955,7 +968,7 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces every score bit-for-bit, and predicted_hi vs
     truth_hi shows the train/apply cycle recovering the planted signal
     on unseen docs."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     planted = d.select(
         "doc_id",
         F.concat(
@@ -986,7 +999,7 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongest rung of the dedup ladder below the pairwise stages. All
     decisions are integer token arithmetic + exact string equality, so the
     rewrite is bit-identical on any engine."""
-    return substrdedup.exact_substring_dedup(_docs(spark, sf_dir), k=8)
+    return substrdedup.exact_substring_dedup(_docs_spread(spark, sf_dir), k=8)
 
 
 _BPE_ROUNDS = 6
@@ -1005,7 +1018,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping merge — no substring or overlap hazard for any
     symbols (a pattern match requires complete, space-bounded symbols,
     and each replacement preserves the spelling invariant)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     return bpe.train_bpe(d, _BPE_ROUNDS)
 
 
@@ -1015,7 +1028,7 @@ def q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     first symbol after applying the 6 learned merges. Encoding runs once
     per DISTINCT word and joins back to positions, so the oracle can
     replay it from the final vocab state of its own SQL training chain."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     merges = bpe.train_bpe(d, _BPE_ROUNDS)
     enc = bpe.apply_bpe(d, merges)
     return enc.select(
@@ -1141,7 +1154,7 @@ def q_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     50% hash sample -> per-lang doc/char/line accounting. Every stage is a
     pure function of the corpus, so the whole flow is reproducible on any
     cluster size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     clean = repetition.repetition_filter(d)
     rebuilt = global_line_dedup(clean)
     sampled = sampling.hash_sample(rebuilt, ["doc_id"], 0.5, seed=11)
@@ -1160,7 +1173,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2-compatible rule set. Pure scan-side regexp work — no shuffle, no
     Python; the oracle replants the identical strings and runs the
     identical patterns through DuckDB's RE2."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     planted = d.withColumn(
         "text",
         F.concat(
@@ -1203,7 +1216,7 @@ def q_pii_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     on real decisions — the oracle recomputes the identical checksum in
     SQL. All candidates are redacted (over-redaction is the safe PII
     direction); n_ccn_luhn audits the checksum-valid subset."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     last4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
     planted = d.withColumn(
         "text",
@@ -1242,7 +1255,7 @@ def q_code_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 9000-char line, an autogen header, a 4x punctuation-masked tail).
     Every decision is integer arithmetic; the oracle replays the
     identical plants and rules. Rule flags are non-exclusive."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
     base = F.translate(F.col("text"), " ", "\n")
     masked = F.regexp_replace(base, "[A-Za-z0-9]", "#")
     content = F.concat(
@@ -1280,7 +1293,7 @@ def q_license_spdx_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-side with the RE2-compatible group-1 pattern, counted per
     (lang, license) with 'NONE' for untagged files — the license-visible
     corpus split The Stack publishes. One hash aggregate."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     lic = F.element_at(
         F.array(
             F.lit("MIT"),
@@ -1324,7 +1337,7 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_ss = encoding._broken_form("ß")
     b_q = encoding._broken_form("’")
     b_dots = encoding._broken_form("…")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     planted = d.withColumn(
         "text",
         F.concat(
@@ -1354,7 +1367,7 @@ def q_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     average corpus count of its bigrams — the distributed, oracle-exact
     analogue of CCNet's LM-quality signal. Integer aggregates + one final
     division keep the score bit-stable under any partitioning."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     model = familiarity.bigram_model(d)
     return familiarity.familiarity_scores(d, model)
 
@@ -1369,7 +1382,7 @@ def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scan-side bucket CASE against the broadcast one-row cutoffs.
     head = most corpus-typical (lowest CCNet perplexity = highest
     familiarity). Every decision integer -> bit-stable on any engine."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     model = familiarity.bigram_model(d)
     scores = familiarity.integer_quality_scores(d, model)
     cuts = outliers.length_percentile_cutoffs(
@@ -1393,7 +1406,7 @@ def q_length_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1%/99% DISCRETE order-statistic cutoffs computed in-plan with integer
     arithmetic (no interpolation, no float rank), per-lang kept counts.
     Length = the n_chars column (identical on both engines by construction)."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id", "lang", "n_chars"
     )
     t = outliers.length_trim(
@@ -1411,7 +1424,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators/chunking.py): 64-token chunks,
     stride 32 (50% overlap), map-only explode — the step between cleaning
     and sequence packing."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     return chunking.chunk_documents(d, chunk_tokens=64, stride=32)
 
 
@@ -1450,7 +1463,7 @@ def q_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup (embedding space) chained over the same corpus, per-language
     survivor accounting at each stage — ONE plan. sem status is defined for
     docs with an embedding row (inner domain); n_both = survived both."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "lang")
     emb = load_table(spark, sf_dir, "embeddings")
     url_keep = (
         urls.url_dedup_groups(urls.planted_urls(docs.select("doc_id")))
@@ -1487,7 +1500,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     URLs planted deterministically from doc_id (the redact.py planting
     pattern — testdata has no URL column), canonicalized scan-side with
     RE2-compatible rules, grouped on the canonical key. Keeper = min id."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id")
     return urls.url_dedup_groups(urls.planted_urls(d))
 
 
@@ -1495,7 +1508,7 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (operators/keywords.py): top-3 tokens per
     document by tf*N/df (exact-integer inputs, one correctly-rounded double
     division — bit-identical ranking on both engines), ties by token."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     return keywords.tfidf_keywords(d, k=3)
 
 
@@ -1516,7 +1529,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression), then prune any doc with a lower-id same-cluster neighbor at
     cosine >= 0.3. Integer-quantized arithmetic makes every decision
     bit-identical to the DuckDB oracle with zero float tolerance."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_scan (r6): the map-only seed-assignment GEMM runs scan-side;
+    # a single-split scan would put the whole corpus pass on one core
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings"),
+        cache_key=f"{sf_dir}/embeddings",
+    )
     return semdedup.semdedup(emb, n_seeds=16, tau2_x100=9)
 
 
@@ -1529,7 +1547,7 @@ def q_comment_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-band flags; comment fraction is INTEGER basis points
     (10000·comments div lines), so every boundary file is decided
     identically on both engines. All scan-side JVM expressions."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     content = F.concat(
         F.repeat(
             F.lit("# header comment\n"), (F.col("doc_id") % 4).cast("int")
@@ -1558,7 +1576,7 @@ def q_template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 grams appearing in >= 3 distinct docs come back with total
     occurrences and doc counts, ties broken by gram ASC so the cut is
     deterministic. Two-level hash aggregates + TakeOrderedAndProject."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     planted = d.withColumn(
         "text",
         F.when(
@@ -1666,7 +1684,7 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's flat window; per-lang selected/total accounting."""
     from go_pipeline_spark.operators import selection
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
     scored = d.select(
         "doc_id",
         "lang",
@@ -1696,7 +1714,7 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain; hash equality is on the full cleaned strings."""
     from go_pipeline_spark.operators import markup
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     content = F.concat(
         F.lit(
             '<html><!-- nav\nbar --><head><script type="x">var a = 1 < 2;'
@@ -1761,7 +1779,7 @@ def q_path_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, path_class). Classification is scan-side; the oracle
     replays the identical patterns via regexp_matches — the CASE is
     GENERATED from the same PATH_RULES table, so it cannot drift."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
     idx = (F.col("doc_id") % 8 + 1).cast("int")
     path = F.concat(
         F.element_at(F.array(*[F.lit(p) for p in _PATH_PREFIXES]), idx),
@@ -1781,7 +1799,7 @@ def q_import_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from IMPORT_PATTERNS) through DuckDB's regexp_extract_all and the
     same root-segment rule, over the same planted strings — matches in
     the natural text tail are engine-identical by construction."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     lang = F.element_at(
         F.array(
             F.lit("python"), F.lit("go"), F.lit("javascript"), F.lit("java")
@@ -1840,7 +1858,7 @@ def q_repo_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     basename, rank = in-degree DESC then path. The oracle replays the
     identical generated python pattern, the same basename rule, and the
     same window ordering."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     role = F.col("doc_id") % 3
     header = (
         F.when(role == 1, F.lit("import utils\n"))
@@ -1894,7 +1912,7 @@ def q_prep_pipeline_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper rule orders by (repo, path), never by hash value."""
     from go_pipeline_spark.operators import optout
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
     idx = (F.col("doc_id") % 8 + 1).cast("int")
     path = F.concat(
         F.element_at(F.array(*[F.lit(p) for p in _PATH_PREFIXES]), idx),
@@ -1974,7 +1992,7 @@ def q_license_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-gated strip, shebang re-emit), so the full stripped-content
     sha must match byte-for-byte — including docs whose NATURAL text
     happens to start with comment-shaped lines."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     hdr = (
         F.when(
@@ -2013,7 +2031,7 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order filter over the ONCE-materialized candidate array.
     Oracle = the identical pattern strings through DuckDB's
     regexp_extract_all + list_filter, over identically planted text."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     content = F.concat(
         F.col("text"),
@@ -2054,8 +2072,11 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (100·dot² >= 81·nn_c·nn_b with dot > 0 — pure int64, zero float
     tolerance, same contract as semdedup). Oracle = the bounded
     corpus×bench cross join with the identical quantization."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    # spread_scan (r6): the per-row literal-expression cosine block (16
+    # benchmark vectors) is the cost; a single-split scan runs it one-core
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        cache_key=f"{sf_dir}/embeddings",
     )
     corpus = emb.where(F.col("vec_id") >= 16)
     bench = emb.where(F.col("vec_id") < 16)
@@ -2072,7 +2093,7 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs, distinct-sha docs, chars, whitespace tokens) so the oracle's
     ANSI GROUP BY ROLLUP reproduces every row hash-exactly, including
     the grain ids and '(all)' supergroup markers."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs_spread(spark, sf_dir).select(
         "doc_id", "lang", "text"
     )
     src = F.element_at(
@@ -2093,7 +2114,7 @@ def q_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expected outputs DIRECTLY from the planting arithmetic, never
     via JSON — so any parse/escape corruption inside the engine breaks
     the full code sha."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     nb = F.to_json(
         F.struct(
@@ -2137,7 +2158,7 @@ def q_data_file_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic the oracle replays over the identical planted strings —
     including the natural-prose rows, which BOTH engines must agree
     on."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     s = doc.cast("string")
     csv = F.concat_ws(
@@ -2175,7 +2196,7 @@ def q_repo_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, and the integer fork decision (100·|∩| >= 30·|∪|) has
     no float anywhere. The oracle rebuilds the identical inverted-list
     chain (distinct shas -> df window -> pair witnesses -> sizes)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     base = d.select(F.col("doc_id").alias("base_id"), "text")
     sf = (
         d.select("doc_id")
@@ -2198,7 +2219,7 @@ def q_nfc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization must agree with DuckDB's utf8proc nfc_normalize on
     the full output sha (NFC is version-stable for assigned
     characters)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     tail = (
         F.when(doc % 3 == 0, F.lit(" cafe" + chr(769)))
@@ -2225,7 +2246,7 @@ def q_intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with DuckDB's (x, i) list_filter + list_position (1-based on both
     engines after the index-convention shift) over identical planted
     content; full output sha compared."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     content = F.when(
         doc % 2 == 0,
@@ -2253,7 +2274,7 @@ def q_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     space->newline rewrapped text), aggregated into per-rule trip
     counts AND sole-cause counts (n_only_<rule> — the marginal cost of
     keeping each rule). One scan, one aggregate."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs_spread(spark, sf_dir).select(
         "doc_id", "lang", "text"
     )
     doc = F.col("doc_id")
@@ -2282,7 +2303,7 @@ def q_identifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob on every 10th doc — both engines extract with the identical
     RE2 pattern and aggregate exact integers; the minified flag is the
     cross-multiplied mean test."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     content = F.when(
         doc % 10 == 0,
@@ -2305,7 +2326,7 @@ def q_indentation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-indented on doc%3==1, both on doc%6==5 (mixed), over the
     natural text; first-character style rule replayed by the oracle via
     starts_with over the identical planted lines."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     content = F.concat(
         F.col("text"),
@@ -2330,7 +2351,7 @@ def q_inferred_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared marker patterns with the first-max tie rule; rollup on the
     tiny language key space. Oracle GENERATES its scoring CASE from the
     same LANG_MARKERS table (pattern drift impossible)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     header = (
         F.when(doc % 6 == 0, F.lit("def main():\n    import os\n"))
@@ -2351,7 +2372,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the natural text — the two-level (lang, word) aggregate keeps hot
     words map-side-combined before any exchange. Oracle = unnest of the
     identical lowercased word extraction."""
-    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    d = _docs(spark, sf_dir).select("lang", "text")
     return datasheet.vocab_growth(d, group_col="lang", text_col="text")
 
 
@@ -2368,7 +2389,7 @@ def q_prep_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-lang aggregate. Oracle = the chained CTEs of the
     license_strip / intra_line_dedup / data_file_flags /
     secret_scan_counts oracles over the identical planted content."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs_spread(spark, sf_dir).select(
         "doc_id", "lang", "text"
     )
     doc = F.col("doc_id")
@@ -2437,7 +2458,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division), so the oracle RE-TRAINS the same merges in SQL
     (the _bpe_oracle_ctes chain) and replays the report exactly. Docs
     with zero [a-z]+ words are excluded identically on both sides."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
     merges = bpe.train_bpe(d.select("doc_id", "text"), _BPE_ROUNDS)
     return bpe.fertility_stats(d, merges, group_col="lang")
 
@@ -2450,7 +2471,7 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     is correctly rounded on both engines and the power-of-two scale is
     exact — then every division is int64. One aggregate + one broadcast
     total; the output is lang-cardinality-sized."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return sampling.temperature_mixture(d, "lang", budget=100_000, alpha=0.5)
 
 
@@ -2463,7 +2484,7 @@ def q_repo_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('repo-' || doc_id % 20), rolled up to per-repo keep_bps and the
     (keep_bps >= 8000 AND n_files >= 10) decision. Integer end-to-end;
     the oracle replays plants, per-file rules, and the rollup."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
     base = F.translate(F.col("text"), " ", "\n")
     masked = F.regexp_replace(base, "[A-Za-z0-9]", "#")
     content = F.concat(
@@ -2500,7 +2521,7 @@ def q_token_offset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition (never a whole-shard single-task sort). The oracle is
     the flat window cumsum over the same sha-prefix order — exact int64
     equality IS the proof that the decomposition tiles correctly."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
     return shards.token_offsets(
         d, ["doc_id"], "n_chars", n_shards=8, seed=9
     ).select("doc_id", "n_chars", "shard", "pos", "start_offset")
@@ -2512,7 +2533,7 @@ def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count DESC, word ASC) rank. Two-level (lang, word)
     aggregate + WindowGroupLimit top-k + one tiny rollup join; all
     integer outputs."""
-    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    d = _docs(spark, sf_dir).select("lang", "text")
     return datasheet.head_coverage(d, group_col="lang", text_col="text", k=100)
 
 
@@ -2523,7 +2544,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings. The documents columns are long/string only, so the
     string rendering is engine-portable (no float formatting hazard;
     profile.py documents the restriction)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return profile_ops.profile_table(
         d, ["doc_id", "text", "lang", "source", "n_chars"]
     )
@@ -2535,7 +2556,7 @@ def q_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII share in integer basis points. Scan-side expressions + one
     hash aggregate; DuckDB's strlen/length pair mirrors Spark's
     octet_length/length exactly."""
-    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    d = _docs(spark, sf_dir).select("lang", "text")
     return encoding.byte_profile(d, group_col="lang", text_col="text")
 
 
@@ -2545,7 +2566,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (global count DESC, word ASC) rank. Top-V plans as
     TakeOrderedAndProject; membership is a broadcast left join. All
     integer outputs; the oracle replays rank + LEFT JOIN in SQL."""
-    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    d = _docs(spark, sf_dir).select("lang", "text")
     return datasheet.oov_rate(d, vocab_size=200, group_col="lang")
 
 
@@ -2555,7 +2576,7 @@ def q_length_magnitudes(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of n_chars (exact on every engine, unlike binary-string log2
     spellings), cumulative over the tiny per-(lang, magnitude) aggregate
     only."""
-    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    d = _docs(spark, sf_dir).select("lang", "n_chars")
     return datasheet.magnitude_histogram(d, "n_chars", group_col="lang")
 
 
@@ -2571,7 +2592,7 @@ def q_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     else repo, else NONE. Emits the (license_source, effective_license)
     rollup. The oracle replays file construction, extraction, the
     root-path rule, min-collapse, and the precedence chain."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
 
     def lic_of(x):
@@ -2621,7 +2642,7 @@ def q_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklists where a union regex breaks codegen). Planted: doc%7==0
     appends one blocked token, doc%21==0 two more. Per-lang rollup; the
     oracle replays extraction + IN (...)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
     doc = F.col("doc_id")
     planted = d.withColumn(
         "text",
@@ -2647,7 +2668,7 @@ def q_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs share a gram set with df ≈ 125 while their body grams stay
     novel. Integer outputs; the oracle replays tokenize → gram →
     distinct → df → rollup."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
     planted = d.select(
         "doc_id",
@@ -2676,7 +2697,7 @@ def q_module_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation order — the property float PageRank lacks and the reason
     this variant is oracle-exact). Oracle = the same recurrence unrolled
     round-by-round in SQL CTEs, the bpe_train_merges pattern."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id")
     doc = F.col("doc_id")
     edges = d.select(
         F.concat(F.lit("m"), (doc % 40).cast("string")).alias("src"),
@@ -2739,7 +2760,7 @@ def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-stage rank is a total training order that is a pure function
     of the corpus. Oracle replays score → cutoffs → stage → hash rank →
     offsets in SQL."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     model = familiarity.bigram_model(d)
     scores = familiarity.integer_quality_scores(d, model)
     cuts = outliers.length_percentile_cutoffs(
@@ -2785,7 +2806,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-shuffle plan, coarser unit. Planted: every 5th doc carries the
     same promotional second paragraph; only its first (doc, pos)
     occurrence survives, every body paragraph is unique and kept."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
     planted = d.select(
         "doc_id",
         F.when(
@@ -2828,7 +2849,7 @@ def q_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-repo report carries history depth plus survivor-version counts —
     the proof the keeper rule picked the right rows, not just the right
     count. One aggregate over the tiny (repo, path) key space."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     doc = F.col("doc_id")
 
     def mk(seq: int, suffix: str, cond):

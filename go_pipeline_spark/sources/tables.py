@@ -25,13 +25,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SPREAD_DECISION_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def spread_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """Spread a too-few-splits scan across the cluster's cores (r6).
+
+    The sandbox testdata ships one parquet file with ONE row group per
+    table, so a scan yields a single input split and every narrow
+    (per-row) transformation downstream runs in ONE task — 31 of 32 cores
+    idle. A real corpus arrives in many files and never hits this; the
+    guard makes this a no-op whenever the scan already carries at least
+    half the default parallelism, so at scale no payload shuffle is added.
+    Only worth applying where per-row work dominates (text analysis);
+    results are partition-layout independent throughout, so this never
+    changes what a query computes. The split-count probe (a plan->RDD
+    conversion, ~0.1s) is memoized per (application, cache_key) when a
+    key is given — the decision depends only on the input files and the
+    session's parallelism."""
+    spark = df.sparkSession
+    target = int(spark.sparkContext.defaultParallelism)
+    if cache_key is not None:
+        memo_key = (spark.sparkContext.applicationId, cache_key)
+        needs = _SPREAD_DECISION_CACHE.get(memo_key)
+        if needs is None:
+            needs = df.rdd.getNumPartitions() < max(2, target // 2)
+            _SPREAD_DECISION_CACHE[memo_key] = needs
+    else:
+        needs = df.rdd.getNumPartitions() < max(2, target // 2)
+    return df.repartition(target) if needs else df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 
 
 def documents_as_docs(documents: DataFrame) -> DataFrame:
-    """testdata documents(doc_id, text, ...) -> (doc_id, content)."""
-    return documents.select("doc_id", F.col("text").alias("content"))
+    """testdata documents(doc_id, text, ...) -> (doc_id, content).
+
+    Spread-on-adapt (r6): the dedup pipeline's first stages (normalize,
+    sha, signatures) are per-row heavy, so a single-split scan would run
+    them on one core; `spread_scan` is a no-op for well-split inputs."""
+    return spread_scan(
+        documents.select("doc_id", F.col("text").alias("content"))
+    )
 
 
 def source_files_as_docs(source_files: DataFrame) -> DataFrame:
