@@ -455,7 +455,7 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-side pairs are ever generated. Bit-stable vs the exact-Jaccard
     oracle for the same reason as dup_pairs: natural near pairs sit at
     J >= 0.92, everything else <= 0.36."""
-    d = _docs_spread(spark, sf_dir)
+    d = _docs(spark, sf_dir)
     a = d.select("doc_id", F.col("text").alias("content"))
     b = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -905,7 +905,7 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from doc_id (the url_dedup pattern): 4 rotating
     nav headers + one universal footer around each unique body — the
     filter must strip exactly the planted frame and keep every body."""
-    d = _docs_spread(spark, sf_dir)
+    d = _docs(spark, sf_dir)
     planted = d.select(
         "doc_id",
         F.concat(
@@ -968,7 +968,7 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces every score bit-for-bit, and predicted_hi vs
     truth_hi shows the train/apply cycle recovering the planted signal
     on unseen docs."""
-    d = _docs_spread(spark, sf_dir)
+    d = _docs(spark, sf_dir)
     planted = d.select(
         "doc_id",
         F.concat(
@@ -1508,7 +1508,7 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (operators/keywords.py): top-3 tokens per
     document by tf*N/df (exact-integer inputs, one correctly-rounded double
     division — bit-identical ranking on both engines), ties by token."""
-    d = _docs_spread(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     return keywords.tfidf_keywords(d, k=3)
 
 
@@ -1684,7 +1684,7 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's flat window; per-lang selected/total accounting."""
     from go_pipeline_spark.operators import selection
 
-    d = _docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     scored = d.select(
         "doc_id",
         "lang",
