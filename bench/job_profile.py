@@ -62,6 +62,23 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     },
+    # r6: the profile shows ~1.2 cores average utilization across 363 AQE
+    # stages — latency-bound, not compute-bound. parallelismFirst=true
+    # (default) makes AQE keep small shuffle stages at defaultParallelism
+    # partitions; =false lets it coalesce to advisoryPartitionSizeInBytes,
+    # collapsing tiny stages to 1-4 tasks (the setting Spark's own docs
+    # recommend flipping).
+    "coalesce_size": {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    },
+    "coalesce_size_8m": {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
+    },
+    "coalesce_size_1m": {
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(1024 * 1024),
+    },
 }
 
 

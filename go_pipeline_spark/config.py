@@ -73,6 +73,29 @@ class PipelineConfig:
     #                                      silently discarded
     salt_buckets: int = 8                # salt fan-out for hot-key repartition
 
+    # --- execution (r6) ---
+    pipeline_aqe: bool = False           # run the pipeline's own actions with
+    #                                      adaptive query execution? The lean
+    #                                      600k profile is latency-bound: ~50
+    #                                      core-seconds of task time spread
+    #                                      over 363 AQE query-stage round
+    #                                      trips (~1.2 cores busy on 32).
+    #                                      AQE off collapses that to 83
+    #                                      stages / 6 jobs — measured 42.0s
+    #                                      vs 49.9s at local[32] and 62.4s vs
+    #                                      68.7s at local[8] (interleaved
+    #                                      fresh-process A/B, bench/
+    #                                      job_profile.py). Skew safety does
+    #                                      not regress: candidate explosion
+    #                                      is bounded by the pipeline's own
+    #                                      deterministic bucket caps, not by
+    #                                      AQE skew-join. Scoped to the run
+    #                                      (restored after), so other queries
+    #                                      keep AQE. Set True on deployments
+    #                                      whose inputs are skewed at the
+    #                                      partition level (multi-TB corpora
+    #                                      with hot shuffle keys).
+
     # --- clustering ---
     cc_max_iterations: int = 50          # large-star/small-star fixpoint bound
     cc_driver_finish_edges: int = 1_000_000  # below this many edges the CC

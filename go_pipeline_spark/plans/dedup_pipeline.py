@@ -275,6 +275,29 @@ class DedupPipeline:
         Sink errors are quarantined per stage, never fail the run (O12/O13).
         """
         cfg = self.cfg
+        # Scope AQE to the run (r6, cfg.pipeline_aqe): SQL confs are read at
+        # action time, and in BOTH modes the heavy chain materializes inside
+        # run() — staged mode counts/commits each stage; lean mode's
+        # quarantine/dropped counts force normalize→signatures and the CC
+        # fixpoint's internal count/collect forces candidates→verify→
+        # containment→edges. Only the final clusters join lands on the
+        # caller's first action, after the conf is restored.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if not cfg.pipeline_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._run_inner(spark, docs, sink)
+        finally:
+            if not cfg.pipeline_aqe:
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def _run_inner(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        sink=None,
+    ) -> RunResult:
+        cfg = self.cfg
         metrics = StageMetrics(self.run_id)
         store = (
             ParquetSnapshotStore(self.snapshot_dir, self.run_id, cfg.config_hash())
