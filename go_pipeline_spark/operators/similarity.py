@@ -547,10 +547,26 @@ def embedding_near_dups(
     )
     va = e.select(F.col("doc_id").alias("src"), F.col("vec").alias("vec_a"))
     vb = e.select(F.col("doc_id").alias("dst"), F.col("vec").alias("vec_b"))
+    # Pair verify is Arrow-batched (r6): the per-pair interpreted
+    # higher-order-function cosine dominated this operator's wall; the
+    # pandas scorer reproduces the JVM fold bit-for-bit (same element-type
+    # multiply, exact widen, left-to-right float64 accumulation), so the
+    # thresholded pair set is unchanged.
+    f32 = _is_float32(embeddings, vec_col)
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_cosine(vec_a: pd.Series, vec_b: pd.Series) -> pd.Series:
+        if len(vec_a) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.asarray(list(vec_a), dtype=np.float64)
+        B = np.asarray(list(vec_b), dtype=np.float64)
+        dots = _fold_dot_rowwise(A, B, f32)
+        return pd.Series(dots / (_fold_norms(A, f32) * _fold_norms(B, f32)))
+
     return (
         pairs.join(va, "src")
         .join(vb, "dst")
-        .withColumn("sim", cosine_sim_col("vec_a", "vec_b"))
+        .withColumn("sim", pair_cosine(F.col("vec_a"), F.col("vec_b")))
         .where(F.col("sim") >= threshold)
         .select("src", "dst", F.round("sim", 6).alias("sim"))
     )
