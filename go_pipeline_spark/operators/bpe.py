@@ -288,8 +288,27 @@ def fertility_stats(
     excluded on both sides of the oracle pairing. Token counts include
     the </w> end-of-word symbols exactly as trained/encoded.
     """
-    enc = apply_bpe(
-        docs, merges, text_col=text_col, id_col=id_col, pattern=pattern
+    # Counts-only encode (r6): the report needs n_bpe_tokens per doc, and
+    # sum(per-word symbol count) == size(flatten(ordered per-word arrays))
+    # for any order, so the apply_bpe reassembly — a collect_list of
+    # (pos, syms-array) structs plus array_sort per doc — is dead weight
+    # here. Ship an int per position instead of a string array: the
+    # grouped shuffle carries 8 bytes/row instead of ~10 symbol strings.
+    # Exclusion semantics unchanged: docs with zero pattern-matching
+    # words produce no position rows and drop out of the join either way.
+    mlist = _merge_list(merges)
+    positions = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).where(F.col("word").rlike(pattern))
+    encoded = encode_words(positions.select("word").distinct(), mlist)
+    enc = (
+        positions.join(
+            encoded.select("word", F.size("bpe_syms").alias("__n_syms")),
+            "word",
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__n_syms").alias("n_bpe_tokens"))
     )
     words = docs.select(
         F.col(id_col),

@@ -282,3 +282,36 @@ def test_fertility_excludes_docs_with_no_matching_words(spark):
     ).collect()
     got = {r.lang: r.n_docs for r in out}
     assert got == {"en": 1}  # docs 2 and 3 contribute nothing
+
+
+def test_fertility_counts_path_matches_apply_bpe(spark):
+    """r6 optimization invariant: fertility_stats computes n_bpe_tokens as
+    sum(per-word symbol counts) over positions instead of materializing
+    apply_bpe's ordered token array — sum(sizes) == size(flatten(ordered
+    arrays)) for any order, so the per-doc totals must be identical."""
+    df = spark.createDataFrame(
+        [
+            (1, "en", "low lower lowest low low"),
+            (2, "en", "new newer news"),
+            (3, "de", "wider wide widest new low"),
+            (4, "de", "zz9 123"),  # no [a-z]+-only tokens -> excluded
+        ],
+        "doc_id long, lang string, text string",
+    )
+    trained = bpe.train_bpe(df.select("doc_id", "text"), 3)
+    via_apply = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe.apply_bpe(df, trained).collect()
+    }
+    # aggregate the per-lang report back against apply_bpe's totals
+    per_lang_apply: dict[str, int] = {}
+    for r in df.collect():
+        if r.doc_id in via_apply:
+            per_lang_apply[r.lang] = (
+                per_lang_apply.get(r.lang, 0) + via_apply[r.doc_id]
+            )
+    got = {
+        r.lang: r.n_bpe_tokens
+        for r in bpe.fertility_stats(df, trained, group_col="lang").collect()
+    }
+    assert got == per_lang_apply
