@@ -58,13 +58,24 @@ def test_numpy_fold_iterations_scale_with_flushes():
     ts = _mk_ts(rng.integers(0, 3, size=n))
     delta_ns = 60 * 1_000_000_000
 
-    t0 = time.perf_counter()
-    fast, _ = _fold_key_numpy(ts, 50, delta_ns, (0, 0, None))
-    t_fast = time.perf_counter() - t0
+    # min-of-3 per side: this VM's wall-clock noise (documented up to 2.7x
+    # for identical runs, STATUS.md / bench.py) flips a single-sample ratio
+    # often enough to make the gate flaky; min-of-N is the repo's standard
+    # timing protocol and keeps the 5x bar itself unchanged.
+    def _best(fn, reps=3):
+        best, out = float("inf"), None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
 
-    t0 = time.perf_counter()
-    ref, _ = _fold_key_rowwise(ts, 50, pd.Timedelta(seconds=60), (0, 0, None))
-    t_ref = time.perf_counter() - t0
+    t_fast, (fast, _) = _best(
+        lambda: _fold_key_numpy(ts, 50, delta_ns, (0, 0, None))
+    )
+    t_ref, (ref, _) = _best(
+        lambda: _fold_key_rowwise(ts, 50, pd.Timedelta(seconds=60), (0, 0, None))
+    )
 
     assert fast.tolist() == ref.tolist()
     assert t_fast * 5 < t_ref, (t_fast, t_ref)  # conservative on a noisy VM
